@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Headline set = the 100 TB stress shapes: wide aggregation (q1),
+selective star joins (q3/q5), window top-k (o6), graph pattern joins
+(j1/j3), search scan (o1), bounded BFS (added with the traversal
+milestone). Each query is timed to full materialization (collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "o6_top5_orders_per_customer",
+    "a8_first_event_per_user",
+    "o1_search_ranked",
+    "j1_find_definition",
+    "j3_three_hop_chain",
+    "j4_impact_bfs",
+    "j6_service_deps",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from codegraph_spark.queries import collect
+    from codegraph_spark.session import get_spark
+
+    spark = get_spark(app_name="codegraph-spark-bench")
+    queries, _ = collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue  # not built yet
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

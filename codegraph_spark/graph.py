@@ -1,0 +1,98 @@
+"""PropertyGraph — the engine's core data abstraction.
+
+The reference models everything as a labeled property graph
+(/root/reference/pkg/models/node.go, relationship.go). Here that is two
+columnar DataFrames (the GraphFrames convention, SURVEY §1.6):
+
+- ``nodes``: must contain ``id`` (unique surrogate) and ``label``;
+  any number of typed property columns alongside.
+- ``edges``: must contain ``src``, ``dst``, ``type``; per-type property
+  columns nullable.
+
+Uniqueness constraints (reference: pkg/schema/schema.go:38-79) are
+enforced at write time (:mod:`codegraph_spark.operators.upsert`), not by
+an index — Catalyst's scan pruning + optional label/type partitioning
+replaces Neo4j's BTREE indexes (schema.go:82-203).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NODE_REQUIRED = ("id", "label")
+EDGE_REQUIRED = ("src", "dst", "type")
+
+
+class PropertyGraph:
+    def __init__(self, nodes: DataFrame, edges: DataFrame):
+        for c in NODE_REQUIRED:
+            if c not in nodes.columns:
+                raise ValueError(f"nodes missing required column {c!r}")
+        for c in EDGE_REQUIRED:
+            if c not in edges.columns:
+                raise ValueError(f"edges missing required column {c!r}")
+        self.nodes = nodes
+        self.edges = edges
+
+    # ---- construction ----------------------------------------------------
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, nodes_path: str, edges_path: str) -> "PropertyGraph":
+        return cls(spark.read.parquet(nodes_path), spark.read.parquet(edges_path))
+
+    @classmethod
+    def from_tpch_recast(cls, spark: SparkSession, sf_dir: str) -> "PropertyGraph":
+        from codegraph_spark.sources.recast import graph_edges, graph_nodes
+
+        return cls(graph_nodes(spark, sf_dir), graph_edges(spark, sf_dir))
+
+    def persist(self) -> "PropertyGraph":
+        """Cache both tables — the serving-layer pattern (the reference
+        keeps a connection pool to a warm Neo4j; we keep hot DataFrames,
+        SURVEY §3.3)."""
+        self.nodes = self.nodes.persist()
+        self.edges = self.edges.persist()
+        return self
+
+    def write_parquet(self, nodes_path: str, edges_path: str, mode: str = "overwrite") -> None:
+        # Partition by label/type: the Spark analog of Neo4j's
+        # per-label indexes — label-filtered scans prune partitions.
+        self.nodes.write.mode(mode).partitionBy("label").parquet(nodes_path)
+        self.edges.write.mode(mode).partitionBy("type").parquet(edges_path)
+
+    # ---- primitive lookups (reference: pkg/neo4j/query.go) ---------------
+    def by_label(self, label: str, limit: int = 0) -> DataFrame:
+        """FindNodesByLabel (query.go:25-37). limit 0 = unlimited
+        (reference appends LIMIT only when >0, query.go:27-29)."""
+        out = self.nodes.filter(F.col("label") == label)
+        return out.limit(limit) if limit > 0 else out
+
+    def by_property(self, label: str, prop: str, value) -> DataFrame:
+        """FindNodeByProperty (query.go:40-50)."""
+        return self.nodes.filter((F.col("label") == label) & (F.col(prop) == F.lit(value)))
+
+    def out_edges(self, edge_type: str | None = None) -> DataFrame:
+        e = self.edges
+        return e.filter(F.col("type") == edge_type) if edge_type else e
+
+    def in_neighbors(self, target_ids: DataFrame, edge_type: str) -> DataFrame:
+        """Nodes with an edge of ``edge_type`` INTO the given targets —
+        the 1-hop incoming pattern behind go-to-definition
+        (query.go:53-118) and callers (mcp-server/main.go:479-483)."""
+        e = self.out_edges(edge_type)
+        return (
+            target_ids.select(F.col("id").alias("_tgt"))
+            .join(e, F.col("_tgt") == e.dst)
+            .join(self.nodes, e.src == self.nodes.id)
+            .drop("_tgt", "src", "dst", "type")
+        )
+
+    def out_neighbors(self, source_ids: DataFrame, edge_type: str) -> DataFrame:
+        """1-hop outgoing (callees — mcp-server/main.go:501-505)."""
+        e = self.out_edges(edge_type)
+        return (
+            source_ids.select(F.col("id").alias("_src"))
+            .join(e, F.col("_src") == e.src)
+            .join(self.nodes, e.dst == self.nodes.id)
+            .drop("_src", "src", "dst", "type")
+        )

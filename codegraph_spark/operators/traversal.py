@@ -1,0 +1,156 @@
+"""Variable-length graph traversal as iterative DataFrame joins.
+
+This is the one genuinely custom piece the reference delegates to Neo4j
+(Cypher ``[:T*1..k]`` patterns — /root/reference/pkg/neo4j/query.go:209
+``CALLS*1..10``, :250 ``FLOWS_TO*1..15``, :126/:292 ``CONTAINS*``).
+Spark has no recursive CTE, so traversal is a bounded loop of
+frontier-extension joins.
+
+Cypher semantics note (SURVEY §7.3): Cypher paths are relationship-
+unique trails. For DISTINCT-endpoint queries (impact analysis, service
+deps) a node-visited BFS is endpoint-equivalent and much cheaper — we
+use that. For path-returning queries (data-flow trace) we enumerate
+node-simple paths with an ``array_contains`` cycle guard, as the
+reference's 15-hop bound keeps the explosion finite.
+
+Scale design:
+- each round is ONE equi-join on the edge key — shuffle partitioned by
+  ``src``; pre-partition ``edges`` once (``repartition(src)``) and every
+  round reuses that layout;
+- ``localCheckpoint(eager=True)`` after each round truncates the
+  lineage/plan (otherwise round k replays rounds 1..k-1 and the plan
+  grows quadratically). On a multi-node cluster prefer
+  ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+  fault-tolerant truncation;
+- early exit on an empty frontier costs one lightweight action per
+  round — exactly the per-superstep barrier Pregel would impose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _directed(edges: DataFrame, edge_type: str | None, direction: str) -> DataFrame:
+    e = edges.filter(F.col("type") == edge_type) if edge_type else edges
+    if direction == "out":
+        return e.select(F.col("src").alias("_from"), F.col("dst").alias("_to"))
+    if direction == "in":
+        return e.select(F.col("dst").alias("_from"), F.col("src").alias("_to"))
+    if direction == "both":
+        return e.select(F.col("src").alias("_from"), F.col("dst").alias("_to")).unionByName(
+            e.select(F.col("dst").alias("_from"), F.col("src").alias("_to"))
+        )
+    raise ValueError(f"direction must be out|in|both, got {direction!r}")
+
+
+def bfs_reachable(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    edge_type: str | None = None,
+    direction: str = "out",
+    include_sources: bool = False,
+) -> DataFrame:
+    """Distinct nodes reachable in 1..max_hops (min-hop annotated).
+
+    Implements the endpoint semantics of Cypher ``(seed)-[:T*1..k]->(x)
+    RETURN DISTINCT x`` (impact analysis, query.go:203-242; call-graph
+    building, query/advanced.go:242-290). Cycles are handled by the
+    visited set.
+
+    :param sources: DataFrame with an ``id`` column of seed node ids.
+    :returns: DataFrame ``(id, hops)`` — ``hops`` = minimum hop count.
+    """
+    e = _directed(edges, edge_type, direction)
+    frontier = sources.select("id").distinct().withColumn("hops", F.lit(0))
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e._from)
+            .select(F.col("_to").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited if include_sources else visited.filter(F.col("hops") >= 1)
+
+
+def transitive_closure(edges: DataFrame, max_depth: int = 64) -> DataFrame:
+    """All-pairs reachability ``(src, dst)`` — the batch analog of
+    ``(a)-[:CONTAINS*]->(b)`` used to find containing files/services
+    (query.go:126, :292).
+
+    Uses path-doubling (closure ⋈ closure), so a depth-d hierarchy
+    converges in ⌈log2 d⌉ rounds instead of d — at 100 TB the CONTAINS
+    forest is shallow (≤ 6 levels) and this is 3 rounds of equi-joins.
+    Safe on cycles (converges to SCC-pairs), intended for DAGs/forests.
+    """
+    clo = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    depth = 1
+    while depth < max_depth:
+        a, b = clo.alias("a"), clo.alias("b")
+        new = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        merged = clo.unionByName(new).distinct().localCheckpoint(eager=True)
+        if merged.count() == clo.count():
+            break
+        clo = merged
+        depth *= 2
+    return clo
+
+
+def enumerate_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    edge_type: str | None = None,
+    direction: str = "out",
+) -> DataFrame:
+    """Enumerate node-simple paths of length 1..max_hops from the seeds.
+
+    Implements the path-returning semantics of
+    ``path = (p)-[:FLOWS_TO*1..15]->(u) RETURN nodes(path)``
+    (TraceDataFlow, query.go:245-285): per-path node arrays, cycle
+    pruned via ``array_contains`` (SURVEY §7.3 risk 1).
+
+    :returns: DataFrame ``(start, end, path array<string>, hops)``.
+    """
+    e = _directed(edges, edge_type, direction)
+    cur = (
+        sources.select(F.col("id").alias("start"))
+        .distinct()
+        .withColumn("end", F.col("start"))
+        .withColumn("path", F.array(F.col("start")))
+        .withColumn("hops", F.lit(0))
+    )
+    cur = cur.localCheckpoint(eager=True)
+    acc: DataFrame | None = None
+    for hop in range(1, max_hops + 1):
+        cur = (
+            cur.join(e, cur.end == e._from)
+            .filter(~F.array_contains(F.col("path"), F.col("_to")))
+            .select(
+                "start",
+                F.col("_to").alias("end"),
+                F.concat(F.col("path"), F.array(F.col("_to"))).alias("path"),
+                F.lit(hop).alias("hops"),
+            )
+        )
+        cur = cur.localCheckpoint(eager=True)
+        if cur.isEmpty():
+            break
+        acc = cur if acc is None else acc.unionByName(cur)
+    if acc is None:
+        schema_src = cur
+        return schema_src.limit(0)
+    return acc

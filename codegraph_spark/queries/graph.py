@@ -1,0 +1,327 @@
+"""Graph pattern operators on the recast property graph (SURVEY §2.2,
+§2.3 J1/J3/J7/J9/J10, §2.4 A1/A2, §2.5 O1, §2.6 F2/F5/F7).
+
+Each query mirrors one reference Cypher pattern; the oracle twin runs on
+the identical recast expressed in SQL (codegraph_spark/oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codegraph_spark.graph import PropertyGraph
+from codegraph_spark.operators.search import search_nodes
+from codegraph_spark.oracle import with_recast
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    return PropertyGraph.from_tpch_recast(spark, sf_dir)
+
+
+# --- p1: FindNodesByLabel (query.go:25-37) ---------------------------------
+def p1_find_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.by_label("Customer").select("id", "label", "name", "key")
+
+
+_P1_SQL = with_recast("SELECT id, label, name, key FROM gnodes WHERE label = 'Customer'")
+
+
+# --- p3+o1: SearchNodes with relevance rank (query.go:348-414) --------------
+def o1_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring over name/symbol, label filter,
+    CASE rank, ORDER BY rank/name + id tiebreak, LIMIT 50."""
+    g = _graph(spark, sf_dir)
+    rank_order = [(("Part",), 1), (("LineItem",), 2), (("Order",), 3)]
+    out = search_nodes(
+        g.nodes, "red", fields=["name", "symbol"],
+        node_types=["Part", "LineItem", "Customer", "Supplier"],
+        limit=0, rank_order=rank_order,
+    )
+    return out.orderBy("rank", "name", "id").limit(50).select("id", "label", "name", "rank")
+
+
+_O1_SQL = with_recast("""
+SELECT id, label, name,
+       CASE WHEN label = 'Part' THEN 1
+            WHEN label = 'LineItem' THEN 2
+            WHEN label = 'Order' THEN 3
+            ELSE 6 END AS rank
+FROM gnodes
+WHERE (lower(name) LIKE '%red%' OR lower(symbol) LIKE '%red%')
+  AND label IN ('Part', 'LineItem', 'Customer', 'Supplier')
+ORDER BY rank, name, id
+LIMIT 50
+""")
+
+
+# --- p5: string service-membership predicate (query.go:300) -----------------
+def p5_symbol_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``symbol CONTAINS ' ' AND NOT symbol CONTAINS $svc`` — the
+    cross-service symbol filter."""
+    g = _graph(spark, sf_dir)
+    return (
+        g.nodes.filter(
+            F.col("symbol").isNotNull()
+            & F.col("symbol").contains(" ")
+            & ~F.col("symbol").contains("pkg7")
+        )
+        .select("id", "symbol")
+    )
+
+
+_P5_SQL = with_recast("""
+SELECT id, symbol FROM gnodes
+WHERE symbol IS NOT NULL AND symbol LIKE '% %' AND symbol NOT LIKE '%pkg7%'
+""")
+
+
+# --- a1/a2: counts per label / per edge type (system_test.go:72,:238) -------
+def a1_count_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.nodes.groupBy("label").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "label")
+
+
+_A1_SQL = with_recast(
+    "SELECT label, count(*) AS n FROM gnodes GROUP BY label ORDER BY n DESC, label"
+)
+
+
+def a2_count_per_edge_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.edges.groupBy("type").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "type")
+
+
+_A2_SQL = with_recast(
+    "SELECT type, count(*) AS n FROM gedges GROUP BY type ORDER BY n DESC, type"
+)
+
+
+# --- a7: health counts (system_test.go:284-301) ------------------------------
+def a7_health_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.nodes.agg(
+        F.count("*").alias("total_nodes"),
+        F.countDistinct("label").alias("node_types"),
+    )
+
+
+_A7_SQL = with_recast(
+    "SELECT count(*) AS total_nodes, count(DISTINCT label) AS node_types FROM gnodes"
+)
+
+
+# --- j1: FindSymbolDefinition / go-to-definition (query.go:53-118) -----------
+def j1_find_definition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop incoming: ``(Symbol{symbol})<-[:DEFINES]-(def)`` with
+    label→kind decode (query.go:80-118). Recast: the Part with key 42
+    stands in for the Symbol; incoming REFERENCES edges are its
+    definition sites."""
+    g = _graph(spark, sf_dir)
+    target = g.nodes.filter((F.col("label") == "Part") & (F.col("key") == 42)).select("id")
+    defs = g.in_neighbors(target, "REFERENCES")
+    kind = (
+        F.when(F.col("label") == "LineItem", "function")
+        .when(F.col("label") == "Order", "method")
+        .otherwise("unknown")
+    )
+    return defs.select("id", "label", "name", kind.alias("kind"))
+
+
+_J1_SQL = with_recast("""
+SELECT n.id AS id, n.label AS label, n.name AS name,
+       CASE WHEN n.label = 'LineItem' THEN 'function'
+            WHEN n.label = 'Order' THEN 'method'
+            ELSE 'unknown' END AS kind
+FROM gnodes t
+JOIN gedges e ON e.type = 'REFERENCES' AND e.dst = t.id
+JOIN gnodes n ON n.id = e.src
+WHERE t.label = 'Part' AND t.key = 42
+""")
+
+
+# --- j3: FindImplementations 3-hop chain (query.go:166-200) ------------------
+def j3_three_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol ←DEFINES– Interface ←IMPLEMENTS– Class becomes
+    Part ←REFERENCES– LineItem ←CONTAINS– Order: two chained equi-joins."""
+    g = _graph(spark, sf_dir)
+    part = g.nodes.filter((F.col("label") == "Part") & (F.col("key") == 7)).select(
+        F.col("id").alias("part_id")
+    )
+    refs = g.edges.filter(F.col("type") == "REFERENCES").select(
+        F.col("src").alias("li_id"), F.col("dst").alias("part_id")
+    )
+    contains = g.edges.filter(F.col("type") == "CONTAINS").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("li_id")
+    )
+    orders = g.nodes.filter(F.col("label") == "Order").select(
+        F.col("id").alias("order_id"), F.col("name").alias("order_name")
+    )
+    return (
+        part.join(refs, "part_id")
+        .join(contains, "li_id")
+        .join(orders, "order_id")
+        .select(F.col("order_id").alias("id"), F.col("order_name").alias("name"))
+        .distinct()
+    )
+
+
+_J3_SQL = with_recast("""
+SELECT DISTINCT o.id AS id, o.name AS name
+FROM gnodes p
+JOIN gedges r ON r.type = 'REFERENCES' AND r.dst = p.id
+JOIN gedges c ON c.type = 'CONTAINS' AND c.dst = r.src
+JOIN gnodes o ON o.id = c.src AND o.label = 'Order'
+WHERE p.label = 'Part' AND p.key = 7
+""")
+
+
+# --- j7: callers / callees (mcp-server/main.go:479-506) ----------------------
+def j7_callers_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop incoming and outgoing CALLS around one node, tagged with
+    direction. (Reference LIMITs 10 unordered; we order for determinism
+    — the sets here are tiny either way.)"""
+    g = _graph(spark, sf_dir)
+    target = g.nodes.filter((F.col("label") == "Order") & (F.col("key") == 100)).select("id")
+    callers = g.in_neighbors(target, "CALLS").select(
+        "id", "name", F.lit("caller").alias("direction")
+    )
+    callees = g.out_neighbors(target, "CALLS").select(
+        "id", "name", F.lit("callee").alias("direction")
+    )
+    return callers.unionByName(callees).orderBy("direction", "id").limit(10)
+
+
+_J7_SQL = with_recast("""
+SELECT * FROM (
+    SELECT n.id AS id, n.name AS name, 'caller' AS direction
+    FROM gnodes t JOIN gedges e ON e.type = 'CALLS' AND e.dst = t.id
+                  JOIN gnodes n ON n.id = e.src
+    WHERE t.label = 'Order' AND t.key = 100
+    UNION ALL
+    SELECT n.id, n.name, 'callee'
+    FROM gnodes t JOIN gedges e ON e.type = 'CALLS' AND e.src = t.id
+                  JOIN gnodes n ON n.id = e.dst
+    WHERE t.label = 'Order' AND t.key = 100
+) ORDER BY direction, id LIMIT 10
+""")
+
+
+# --- j9: orphan check anti-join (indexing_test.go:421-438) --------------------
+def j9_orphan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never referenced by any lineitem — ``left_anti`` (the
+    EXCEPT-ish integrity check)."""
+    g = _graph(spark, sf_dir)
+    parts = g.nodes.filter(F.col("label") == "Part")
+    refs = g.edges.filter(F.col("type") == "REFERENCES").select(F.col("dst").alias("id"))
+    return parts.join(refs, "id", "left_anti").select("id", "name", "key")
+
+
+_J9_SQL = with_recast("""
+SELECT p.id AS id, p.name AS name, p.key AS key
+FROM gnodes p
+WHERE p.label = 'Part'
+  AND NOT EXISTS (SELECT 1 FROM gedges e WHERE e.type = 'REFERENCES' AND e.dst = p.id)
+""")
+
+
+# --- j10: optional match / left outer (documents/indexer.go:179-188) ----------
+def j10_optional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers LEFT OUTER their orders, counting 0 for the orderless —
+    the OPTIONAL MATCH shape."""
+    g = _graph(spark, sf_dir)
+    cust = g.nodes.filter(F.col("label") == "Customer").select(
+        F.col("id").alias("cid"), "name"
+    )
+    ords = g.edges.filter(F.col("type") == "CONTAINS").select(
+        F.col("src").alias("cid"), F.col("dst").alias("oid")
+    )
+    return (
+        cust.join(ords, "cid", "left_outer")
+        .groupBy("cid", "name")
+        .agg(F.count("oid").alias("n_orders"))
+        .select(F.col("cid").alias("id"), "name", "n_orders")
+    )
+
+
+_J10_SQL = with_recast("""
+SELECT c.id AS id, c.name AS name, count(e.dst) AS n_orders
+FROM gnodes c
+LEFT JOIN gedges e ON e.type = 'CONTAINS' AND e.src = c.id
+WHERE c.label = 'Customer'
+GROUP BY c.id, c.name
+""")
+
+
+# --- f2/f5/f7: SCIP symbol functions (models/symbol.go:25-38, scip_parser) ---
+def f5_symbol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-part SCIP split (F5) + package extraction via split[2] (F2) +
+    kind inference from descriptor shape (F7, scip_parser.go:208-221)."""
+    g = _graph(spark, sf_dir)
+    syms = g.nodes.filter(F.col("symbol").isNotNull())
+    parts = F.split(F.col("symbol"), " ", 5)
+    descriptor = parts.getItem(4)
+    kind = (
+        F.when(descriptor.contains("#") & descriptor.contains("()."), "method")
+        .when(descriptor.contains("()."), "function")
+        .when(descriptor.contains("#"), "type")
+        .when(descriptor.contains("/"), "package")
+        .otherwise("unknown")
+    )
+    return syms.select(
+        "id",
+        parts.getItem(0).alias("scheme"),
+        parts.getItem(1).alias("manager"),
+        parts.getItem(2).alias("pkg"),
+        parts.getItem(3).alias("version"),
+        descriptor.alias("descriptor"),
+        kind.alias("kind"),
+    )
+
+
+_F5_SQL = with_recast("""
+SELECT id,
+       split_part(symbol, ' ', 1) AS scheme,
+       split_part(symbol, ' ', 2) AS manager,
+       split_part(symbol, ' ', 3) AS pkg,
+       split_part(symbol, ' ', 4) AS version,
+       split_part(symbol, ' ', 5) AS descriptor,
+       CASE WHEN split_part(symbol, ' ', 5) LIKE '%#%' AND split_part(symbol, ' ', 5) LIKE '%().%' THEN 'method'
+            WHEN split_part(symbol, ' ', 5) LIKE '%().%' THEN 'function'
+            WHEN split_part(symbol, ' ', 5) LIKE '%#%' THEN 'type'
+            WHEN split_part(symbol, ' ', 5) LIKE '%/%' THEN 'package'
+            ELSE 'unknown' END AS kind
+FROM gnodes WHERE symbol IS NOT NULL
+""")
+
+
+QUERIES = {
+    "p1_find_by_label": p1_find_by_label,
+    "o1_search_ranked": o1_search_ranked,
+    "p5_symbol_membership": p5_symbol_membership,
+    "a1_count_per_label": a1_count_per_label,
+    "a2_count_per_edge_type": a2_count_per_edge_type,
+    "a7_health_counts": a7_health_counts,
+    "j1_find_definition": j1_find_definition,
+    "j3_three_hop_chain": j3_three_hop_chain,
+    "j7_callers_callees": j7_callers_callees,
+    "j9_orphan_parts": j9_orphan_parts,
+    "j10_optional_counts": j10_optional_counts,
+    "f5_symbol_parse": f5_symbol_parse,
+}
+
+ORACLES = {
+    "p1_find_by_label": _P1_SQL,
+    "o1_search_ranked": _O1_SQL,
+    "p5_symbol_membership": _P5_SQL,
+    "a1_count_per_label": _A1_SQL,
+    "a2_count_per_edge_type": _A2_SQL,
+    "a7_health_counts": _A7_SQL,
+    "j1_find_definition": _J1_SQL,
+    "j3_three_hop_chain": _J3_SQL,
+    "j7_callers_callees": _J7_SQL,
+    "j9_orphan_parts": _J9_SQL,
+    "j10_optional_counts": _J10_SQL,
+    "f5_symbol_parse": _F5_SQL,
+}

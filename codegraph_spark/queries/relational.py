@@ -1,0 +1,283 @@
+"""Relational operators on the raw TPC-H-ish tables (SURVEY §2.2-§2.5).
+
+These exercise the projection/filter/aggregate/window/top-k primitives
+the graph services compose. q1/q3/q5 are the TPC-H-shaped headline
+queries used by bench.py — they are the 100 TB stress shapes (wide agg,
+selective join, multi-join star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codegraph_spark.operators.topk import top_k_per_group
+from codegraph_spark.sources.tables import load_table
+
+
+# --- q1: pricing summary (TPC-H Q1 shape; flagship) ----------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy-2 + 8 aggregates over lineitem with a pushed-down date
+    filter. Catalyst does map-side partial aggregation; the shuffle
+    carries only (2-col key × 8 partials)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+       ROUND(CAST(avg(l_quantity) AS DOUBLE), 2) AS avg_qty,
+       ROUND(CAST(avg(l_extendedprice) AS DOUBLE), 2) AS avg_price,
+       ROUND(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3: shipping priority (selective join + agg + top-k) -----------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    # customer is the small side at every sf → broadcast kills the shuffle
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("string"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority,
+       ROUND(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- q5: local supplier volume (multi-join star) ---------------------------
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join; all dimension sides broadcast. The one big
+    shuffle is lineitem⋈orders on orderkey."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name", "r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, r_name,
+       ROUND(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name, r_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- p2: FindNodeByProperty analog (query.go:40-50) ------------------------
+def p2_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+_P2_SQL = """
+SELECT c_custkey, c_name, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+"""
+
+
+# --- p4: property-existence predicate (system_test.go:332-341) -------------
+def p4_not_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+            & (F.col("o_orderstatus") == "O")
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+_P4_SQL = """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL AND o_orderstatus = 'O'
+"""
+
+
+# --- o6: per-group top-k (documents/indexer.go:132-137 batch form) ---------
+def o6_top5_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    top = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=5,
+    )
+    return top.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+
+
+_O6_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS totalprice
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 5
+"""
+
+
+# --- a3: multi-branch DISTINCT aggregate (documents/indexer.go:179-188) ----
+def a3_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+            F.concat_ws(",", F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))))
+            .alias("nation_keys"),
+        )
+    )
+
+
+_A3_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers,
+       array_to_string(list_sort(list(DISTINCT CAST(c_nationkey AS VARCHAR))), ',') AS nation_keys
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# --- a6: complexity-summary shape (query/advanced.go:213-239) ---------------
+def a6_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_items"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
+        F.round(F.max("l_quantity"), 2).alias("max_quantity"),
+        F.sum(F.when(F.col("l_quantity") > 40, 1).otherwise(0)).alias("high_quantity_count"),
+    )
+
+
+_A6_SQL = """
+SELECT count(*) AS total_items,
+       ROUND(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_quantity,
+       ROUND(CAST(max(l_quantity) AS DOUBLE), 2) AS max_quantity,
+       CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS high_quantity_count
+FROM lineitem
+"""
+
+
+# --- a8: first-seen dedup (scip_parser.go:103-133 window form) --------------
+def a8_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_A8_SQL = """
+SELECT user_id, event_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_supplier_volume": q5_supplier_volume,
+    "p2_point_filter": p2_point_filter,
+    "p4_not_null_filter": p4_not_null_filter,
+    "o6_top5_orders_per_customer": o6_top5_orders_per_customer,
+    "a3_count_distinct_multi": a3_count_distinct_multi,
+    "a6_stats_summary": a6_stats_summary,
+    "a8_first_event_per_user": a8_first_event_per_user,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_supplier_volume": _Q5_SQL,
+    "p2_point_filter": _P2_SQL,
+    "p4_not_null_filter": _P4_SQL,
+    "o6_top5_orders_per_customer": _O6_SQL,
+    "a3_count_distinct_multi": _A3_SQL,
+    "a6_stats_summary": _A6_SQL,
+    "a8_first_event_per_user": _A8_SQL,
+}

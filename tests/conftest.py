@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Test scale: sf0.001 for speed; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+# to run the same assertions at the driver's correctness scale.
+TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from codegraph_spark.session import get_spark
+
+    spark = get_spark(app_name="codegraph-spark-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return TEST_SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{TEST_SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
