@@ -11,6 +11,16 @@ with the CTE definitions. KEEP IN LOCKSTEP with recast.py.
 from __future__ import annotations
 
 RECAST_CTES = """
+li AS (
+    -- (l_orderkey, l_linenumber) is not unique; full rows are. The seq
+    -- window's ORDER BY list must match recast.py:_LI_SEQ_ORDER.
+    SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey, l_linenumber
+        ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+    ) AS seq
+    FROM lineitem
+),
 gnodes AS (
     SELECT 'region:' || r_regionkey AS id, 'Region' AS label, r_name AS name,
            CAST(r_regionkey AS BIGINT) AS key, CAST(NULL AS DOUBLE) AS val,
@@ -33,11 +43,11 @@ gnodes AS (
            CAST(o_orderkey AS BIGINT), CAST(o_totalprice AS DOUBLE), CAST(NULL AS VARCHAR)
     FROM orders
     UNION ALL
-    SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber, 'LineItem',
-           l_orderkey || '-' || l_linenumber,
-           CAST(l_orderkey * 10 + l_linenumber AS BIGINT),
+    SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber || '-' || seq, 'LineItem',
+           l_orderkey || '-' || l_linenumber || '-' || seq,
+           CAST(l_orderkey * 1000 + l_linenumber * 10 + seq AS BIGINT),
            CAST(l_extendedprice AS DOUBLE), CAST(NULL AS VARCHAR)
-    FROM lineitem
+    FROM li
     UNION ALL
     SELECT 'part:' || p_partkey, 'Part', p_name,
            CAST(p_partkey AS BIGINT), CAST(p_retailprice AS DOUBLE),
@@ -59,14 +69,15 @@ gedges AS (
     UNION ALL
     SELECT 'customer:' || o_custkey, 'orders:' || o_orderkey, 'CONTAINS' FROM orders
     UNION ALL
-    SELECT 'orders:' || l_orderkey, 'lineitem:' || l_orderkey || '-' || l_linenumber,
-           'CONTAINS' FROM lineitem
+    SELECT 'orders:' || l_orderkey,
+           'lineitem:' || l_orderkey || '-' || l_linenumber || '-' || seq,
+           'CONTAINS' FROM li
     UNION ALL
-    SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber, 'part:' || l_partkey,
-           'REFERENCES' FROM lineitem
+    SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber || '-' || seq,
+           'part:' || l_partkey, 'REFERENCES' FROM li
     UNION ALL
-    SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber, 'supplier:' || l_suppkey,
-           'DEPENDS_ON' FROM lineitem
+    SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber || '-' || seq,
+           'supplier:' || l_suppkey, 'DEPENDS_ON' FROM li
     UNION ALL
     SELECT 'orders:' || a.o_orderkey, 'orders:' || b.o_orderkey, 'CALLS'
     FROM orders a JOIN orders b ON a.o_orderkey + 1 = b.o_orderkey
@@ -75,14 +86,15 @@ gedges AS (
     FROM orders a JOIN orders b ON a.o_orderkey - 3 = b.o_orderkey
     WHERE a.o_orderkey % 97 = 0 AND a.o_orderkey >= 3
     UNION ALL
-    SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber,
-           'lineitem:' || nok || '-' || nln, 'FLOWS_TO'
+    SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber || '-' || seq,
+           'lineitem:' || nok || '-' || nln || '-' || nsq, 'FLOWS_TO'
     FROM (
-        SELECT l_orderkey, l_linenumber,
+        SELECT l_orderkey, l_linenumber, seq,
                lead(l_orderkey) OVER w AS nok,
-               lead(l_linenumber) OVER w AS nln
-        FROM lineitem
-        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)
+               lead(l_linenumber) OVER w AS nln,
+               lead(seq) OVER w AS nsq
+        FROM li
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, seq)
     ) WHERE nok IS NOT NULL
 )
 """

@@ -44,6 +44,28 @@ def _sid(prefix: str, *cols) -> F.Column:
                        *[c.cast("string") for c in cols[1:]])
 
 
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic data (up to
+# ~6 duplicates); full rows ARE distinct, so a total-order window mints
+# a deterministic per-(orderkey, linenumber) sequence. The same window
+# appears in the oracle prelude — keep the ORDER BY lists identical.
+_LI_SEQ_ORDER = [
+    "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+def lineitem_with_uid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + ``seq`` (dedup sequence) — the basis of LineItem node
+    identity. The window is partitioned (no global sort) so it scales."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(*_LI_SEQ_ORDER)
+    return li.withColumn("seq", F.row_number().over(w))
+
+
+def _li_id() -> F.Column:
+    return _sid("lineitem", F.col("l_orderkey"), F.col("l_linenumber"), F.col("seq"))
+
+
 def part_symbol(p_partkey: F.Column, p_name: F.Column) -> F.Column:
     """Synthetic 5-part SCIP symbol ``scheme manager name version
     descriptor`` (reference grammar: pkg/models/symbol.go:25-38;
@@ -108,12 +130,14 @@ def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("val"),
         F.lit(None).cast("string").alias("symbol"),
     )
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        _sid("lineitem", F.col("l_orderkey"), F.col("l_linenumber")).alias("id"),
+    lineitem = lineitem_with_uid(spark, sf_dir).select(
+        _li_id().alias("id"),
         F.lit("LineItem").alias("label"),
         F.concat_ws("-", F.col("l_orderkey").cast("string"),
-                    F.col("l_linenumber").cast("string")).alias("name"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint").alias("key"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("seq").cast("string")).alias("name"),
+        (F.col("l_orderkey") * 1000 + F.col("l_linenumber") * 10 + F.col("seq"))
+        .cast("bigint").alias("key"),
         F.col("l_extendedprice").cast("double").alias("val"),
         F.lit(None).cast("string").alias("symbol"),
     )
@@ -135,7 +159,7 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = lineitem_with_uid(spark, sf_dir)
 
     def edge(df, src_col, dst_col, etype):
         return df.select(src_col.alias("src"), dst_col.alias("dst"),
@@ -151,13 +175,10 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge(orders, _sid("customer", F.col("o_custkey")),
                           _sid("orders", F.col("o_orderkey")), "CONTAINS"))
         .unionByName(edge(lineitem, _sid("orders", F.col("l_orderkey")),
-                          _sid("lineitem", F.col("l_orderkey"), F.col("l_linenumber")),
-                          "CONTAINS"))
+                          _li_id(), "CONTAINS"))
     )
-    references = edge(lineitem, _sid("lineitem", F.col("l_orderkey"), F.col("l_linenumber")),
-                      _sid("part", F.col("l_partkey")), "REFERENCES")
-    depends_on = edge(lineitem, _sid("lineitem", F.col("l_orderkey"), F.col("l_linenumber")),
-                      _sid("supplier", F.col("l_suppkey")), "DEPENDS_ON")
+    references = edge(lineitem, _li_id(), _sid("part", F.col("l_partkey")), "REFERENCES")
+    depends_on = edge(lineitem, _li_id(), _sid("supplier", F.col("l_suppkey")), "DEPENDS_ON")
 
     # CALLS chain orders:k → orders:k+1; dst existence enforced by
     # self-join (no assumption of contiguous keys). Back-edges every
@@ -180,14 +201,15 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # FLOWS_TO: consecutive lineitems per supplier (partitioned window —
     # shuffle is bounded by the supplier key, no global sort).
-    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber", "seq")
     flows = (
-        lineitem.select("l_suppkey", "l_orderkey", "l_linenumber")
+        lineitem.select("l_suppkey", "l_orderkey", "l_linenumber", "seq")
         .withColumn("nok", F.lead("l_orderkey").over(w))
         .withColumn("nln", F.lead("l_linenumber").over(w))
+        .withColumn("nsq", F.lead("seq").over(w))
         .filter(F.col("nok").isNotNull())
-        .select(_sid("lineitem", F.col("l_orderkey"), F.col("l_linenumber")).alias("src"),
-                _sid("lineitem", F.col("nok"), F.col("nln")).alias("dst"),
+        .select(_li_id().alias("src"),
+                _sid("lineitem", F.col("nok"), F.col("nln"), F.col("nsq")).alias("dst"),
                 F.lit("FLOWS_TO").alias("type"))
     )
     return contains.unionByName(references).unionByName(depends_on) \
