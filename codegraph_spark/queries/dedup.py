@@ -1,0 +1,290 @@
+"""Deduplication operators (north-star §M7) — exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine. Each is the scale-path design:
+shingle→hash→band→bucket-join (no pairwise cross-join except inside
+candidate buckets), pure built-in column functions.
+
+Cross-engine determinism: shingle hashes come from md5 hex (identical in
+Spark and DuckDB) reduced mod a 31-bit prime, so signature arithmetic
+stays in exact int64 range on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codegraph_spark.sources.tables import load_table
+
+# MinHash parameters: k=16 hash functions h_i(x) = (a_i*x + b_i) mod P,
+# banded 4×4 for LSH. P = 2^31-1 (prime); a,b fixed odd constants.
+_P = 2147483647
+_AB = [(1000003 + 7919 * i, 666013 + 104729 * i) for i in range(16)]
+_BANDS = 4  # 4 rows per band
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) of 3-word shingles via a per-doc lead
+    window (partitioned by doc — scales with the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        exploded.withColumn("w2", F.lead("w", 1).over(win))
+        .withColumn("w3", F.lead("w", 2).over(win))
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2", "w3").alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = """
+shingles AS (
+    SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS shingle
+    FROM (
+        SELECT doc_id, w,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        )
+    ) WHERE w3 IS NOT NULL
+)
+"""
+
+
+def _shingle_hash_spark() -> F.Column:
+    # md5-hex → int64 (15 hex digits < 2^60) → mod P; identical in SQL.
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint") % _P
+
+
+_SHINGLE_HASH_SQL = f"CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_P}"
+
+
+# --- dedup_exact: hash-groupBy exact duplicate detection ----------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id as
+    representative. One shuffle on the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_EXACT_SQL = """
+SELECT md5(lower(text)) AS content_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- dedup_ngram_jaccard: exact shingle-set similarity ------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs share ≥1 shingle (bucket join, not cross join);
+    Jaccard = |∩| / |∪| ≥ 0.5. The exact verifier for the LSH path."""
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(ca, "doc_a").join(cb, "doc_b")
+        .withColumn("jaccard", F.floor(jac * 1000) / 1000)
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_NGRAM_SQL = f"""
+WITH {_SHINGLES_CTE.strip()},
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor((CAST(shared AS DOUBLE) / (ca.n + cb.n - shared)) * 1000) / 1000 AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+"""
+
+
+# --- dedup_minhash_lsh: MinHash signatures + banded LSH candidates ------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 MinHashes per doc → 4 bands of 4 → docs colliding in ≥1 band
+    are near-dup candidates. This is the 100 TB dedup path: cost is
+    O(docs × k) + a bucket join, never pairwise."""
+    sh = _shingles(spark, sf_dir).withColumn("h", _shingle_hash_spark())
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
+          for i, (a, b) in enumerate(_AB)]
+    )
+    rows_per_band = len(_AB) // _BANDS
+    band_cols = []
+    for bidx in range(_BANDS):
+        members = [F.col(f"mh{i}").cast("string")
+                   for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bidx).alias("band"),
+                     F.md5(F.concat_ws(":", *members)).alias("key"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def _minhash_sql() -> str:
+    mh = ",\n           ".join(
+        f"min(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_AB)
+    )
+    rows_per_band = len(_AB) // _BANDS
+    band_selects = []
+    for bidx in range(_BANDS):
+        concat = " || ':' || ".join(
+            f"CAST(mh{i} AS VARCHAR)"
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band, md5({concat}) AS key FROM sig"
+        )
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+hashed AS (
+    SELECT doc_id, {_SHINGLE_HASH_SQL} AS h FROM shingles
+),
+sig AS (
+    SELECT doc_id,
+           {mh}
+    FROM hashed GROUP BY doc_id
+),
+banded AS (
+    {bands}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --- dedup_simhash: 32-bit SimHash fingerprints -------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token 60-bit hash; simhash bit j = majority vote of token
+    bits. 32-bit output. Docs grouped by fingerprint = near-dup clusters
+    (Hamming-0; banding the fingerprint generalizes to Hamming-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("shingle")
+    ).withColumn("h", _shingle_hash_spark())
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(32)
+        ]
+    )
+    simhash = None
+    for j in range(32):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        simhash = bit if simhash is None else (simhash + bit)
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32)
+    )
+    bits = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS shingle FROM documents
+),
+hashed AS (
+    SELECT doc_id, {_SHINGLE_HASH_SQL} AS h FROM toks
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash FROM votes
+"""
+
+
+# --- dedup_embedding_cosine: near-dup via embedding similarity ----------------
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: candidate pairs restricted to the same label
+    bucket (the IVF-style prefilter — at 100 TB buckets come from
+    LSH/k-means, never a global cross join), cosine ≥ 0.9."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_f", F.floor(cos * 100) / 100)
+        .filter(cos >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("cos_f").alias("cosine"),
+        )
+    )
+
+
+_EMB_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 100) / 100 AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": _EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": _EMB_SQL,
+}

@@ -1,0 +1,124 @@
+"""Event-stream operators on the events table — batch equivalents of
+the Structured Streaming surface (codegraph_spark.streaming runs the
+same aggregations incrementally; these batch twins are the oracle-
+checkable semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codegraph_spark.sources.tables import load_table
+
+
+def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (1h × event_type): the windowed-agg
+    shape of the streaming pipeline, as date_trunc for oracle parity."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_HOURLY_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       count(*) AS n, ROUND(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of gap flags per user — the batch twin of
+    ``session_window(ts, '30 minutes')``."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = """
+SELECT user_id, session_id, count(*) AS n_events,
+       ROUND(CAST(sum(value) AS DOUBLE), 2) AS session_value
+FROM (
+    SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM (
+        SELECT *, CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+)
+GROUP BY user_id, session_id
+"""
+
+
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (the props overflow-map pattern —
+    SURVEY §1.6 'props MapType' column; serving layer uses to_json)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+
+def ev_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per type (window top-k on the stream
+    table)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"), "rn")
+    )
+
+
+_TOP3_SQL = """
+SELECT event_type, event_id, ROUND(CAST(value AS DOUBLE), 2) AS value, rn
+FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
+    FROM events
+) WHERE rn <= 3
+"""
+
+
+QUERIES = {
+    "ev_hourly_agg": ev_hourly_agg,
+    "ev_sessionize": ev_sessionize,
+    "ev_json_props": ev_json_props,
+    "ev_top3_per_type": ev_top3_per_type,
+}
+
+ORACLES = {
+    "ev_hourly_agg": _HOURLY_SQL,
+    "ev_sessionize": _SESSIONIZE_SQL,
+    "ev_json_props": _JSON_SQL,
+    "ev_top3_per_type": _TOP3_SQL,
+}
