@@ -52,7 +52,7 @@ gnodes AS (
     SELECT 'part:' || p_partkey, 'Part', p_name,
            CAST(p_partkey AS BIGINT), CAST(p_retailprice AS DOUBLE),
            'scip-go gomod pkg' || (p_partkey % 10) || ' v' || (p_partkey % 3) || ' '
-             || replace(p_name, ' ', '_')
+             || replace(p_name, ' ', '_') || '_' || p_partkey
              || CASE WHEN p_partkey % 4 = 0 THEN '#'
                      WHEN p_partkey % 4 = 1 THEN '().'
                      WHEN p_partkey % 4 = 2 THEN '#m().'

@@ -84,6 +84,10 @@ def part_symbol(p_partkey: F.Column, p_name: F.Column) -> F.Column:
         (p_partkey % 3).cast("string"),
         F.lit(" "),
         F.replace(p_name, F.lit(" "), F.lit("_")),
+        # p_name collides across parts; the partkey makes the descriptor
+        # honor the Symbol.symbol uniqueness constraint (schema.go:41-46).
+        F.lit("_"),
+        p_partkey.cast("string"),
         suffix,
     )
 
