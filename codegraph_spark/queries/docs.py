@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from codegraph_spark.oracle import with_recast
 from codegraph_spark.sources.tables import load_table
 
 
@@ -145,7 +146,147 @@ GROUP BY doc_id, chunk_id
 """
 
 
+# --- a5: feature dedup-merge (parser.go:165-189) -----------------------------
+def a5_feature_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group extracted features by normalized name; keep the longest
+    description (ties broken by doc_id for determinism); union+dedupe
+    tags — mergeFeatures parity. max_by keys on a strict total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = F.regexp_extract_all(
+        F.col("text"), F.lit(r"\b(merge|stream|window|vector|join)\b"), 1
+    )
+    exploded = docs.select(
+        "doc_id", "source", "n_chars",
+        F.substring("text", 1, 60).alias("descr"),
+        F.explode(feats).alias("feature"),
+    ).dropDuplicates(["doc_id", "feature"])
+    order_key = F.col("n_chars") * 1000000 + F.col("doc_id")
+    return exploded.groupBy("feature").agg(
+        F.max_by("descr", order_key).alias("description"),
+        # sorted + comma-joined: deterministic and hash-stable across
+        # engines (arrays stringify differently in pandas vs duckdb)
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("tags"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_A5_SQL = r"""
+SELECT feature,
+       arg_max(descr, n_chars * 1000000 + doc_id) AS description,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS tags,
+       count(DISTINCT doc_id) AS n_docs
+FROM (
+    SELECT DISTINCT doc_id, source, n_chars, substr(text, 1, 60) AS descr,
+           unnest(regexp_extract_all(text, '\b(merge|stream|window|vector|join)\b', 1)) AS feature
+    FROM documents
+)
+GROUP BY feature
+"""
+
+
+# --- j8: doc→symbol MENTIONS linking (documents/indexer.go:127-162) ----------
+def j8_mentions_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring θ-join of per-doc symbol refs against the Symbol table,
+    top-5 candidates per (doc, ref) — the reference's LIMIT-5-per-ref
+    becomes a window rank in batch mode (SURVEY O6).
+
+    Scale: the symbol side is a dim table → broadcast; the contains
+    θ-join is a BroadcastNestedLoopJoin, bounded by |docs| × |symbols|
+    per partition — at 100 TB the ref extraction prunes docs first and
+    symbols stay a broadcastable dimension."""
+    from pyspark.sql import Window
+
+    from codegraph_spark.graph import PropertyGraph
+
+    docs = load_table(spark, sf_dir, "documents")
+    refs = docs.select(
+        "doc_id",
+        F.concat(F.lit("pkg"), (F.col("doc_id") % 10).cast("string")).alias("ref"),
+    )
+    symbols = (
+        PropertyGraph.from_tpch_recast(spark, sf_dir)
+        .nodes.filter(F.col("symbol").isNotNull())
+        .select("symbol")
+    )
+    joined = refs.join(
+        F.broadcast(symbols), F.col("symbol").contains(F.col("ref")), "inner"
+    )
+    w = Window.partitionBy("doc_id", "ref").orderBy("symbol")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "ref", "symbol", "rk")
+    )
+
+
+_J8_SQL = with_recast("""
+SELECT doc_id, ref, symbol, rk FROM (
+    SELECT r.doc_id, r.ref, s.symbol,
+           row_number() OVER (PARTITION BY r.doc_id, r.ref ORDER BY s.symbol) AS rk
+    FROM (SELECT doc_id, 'pkg' || (doc_id % 10) AS ref FROM documents) r
+    JOIN (SELECT symbol FROM gnodes WHERE symbol IS NOT NULL) s
+      ON s.symbol LIKE '%' || r.ref || '%'
+) WHERE rk <= 5
+""")
+
+
+# --- f16: code-symbol extraction + stoplist (parser.go:343-382) --------------
+def f16_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token extraction with shape heuristic (length ≥ 5) + common-word
+    stoplist + per-doc distinct, corpus-wide counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\b([a-z]{5,})\b"), 1)
+    return (
+        docs.select("doc_id", F.explode(toks).alias("sym"))
+        .filter(~F.col("sym").isin("table", "value"))
+        .dropDuplicates(["doc_id", "sym"])
+        .groupBy("sym")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_F16_SQL = r"""
+SELECT sym, count(*) AS n_docs
+FROM (
+    SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\b([a-z]{5,})\b', 1)) AS sym
+    FROM documents
+)
+WHERE sym NOT IN ('table', 'value')
+GROUP BY sym
+"""
+
+
+# --- f18: description = context window around the feature (parser.go:243-257)
+def f18_feature_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference grabs the sentence containing the feature name; the
+    synthetic corpus has no sentence breaks, so the window is a 40-char
+    slice centered on the first occurrence — same locate+slice shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.instr(F.col("text"), "merge")
+    return (
+        docs.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.substring(
+                F.col("text"), F.greatest(F.lit(1), pos - 20), 40
+            ).alias("context"),
+        )
+    )
+
+
+_F18_SQL = """
+SELECT doc_id,
+       substr(text, greatest(1, instr(text, 'merge') - 20), 40) AS context
+FROM documents
+WHERE instr(text, 'merge') > 0
+"""
+
+
 QUERIES = {
+    "a5_feature_merge": a5_feature_merge,
+    "j8_mentions_topk": j8_mentions_topk,
+    "f16_code_symbols": f16_code_symbols,
+    "f18_feature_context": f18_feature_context,
     "f10_source_slice": f10_source_slice,
     "f11_title_doctype": f11_title_doctype,
     "f13_feature_extract": f13_feature_extract,
@@ -154,6 +295,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "a5_feature_merge": _A5_SQL,
+    "j8_mentions_topk": _J8_SQL,
+    "f16_code_symbols": _F16_SQL,
+    "f18_feature_context": _F18_SQL,
     "f10_source_slice": _F10_SQL,
     "f11_title_doctype": _F11_SQL,
     "f13_feature_extract": _F13_SQL,
