@@ -10,7 +10,7 @@ source slice from pkg/neo4j/query.go:477-492 (F10).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codegraph_spark.oracle import with_recast
@@ -282,8 +282,56 @@ WHERE instr(text, 'merge') > 0
 """
 
 
+# --- f9: cumulative byte offsets (scip_indexer.go:382-409) -------------------
+def f9_word_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position → byte-offset mapping via a cumulative-length window —
+    the reference re-reads each file and scans lines host-side; here one
+    running sum over the exploded token table, fully distributed. The
+    ``token_at_offset`` column is the golden check: slicing the original
+    text at the computed offset must reproduce the token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "text", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = toks.withColumn(
+        "start_byte", F.coalesce(F.sum(F.length("tok") + 1).over(w), F.lit(0))
+    )
+    return with_off.select(
+        "doc_id", "pos", "tok",
+        "start_byte",
+        F.substring(
+            F.col("text"), F.col("start_byte").cast("int") + 1, F.length("tok")
+        ).alias("token_at_offset"),
+    ).filter(F.col("pos") < 50)
+
+
+_F9_SQL = """
+SELECT doc_id, pos, tok, start_byte,
+       substr(text, CAST(start_byte AS INT) + 1, length(tok)) AS token_at_offset
+FROM (
+    SELECT doc_id, text, pos, tok,
+           coalesce(sum(length(tok) + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start_byte
+    FROM (
+        SELECT doc_id, text,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+)
+WHERE pos < 50
+"""
+
+
 QUERIES = {
     "a5_feature_merge": a5_feature_merge,
+    "f9_word_offsets": f9_word_offsets,
     "j8_mentions_topk": j8_mentions_topk,
     "f16_code_symbols": f16_code_symbols,
     "f18_feature_context": f18_feature_context,
@@ -296,6 +344,7 @@ QUERIES = {
 
 ORACLES = {
     "a5_feature_merge": _A5_SQL,
+    "f9_word_offsets": _F9_SQL,
     "j8_mentions_topk": _J8_SQL,
     "f16_code_symbols": _F16_SQL,
     "f18_feature_context": _F18_SQL,
