@@ -75,24 +75,28 @@ class PropertyGraph:
         e = self.edges
         return e.filter(F.col("type") == edge_type) if edge_type else e
 
+    def _hop(self, ids: DataFrame, edge_type: str, incoming: bool) -> DataFrame:
+        """1-hop join, alias-scoped so chained hops (e.g. J3's two-hop
+        Symbol←DEFINES←Interface←IMPLEMENTS←Class) don't trip Spark's
+        ambiguous-self-join detection on repeated nodes/edges plans."""
+        here, there = ("dst", "src") if incoming else ("src", "dst")
+        e = self.out_edges(edge_type).select(
+            F.col(here).alias("_anchor"), F.col(there).alias("_other")
+        )
+        tgt = ids.select(F.col("id").alias("_tgt"))
+        n = self.nodes.alias("n")
+        return (
+            tgt.join(e, F.col("_tgt") == F.col("_anchor"))
+            .join(n, F.col("_other") == F.col("n.id"))
+            .select("n.*")
+        )
+
     def in_neighbors(self, target_ids: DataFrame, edge_type: str) -> DataFrame:
         """Nodes with an edge of ``edge_type`` INTO the given targets —
         the 1-hop incoming pattern behind go-to-definition
         (query.go:53-118) and callers (mcp-server/main.go:479-483)."""
-        e = self.out_edges(edge_type)
-        return (
-            target_ids.select(F.col("id").alias("_tgt"))
-            .join(e, F.col("_tgt") == e.dst)
-            .join(self.nodes, e.src == self.nodes.id)
-            .drop("_tgt", "src", "dst", "type")
-        )
+        return self._hop(target_ids, edge_type, incoming=True)
 
     def out_neighbors(self, source_ids: DataFrame, edge_type: str) -> DataFrame:
         """1-hop outgoing (callees — mcp-server/main.go:501-505)."""
-        e = self.out_edges(edge_type)
-        return (
-            source_ids.select(F.col("id").alias("_src"))
-            .join(e, F.col("_src") == e.src)
-            .join(self.nodes, e.dst == self.nodes.id)
-            .drop("_src", "src", "dst", "type")
-        )
+        return self._hop(source_ids, edge_type, incoming=False)
