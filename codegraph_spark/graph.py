@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 NODE_REQUIRED = ("id", "label")
 EDGE_REQUIRED = ("src", "dst", "type")
 
+# Serving-layer cache: the recast graph is the engine's ingested state
+# (the reference serves every query from a warm Neo4j store — client.go
+# pools connections to it). Rebuilding nodes/edges from raw parquet per
+# query would repeat the ingest shuffle (lineitem window) every request;
+# at 100 TB that is the difference between "query the graph" and
+# "re-ingest per query". Keyed by (applicationId, sf_dir).
+_RECAST_CACHE: dict[tuple[str, str], "PropertyGraph"] = {}
+
 
 class PropertyGraph:
     def __init__(self, nodes: DataFrame, edges: DataFrame):
@@ -34,6 +42,7 @@ class PropertyGraph:
                 raise ValueError(f"edges missing required column {c!r}")
         self.nodes = nodes
         self.edges = edges
+        self._closures: dict[tuple[str, int], DataFrame] = {}
 
     # ---- construction ----------------------------------------------------
     @classmethod
@@ -41,10 +50,19 @@ class PropertyGraph:
         return cls(spark.read.parquet(nodes_path), spark.read.parquet(edges_path))
 
     @classmethod
-    def from_tpch_recast(cls, spark: SparkSession, sf_dir: str) -> "PropertyGraph":
+    def from_tpch_recast(
+        cls, spark: SparkSession, sf_dir: str, cached: bool = True
+    ) -> "PropertyGraph":
         from codegraph_spark.sources.recast import graph_edges, graph_nodes
 
-        return cls(graph_nodes(spark, sf_dir), graph_edges(spark, sf_dir))
+        if not cached:
+            return cls(graph_nodes(spark, sf_dir), graph_edges(spark, sf_dir))
+        key = (spark.sparkContext.applicationId, sf_dir)
+        g = _RECAST_CACHE.get(key)
+        if g is None:
+            g = cls(graph_nodes(spark, sf_dir), graph_edges(spark, sf_dir)).persist()
+            _RECAST_CACHE[key] = g
+        return g
 
     def persist(self) -> "PropertyGraph":
         """Cache both tables — the serving-layer pattern (the reference
@@ -59,6 +77,21 @@ class PropertyGraph:
         # per-label indexes — label-filtered scans prune partitions.
         self.nodes.write.mode(mode).partitionBy("label").parquet(nodes_path)
         self.edges.write.mode(mode).partitionBy("type").parquet(edges_path)
+
+    def closure(self, edge_type: str = "CONTAINS", max_depth: int = 6) -> DataFrame:
+        """Cached ancestor→descendant closure ``(anc, desc, hops)`` of an
+        acyclic containment forest — the ingest-time precompute behind
+        every ``[:CONTAINS*]`` pattern (query.go:126, :292). Built once
+        per (edge_type, depth) and persisted; J2/J6-style traversals are
+        then single equi-joins instead of iterative BFS rounds."""
+        key = (edge_type, max_depth)
+        clo = self._closures.get(key)
+        if clo is None:
+            from codegraph_spark.operators.traversal import forest_closure
+
+            clo = forest_closure(self.edges, max_depth, edge_type=edge_type).persist()
+            self._closures[key] = clo
+        return clo
 
     # ---- primitive lookups (reference: pkg/neo4j/query.go) ---------------
     def by_label(self, label: str, limit: int = 0) -> DataFrame:
@@ -78,18 +111,22 @@ class PropertyGraph:
     def _hop(self, ids: DataFrame, edge_type: str, incoming: bool) -> DataFrame:
         """1-hop join, alias-scoped so chained hops (e.g. J3's two-hop
         Symbol←DEFINES←Interface←IMPLEMENTS←Class) don't trip Spark's
-        ambiguous-self-join detection on repeated nodes/edges plans."""
+        ambiguous-self-join detection on repeated nodes/edges plans.
+
+        The target set is a point/seed lookup (reference semantics: one
+        symbol, one function — query.go:53-118), so broadcast it: the
+        edge and node tables are scanned in place with zero shuffle —
+        the plan that survives a 100× scale-up of edges."""
         here, there = ("dst", "src") if incoming else ("src", "dst")
         e = self.out_edges(edge_type).select(
             F.col(here).alias("_anchor"), F.col(there).alias("_other")
         )
-        tgt = ids.select(F.col("id").alias("_tgt"))
+        tgt = F.broadcast(ids.select(F.col("id").alias("_tgt")))
         n = self.nodes.alias("n")
-        return (
-            tgt.join(e, F.col("_tgt") == F.col("_anchor"))
-            .join(n, F.col("_other") == F.col("n.id"))
-            .select("n.*")
-        )
+        # matched = edges touching the target set — small again, so
+        # broadcast it into the node-resolve join (nodes stay in place).
+        matched = F.broadcast(tgt.join(e, F.col("_tgt") == F.col("_anchor")))
+        return matched.join(n, F.col("_other") == F.col("n.id")).select("n.*")
 
     def in_neighbors(self, target_ids: DataFrame, edge_type: str) -> DataFrame:
         """Nodes with an edge of ``edge_type`` INTO the given targets —

@@ -83,6 +83,42 @@ def bfs_reachable(
     return visited if include_sources else visited.filter(F.col("hops") >= 1)
 
 
+def forest_closure(
+    edges: DataFrame,
+    max_depth: int,
+    edge_type: str | None = None,
+) -> DataFrame:
+    """Ancestor→descendant closure ``(anc, desc, hops)`` of an acyclic
+    containment forest, as ONE declarative plan (``max_depth`` chained
+    equi-joins, unioned).
+
+    This is the precomputed form of the reference's ``(x)<-[:CONTAINS*]-
+    (root)`` climbs (find-references' containing file, query.go:126;
+    service-deps' descendant scan, query.go:292). The CONTAINS hierarchy
+    is a forest (every node has one parent, schema constraint — SURVEY
+    §1.3), so paths are unique: no visited-set, no per-round dedup, no
+    driver-side loop barriers. Catalyst sees the whole union and
+    pipelines it; at 100 TB this materializes once at ingest and every
+    traversal becomes a single equi-join against it.
+    """
+    e = edges.filter(F.col("type") == edge_type) if edge_type else edges
+    base = e.select(F.col("src").alias("anc"), F.col("dst").alias("desc"))
+    hop = base.select("anc", "desc").withColumn("hops", F.lit(1))
+    levels = [hop]
+    cur = base.select("anc", F.col("desc").alias("mid"))
+    for k in range(2, max_depth + 1):
+        step = base.select(F.col("anc").alias("mid"), F.col("desc").alias("d2"))
+        nxt = cur.join(step, "mid").select(
+            "anc", F.col("d2").alias("desc"), F.lit(k).alias("hops")
+        )
+        levels.append(nxt)
+        cur = nxt.select("anc", F.col("desc").alias("mid"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def transitive_closure(edges: DataFrame, max_depth: int = 64) -> DataFrame:
     """All-pairs reachability ``(src, dst)`` — the batch analog of
     ``(a)-[:CONTAINS*]->(b)`` used to find containing files/services

@@ -158,9 +158,10 @@ def j3_three_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = g.nodes.filter(F.col("label") == "Order").select(
         F.col("id").alias("order_id"), F.col("name").alias("order_name")
     )
+    # point-lookup chain: each intermediate is bounded by the one Part's
+    # fan-in, so broadcast it forward — the edge tables never shuffle.
     return (
-        part.join(refs, "part_id")
-        .join(contains, "li_id")
+        F.broadcast(F.broadcast(F.broadcast(part).join(refs, "part_id")).join(contains, "li_id"))
         .join(orders, "order_id")
         .select(F.col("order_id").alias("id"), F.col("order_name").alias("name"))
         .distinct()

@@ -87,9 +87,9 @@ def j4_impact_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("part_id"), F.col("name").alias("part_name")
     )
     return (
-        reached.join(contains, "id")
+        F.broadcast(F.broadcast(reached).join(contains, "id"))
         .join(refs, "li_id")
-        .join(parts, "part_id")
+        .join(F.broadcast(parts), "part_id")
         .select(F.col("part_id").alias("id"), F.col("part_name").alias("name"))
         .distinct()
     )
@@ -126,19 +126,19 @@ def j2_references_with_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     part = g.nodes.filter((F.col("label") == "Part") & (F.col("key") == 7)).select("id")
     usages = g.in_neighbors(part, "REFERENCES").select("id", F.col("key").alias("usage_key"))
-    anc = enumerate_paths(g.edges, usages.select("id"), max_hops=6,
-                          edge_type="CONTAINS", direction="in")
+    # ancestor climb = one equi-join against the ingest-time CONTAINS
+    # closure (no iterative BFS on the query path — SURVEY §2.3 J2
+    # "precompute a containing_file closure at load").
+    anc = g.closure("CONTAINS", max_depth=6).select(
+        F.col("desc").alias("usage_id"), F.col("anc").alias("anc_id")
+    )
     roots = g.nodes.filter(F.col("label") == "Region").select(
-        F.col("id").alias("end"), F.col("name").alias("file_name")
+        F.col("id").alias("anc_id"), F.col("name").alias("file_name")
     )
     return (
-        anc.join(roots, "end")
-        .join(usages, anc.start == usages.id)
-        .select(
-            F.col("start").alias("usage_id"),
-            F.col("file_name"),
-            F.col("usage_key"),
-        )
+        F.broadcast(usages).join(anc, usages.id == anc.usage_id)
+        .join(F.broadcast(roots), "anc_id")
+        .select("usage_id", "file_name", "usage_key")
         .orderBy("file_name", "usage_key")
     )
 
@@ -231,8 +231,18 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     callee's LineItems ⇒ REFERENCES ⇒ Part symbols not in pkg0."""
     g = _graph(spark, sf_dir)
     svc = g.nodes.filter((F.col("label") == "Region") & (F.col("key") == 0)).select("id")
-    descendants = bfs_reachable(g.edges, svc, max_hops=3, edge_type="CONTAINS")
-    callers = descendants.join(
+    # descendant scan = closure equi-join (forest ⇒ min-hop unique);
+    # replaces 3 BFS rounds with one lookup into the ingest-time closure.
+    descendants = (
+        g.closure("CONTAINS", max_depth=6)
+        .filter(F.col("hops") <= 3)
+        .join(F.broadcast(svc), F.col("anc") == F.col("id"))
+        .select(F.col("desc").alias("id"))
+    )
+    # each step keeps a bounded "current set" (descendants of ONE
+    # service) — broadcast it through the chain so the big edge tables
+    # are scanned in place, never shuffled.
+    callers = F.broadcast(descendants).join(
         g.nodes.filter(F.col("label") == "Order").select("id", F.col("name").alias("caller_name")),
         "id",
     )
@@ -249,10 +259,9 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("part_id"), "symbol"
     )
     return (
-        callers.join(calls, "id")
-        .join(contains, "callee_id")
+        F.broadcast(F.broadcast(callers.join(calls, "id")).join(contains, "callee_id"))
         .join(refs, "li_id")
-        .join(parts, "part_id")
+        .join(F.broadcast(parts), "part_id")
         .filter(F.col("symbol").contains(" ") & ~F.col("symbol").contains("pkg0"))
         .select(
             F.split(F.col("symbol"), " ").getItem(2).alias("foreign_pkg"),

@@ -65,6 +65,11 @@ class LSPService:
             F.col("label") == "Symbol"
         )
         defs = self.g.in_neighbors(sym_nodes, "DEFINES")
+        # deterministic pick: a Symbol can carry a self-DEFINES edge
+        # (SCIP definition occurrence); prefer the real definition node.
+        defs = defs.orderBy(
+            F.when(F.col("label") == "Symbol", 1).otherwise(0), "id"
+        )
         out = _rows(defs, limit=1)
         if not out:
             return None
