@@ -1,0 +1,208 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Large-scale training-data pipelines carry media as opaque ``binary``
+columns with typed metadata, decoded executor-side in Arrow batches.
+The reference has no media path (documents are text nodes —
+/root/reference/pkg/models/node.go:177-183), so this module is the
+scale-extension surface: the Spark-side plumbing — schema, partitioning,
+UDF signature, batch shape — is real and tested; only the *foreign
+codec* decode (JPEG/PNG/H.264) is stubbed behind ``NotImplementedError``
+because no image/audio libraries exist in this container.
+
+Payload format ``raw-gray-v1`` (self-describing, deterministic):
+
+    bytes 0-3   width  (uint32 big-endian)
+    bytes 4-7   height (uint32 big-endian)
+    bytes 8-    row-major 8-bit gray pixels, width*height bytes
+
+Payloads are derived deterministically from the driver's ``documents``
+table (doc text repeated to fill the pixel buffer), so every decoded
+statistic is independently recomputable by the DuckDB oracle from the
+text alone — the oracle validates the full binary round-trip.
+
+Scale notes:
+- decode/resize/frame-sample run in ``mapInPandas`` (Arrow-vectorized;
+  one Python worker per partition, zero JVM<->Python per-row cost);
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
+  (media rows are wide — see session.tune_session);
+- outputs are narrow (stats, not pixels) wherever the next stage allows,
+  so the shuffle after decode moves kilobytes, not media.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RAW_GRAY_V1 = "raw-gray-v1"
+
+#: metadata carried alongside every media payload (typed, columnar —
+#: never inside the binary, so planning-time pruning can use it).
+META_COLS = ("modality", "codec", "width", "height", "n_bytes")
+
+
+def encode_documents_as_images(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic ``raw-gray-v1`` image per document.
+
+    width = 16 + doc_id % 48, height = 16 + doc_id % 32; pixels = the
+    document text (ASCII) repeated to fill width*height bytes. Built
+    entirely JVM-side (hex-packed header + ``encode``), no UDF.
+    """
+    w = (F.lit(16) + F.col("doc_id") % 48).cast("int")
+    h = (F.lit(16) + F.col("doc_id") % 32).cast("int")
+    n = (w * h).cast("int")
+    reps = F.ceil(n / F.length("text")).cast("int") + F.lit(1)
+    body = F.substring(F.repeat(F.col("text"), reps), 1, n)
+    header = F.to_binary(
+        F.concat(
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+        ),
+        F.lit("hex"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(header, F.encode(body, "US-ASCII")).alias("payload"),
+        F.lit("image").alias("modality"),
+        F.lit(RAW_GRAY_V1).alias("codec"),
+        w.alias("width"),
+        h.alias("height"),
+        (n + F.lit(8)).alias("n_bytes"),
+    )
+
+
+def _require_raw_gray(codec: str) -> None:
+    if codec != RAW_GRAY_V1:
+        raise NotImplementedError(
+            f"codec {codec!r}: real media decoders (JPEG/PNG/H.264/...) are "
+            "not available in this container — only the deterministic "
+            f"{RAW_GRAY_V1!r} format is decodable. The surrounding Spark "
+            "plumbing (schema, Arrow batching, partitioning) is codec-"
+            "agnostic; plug a decoder into _decode_payload to extend."
+        )
+
+
+def _decode_payload(payload: bytes, codec: str):
+    """payload -> (width, height, body bytes). The single stub point."""
+    import numpy as np
+
+    _require_raw_gray(codec)
+    width, height = struct.unpack(">II", payload[:8])
+    body = np.frombuffer(payload, dtype=np.uint8, offset=8)
+    return width, height, body
+
+
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, body_len int, "
+    "mean_byte double, checksum long"
+)
+
+
+def decode_image_stats(images: DataFrame) -> DataFrame:
+    """Decode each payload and emit per-image statistics.
+
+    The canonical decode → feature-extract shape: binary in, narrow
+    typed columns out. Vectorized per Arrow batch; output is ~40 bytes
+    a row regardless of media size, so everything downstream is cheap.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                width, height, body = _decode_payload(payload, codec)
+                rows.append(
+                    (
+                        doc_id,
+                        width,
+                        height,
+                        int(body.size),
+                        round(float(body.astype(np.float64).mean()), 3),
+                        int(body.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "body_len", "mean_byte", "checksum",
+                ],
+            )
+
+    return images.select("doc_id", "payload", "codec").mapInPandas(
+        batches, schema=DECODE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = "doc_id long, out_width int, out_height int, out_checksum long"
+
+
+def resize_image_stats(images: DataFrame, factor: int = 2) -> DataFrame:
+    """Strided downsample (every ``factor``-th pixel in each axis) —
+    the resize kernel of a media pipeline, summarized by the checksum
+    of the resized pixel buffer (oracle-recomputable)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                width, height, body = _decode_payload(payload, codec)
+                img = body.reshape(height, width)
+                small = img[::factor, ::factor]
+                rows.append(
+                    (
+                        doc_id,
+                        small.shape[1],
+                        small.shape[0],
+                        int(small.astype("int64").sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_width", "out_height", "out_checksum"]
+            )
+
+    return images.select("doc_id", "payload", "codec").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long"
+
+
+def sample_frames(
+    videos: DataFrame, frame_len: int, every: int = 3
+) -> DataFrame:
+    """Treat each payload body as consecutive ``frame_len``-byte frames
+    and keep every ``every``-th — the video frame-sampling shape (1 row
+    in → N rows out through ``mapInPandas``; batch shape change is the
+    point). Trailing partial frames are dropped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_sum = [], [], []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                _w, _h, body = _decode_payload(payload, codec)
+                n_frames = body.size // frame_len
+                usable = body[: n_frames * frame_len].reshape(n_frames, frame_len)
+                for idx in range(0, n_frames, every):
+                    out_ids.append(doc_id)
+                    out_idx.append(idx)
+                    out_sum.append(int(usable[idx].astype("int64").sum()))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame_checksum": out_sum}
+            )
+
+    return videos.select("doc_id", "payload", "codec").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )

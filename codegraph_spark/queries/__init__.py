@@ -28,6 +28,7 @@ _MODULES = [
     "codegraph_spark.queries.similarity",
     "codegraph_spark.queries.text",
     "codegraph_spark.queries.events",
+    "codegraph_spark.queries.multimodal",
 ]
 
 

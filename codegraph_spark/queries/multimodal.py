@@ -1,0 +1,130 @@
+"""Multimodal column queries (scale-extension surface, no reference
+counterpart — the reference stores documents as plain text nodes,
+/root/reference/pkg/models/node.go:177-183).
+
+Each query builds deterministic ``raw-gray-v1`` binary payloads from
+the ``documents`` table JVM-side, pushes them through the Arrow-batched
+decode kernels in :mod:`codegraph_spark.operators.multimodal`, and
+emits narrow integer statistics. The DuckDB oracle recomputes the same
+statistics analytically from the document text (ASCII ⇒ byte ==
+codepoint), so a hash match proves the whole binary round-trip:
+header pack → Arrow transfer → numpy decode → stat.
+
+All cross-engine numerics are exact integer arithmetic (sums, integer
+division) — no float rounding to disagree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codegraph_spark.operators.multimodal import (
+    decode_image_stats,
+    encode_documents_as_images,
+    resize_image_stats,
+    sample_frames,
+)
+from codegraph_spark.sources.tables import load_table
+
+# Shared oracle prelude: the same payload body the Spark side packs
+# into binary, reconstructed as text + per-byte codepoint list.
+_BODY_CTE = """
+imgs AS (
+    SELECT doc_id,
+           CAST(16 + doc_id % 48 AS INT) AS w,
+           CAST(16 + doc_id % 32 AS INT) AS h,
+           substr(
+               repeat(text, CAST(ceil((16 + doc_id % 48) * (16 + doc_id % 32)
+                                      / CAST(length(text) AS DOUBLE)) AS INT) + 1),
+               1, (16 + doc_id % 48) * (16 + doc_id % 32)
+           ) AS body
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h,
+           unnest(list_transform(string_split(body, ''), x -> ascii(x))) AS b,
+           unnest(range(0, w * h)) AS i
+    FROM imgs
+)
+"""
+
+
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → feature-extract: per-image dims, byte count, mean
+    (exact milli-units) and checksum out of the binary payload."""
+    imgs = encode_documents_as_images(load_table(spark, sf_dir, "documents"))
+    stats = decode_image_stats(imgs)
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        "body_len",
+        F.expr("checksum * 1000 div body_len").alias("mean_milli"),
+        "checksum",
+    )
+
+
+_MM_META_SQL = f"""
+WITH {_BODY_CTE}
+SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+       CAST(count(*) AS INT) AS body_len,
+       (sum(b) * 1000) // count(*) AS mean_milli,
+       sum(b) AS checksum
+FROM px
+GROUP BY doc_id
+"""
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided 2× downsample executor-side; checksum of the resized
+    pixel buffer proves the kernel touched exactly the right bytes."""
+    imgs = encode_documents_as_images(load_table(spark, sf_dir, "documents"))
+    return resize_image_stats(imgs, factor=2)
+
+
+_MM_RESIZE_SQL = f"""
+WITH {_BODY_CTE}
+SELECT doc_id,
+       CAST((any_value(w) + 1) // 2 AS INT) AS out_width,
+       CAST((any_value(h) + 1) // 2 AS INT) AS out_height,
+       sum(b) FILTER (WHERE (i // w) % 2 = 0 AND (i % w) % 2 = 0) AS out_checksum
+FROM px
+GROUP BY doc_id
+"""
+
+
+_FRAME_LEN = 64
+_EVERY = 3
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shape: payload = consecutive 64-byte frames; keep every
+    3rd (1 row in → N rows out through mapInPandas)."""
+    vids = encode_documents_as_images(load_table(spark, sf_dir, "documents"))
+    return sample_frames(vids, frame_len=_FRAME_LEN, every=_EVERY)
+
+
+_MM_FRAME_SQL = f"""
+WITH {_BODY_CTE}
+SELECT doc_id,
+       CAST(i // {_FRAME_LEN} AS INT) AS frame_idx,
+       sum(b) AS frame_checksum
+FROM px
+WHERE i // {_FRAME_LEN} < (w * h) // {_FRAME_LEN}
+  AND (i // {_FRAME_LEN}) % {_EVERY} = 0
+GROUP BY doc_id, i // {_FRAME_LEN}
+"""
+
+
+QUERIES = {
+    "mm_image_meta": mm_image_meta,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+ORACLES = {
+    "mm_image_meta": _MM_META_SQL,
+    "mm_resize": _MM_RESIZE_SQL,
+    "mm_frame_sample": _MM_FRAME_SQL,
+}

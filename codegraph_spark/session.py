@@ -59,6 +59,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch memory for wide (media/binary) rows — at
+        # 100 TB a media batch of the default 10k rows can be gigabytes.
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     except Exception:
         pass
     return spark

@@ -1,0 +1,87 @@
+"""Multimodal plumbing tests: payload format round-trip, Arrow batch
+shapes, and the codec stub boundary (SURVEY-extension surface — no
+reference counterpart; decode gated on the deterministic raw-gray-v1
+format because no media libraries exist in this container)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraph_spark.operators.multimodal import (
+    RAW_GRAY_V1,
+    decode_image_stats,
+    encode_documents_as_images,
+    resize_image_stats,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    docs = spark.createDataFrame(
+        [(0, "abcd" * 20), (1, "hello world "), (17, "x" * 48)],
+        "doc_id long, text string",
+    )
+    return encode_documents_as_images(docs).persist()
+
+
+def test_payload_header_and_meta(images):
+    rows = {r["doc_id"]: r for r in images.collect()}
+    for doc_id, r in rows.items():
+        w, h = 16 + doc_id % 48, 16 + doc_id % 32
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["modality"] == "image" and r["codec"] == RAW_GRAY_V1
+        hw, hh = struct.unpack(">II", bytes(r["payload"][:8]))
+        assert (hw, hh) == (w, h)
+        assert len(r["payload"]) == 8 + w * h == r["n_bytes"]
+
+
+def test_decode_round_trip(images):
+    stats = {r["doc_id"]: r for r in decode_image_stats(images).collect()}
+    imgs = {r["doc_id"]: r for r in images.collect()}
+    for doc_id, s in stats.items():
+        body = bytes(imgs[doc_id]["payload"][8:])
+        assert s["body_len"] == len(body)
+        assert s["checksum"] == sum(body)
+        assert s["mean_byte"] == round(sum(body) / len(body), 3)
+
+
+def test_resize_strided(images):
+    out = {r["doc_id"]: r for r in resize_image_stats(images, factor=2).collect()}
+    imgs = {r["doc_id"]: r for r in images.collect()}
+    for doc_id, r in out.items():
+        w, h = imgs[doc_id]["width"], imgs[doc_id]["height"]
+        body = bytes(imgs[doc_id]["payload"][8:])
+        expect = sum(
+            body[row * w + col]
+            for row in range(0, h, 2)
+            for col in range(0, w, 2)
+        )
+        assert (r["out_width"], r["out_height"]) == ((w + 1) // 2, (h + 1) // 2)
+        assert r["out_checksum"] == expect
+
+
+def test_frame_sample_shape(images):
+    frames = sample_frames(images, frame_len=64, every=3).collect()
+    imgs = {r["doc_id"]: r for r in images.collect()}
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, img in imgs.items():
+        n_frames = (img["n_bytes"] - 8) // 64
+        expect_idx = list(range(0, n_frames, 3))
+        got = sorted(r["frame_idx"] for r in by_doc.get(doc_id, []))
+        assert got == expect_idx
+        body = bytes(img["payload"][8:])
+        for r in by_doc.get(doc_id, []):
+            f = r["frame_idx"]
+            assert r["frame_checksum"] == sum(body[f * 64 : (f + 1) * 64])
+
+
+def test_foreign_codec_raises(spark, images):
+    jpeg = images.withColumn("codec", F.lit("jpeg"))
+    with pytest.raises(Exception, match="NotImplementedError|jpeg"):
+        decode_image_stats(jpeg).collect()
