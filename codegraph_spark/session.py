@@ -59,6 +59,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # size shuffles to the actual parallelism (mirrors get_spark);
+        # matters especially for streaming state-store ops, which AQE
+        # cannot re-coalesce after the fact.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, spark.sparkContext.defaultParallelism)),
+        )
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Arrow batch memory for wide (media/binary) rows — at
         # 100 TB a media batch of the default 10k rows can be gigabytes.

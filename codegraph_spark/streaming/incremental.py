@@ -1,0 +1,160 @@
+"""Incremental pipelines as Structured Streaming jobs.
+
+Design targets (reference's planned incremental pipeline,
+research.md:280-323 — "<1s incremental update latency",
+docs/rfc/001-code-intelligence-platform.md:159):
+
+- **event rollups**: file/Kafka source → watermark → tumbling-window
+  aggregate; late data within the watermark is merged into its window,
+  later data is dropped — the streaming twin of
+  :func:`codegraph_spark.queries.events.ev_hourly_agg`;
+- **incremental graph ingest**: micro-batches of node rows upserted
+  into the graph store with the same MERGE semantics as the batch
+  write path (operators/upsert.py — Cypher ``MERGE … SET n += $set``
+  parity, client.go:135-179), via ``foreachBatch``;
+- **custom stateful operators**: ``applyInPandasWithState`` keeping
+  per-key running aggregates across micro-batches.
+
+Scale notes: the streaming aggregations shuffle by (window, key) into
+the state store exactly once per micro-batch; state is partitioned by
+key so a 1000-executor cluster shards it. The memory sink below is for
+tests/serving small rollups — a production deployment writes to a
+transactional table (Delta/Iceberg ``MERGE``, not on this classpath)
+in update mode.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events table (TIMESTAMP(NANOS)
+    handled exactly like the batch loader — sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window rollup (1h × event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain all available input through the streaming query into a
+    memory sink and return the result table (test/serving harness —
+    production sinks are transactional tables)."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def incremental_graph_ingest(
+    node_stream: DataFrame,
+    table_dir: str,
+    keys: list[str],
+) -> None:
+    """Micro-batch upsert of node rows into a parquet-backed graph
+    table — the reference's planned add/modify semantics
+    (research.md:311-316) with batch-write MERGE parity.
+
+    Each batch: read current table → ``merge_upsert`` (SET += column
+    semantics, window-deduped within the batch) → rewrite. The
+    materialize-then-overwrite is the parquet stand-in for a Delta
+    ``MERGE INTO`` (transactional formats aren't on this classpath);
+    on a real deployment swap the body for one MERGE statement.
+    """
+    from codegraph_spark.operators.upsert import merge_upsert
+
+    spark = node_stream.sparkSession
+
+    def upsert_batch(batch: DataFrame, _batch_id: int) -> None:
+        if os.path.isdir(table_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(table_dir)
+        ):
+            existing = spark.read.parquet(table_dir)
+        else:
+            existing = batch.limit(0)
+        merged = merge_upsert(existing, batch, keys=keys).cache()
+        merged.count()  # materialize before overwriting the source
+        merged.write.mode("overwrite").parquet(table_dir)
+        merged.unpersist()
+
+    q = (
+        node_stream.writeStream.foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+STATE_SCHEMA = "n long, total double"
+RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (event count, value total) maintained across
+    micro-batches — the custom-stateful-operator shape
+    (``applyInPandasWithState``; state sharded by user_id)."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,94 @@
+"""Streaming surface tests: streaming/batch equivalence for the window
+rollup, MERGE-parity incremental graph ingest across micro-batches, and
+the applyInPandasWithState running aggregate (reference's planned
+incremental pipeline — research.md:280-323 — implemented Spark-first)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_matches_batch(spark):
+    from codegraph_spark.queries.events import ev_hourly_agg
+    from codegraph_spark.queries.streaming import stream_hourly_counts
+
+    got = {tuple(r) for r in stream_hourly_counts(spark, SF_DIR).collect()}
+    want = {
+        (r["hour"], r["event_type"], r["n"], r["total_value"])
+        for r in ev_hourly_agg(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_incremental_graph_ingest_merge_semantics(spark, tmp_path):
+    from codegraph_spark.streaming.incremental import incremental_graph_ingest
+
+    src = str(tmp_path / "incoming")
+    table = str(tmp_path / "nodes_table")
+    os.makedirs(src)
+
+    schema = "id string, label string, name string, score long"
+    batch1 = spark.createDataFrame(
+        [("n1", "Function", "f1", 1), ("n2", "Class", "c1", 2)], schema
+    )
+    batch2 = spark.createDataFrame(
+        # n2 updated (SET += : null name must NOT clobber), n3 inserted
+        [("n2", "Class", None, 20), ("n3", "Function", "f3", 3)], schema
+    )
+    batch1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    batch2.coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    incremental_graph_ingest(stream, table, keys=["id"])
+
+    rows = {r["id"]: r for r in spark.read.parquet(table).collect()}
+    assert set(rows) == {"n1", "n2", "n3"}
+    assert rows["n2"]["score"] == 20
+    assert rows["n2"]["name"] == "c1"  # SET += kept the existing value
+    assert rows["n1"]["score"] == 1 and rows["n3"]["name"] == "f3"
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    from codegraph_spark.streaming.incremental import (
+        run_available_now,
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    schema = "user_id long, value double"
+    spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 5.0)], schema).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "e1.parquet"))
+    spark.createDataFrame([(1, 3.0), (3, 7.0)], schema).coalesce(1).write.parquet(
+        os.path.join(src, "e2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    out = run_available_now(running_user_totals(stream), output_mode="update")
+    # update mode emits one row per (user, batch); the running total is
+    # monotone in n_events, so the final state is the max-n row per user
+    last: dict[int, tuple] = {}
+    for r in out.collect():
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            last[r["user_id"]] = (r["n_events"], r["total_value"])
+    # final totals must match the batch aggregate regardless of how the
+    # two micro-batches split the input
+    assert last[1] == (3, 6.0)
+    assert last[2] == (1, 5.0)
+    assert last[3] == (1, 7.0)
