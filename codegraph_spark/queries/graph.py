@@ -297,8 +297,37 @@ FROM gnodes WHERE symbol IS NOT NULL
 """)
 
 
+# --- f6: display-name extraction from SCIP descriptor -----------------------
+def f6_display_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip descriptor punctuation, split on '#', prefer the member
+    segment (scip_parser.go:223-246: methods display as the member
+    name, types/functions/packages as the base)."""
+    g = _graph(spark, sf_dir)
+    syms = g.nodes.filter(F.col("symbol").isNotNull())
+    descriptor = F.split(F.col("symbol"), " ", 5).getItem(4)
+    d1 = F.regexp_replace(descriptor, r"[()./]+$", "")
+    member = F.get(F.split(d1, "#"), 1)
+    display = F.when(
+        member.isNotNull() & (member != ""), member
+    ).otherwise(F.get(F.split(d1, "#"), 0))
+    return syms.select("id", descriptor.alias("descriptor"), display.alias("display_name"))
+
+
+_F6_SQL = with_recast(r"""
+SELECT id,
+       split_part(symbol, ' ', 5) AS descriptor,
+       CASE WHEN regexp_replace(split_part(symbol, ' ', 5), '[()./]+$', '') LIKE '%#%'
+                 AND split_part(regexp_replace(split_part(symbol, ' ', 5), '[()./]+$', ''), '#', 2) <> ''
+            THEN split_part(regexp_replace(split_part(symbol, ' ', 5), '[()./]+$', ''), '#', 2)
+            ELSE split_part(regexp_replace(split_part(symbol, ' ', 5), '[()./]+$', ''), '#', 1)
+       END AS display_name
+FROM gnodes WHERE symbol IS NOT NULL
+""")
+
+
 QUERIES = {
     "p1_find_by_label": p1_find_by_label,
+    "f6_display_name": f6_display_name,
     "o1_search_ranked": o1_search_ranked,
     "p5_symbol_membership": p5_symbol_membership,
     "a1_count_per_label": a1_count_per_label,
@@ -314,6 +343,7 @@ QUERIES = {
 
 ORACLES = {
     "p1_find_by_label": _P1_SQL,
+    "f6_display_name": _F6_SQL,
     "o1_search_ranked": _O1_SQL,
     "p5_symbol_membership": _P5_SQL,
     "a1_count_per_label": _A1_SQL,

@@ -296,8 +296,52 @@ ORDER BY foreign_pkg, caller_name
 )
 
 
+# --- a4: dependencies grouped by foreign service (advanced.go:148-177) -------
+def a4_deps_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference groups discovered dependencies by foreignService
+    host-side (CallingFunctions list + CallCount counter,
+    advanced.go:148-177); here the same group-by runs distributed over
+    the J6 result: ``collect_set`` sorted for determinism + count."""
+    deps = j6_service_deps(spark, sf_dir)
+    return deps.groupBy("foreign_pkg").agg(
+        F.sort_array(F.collect_set("caller_name")).alias("calling_functions"),
+        F.count("*").alias("call_count"),
+    )
+
+
+_A4_SQL = with_recast(
+    extra_ctes="""
+reach(id, hops) AS (
+    SELECT e.dst, 1 FROM gedges e WHERE e.type = 'CONTAINS' AND e.src = 'region:0'
+    UNION
+    SELECT e.dst, r.hops + 1
+    FROM reach r JOIN gedges e ON e.type = 'CONTAINS' AND e.src = r.id
+    WHERE r.hops < 3
+),
+deps AS (
+    SELECT DISTINCT split_part(p.symbol, ' ', 3) AS foreign_pkg, o.name AS caller_name
+    FROM (SELECT DISTINCT id FROM reach WHERE id <> 'region:0') r
+    JOIN gnodes o ON o.id = r.id AND o.label = 'Order'
+    JOIN gedges cl ON cl.type = 'CALLS' AND cl.src = o.id
+    JOIN gedges c ON c.type = 'CONTAINS' AND c.src = cl.dst
+    JOIN gedges x ON x.type = 'REFERENCES' AND x.src = c.dst
+    JOIN gnodes p ON p.id = x.dst AND p.symbol IS NOT NULL
+    WHERE p.symbol LIKE '% %' AND p.symbol NOT LIKE '%pkg0%'
+)
+""",
+    sql="""
+SELECT foreign_pkg,
+       list_sort(list(DISTINCT caller_name)) AS calling_functions,
+       count(*) AS call_count
+FROM deps
+GROUP BY foreign_pkg
+""",
+)
+
+
 QUERIES = {
     "j4_impact_bfs": j4_impact_bfs,
+    "a4_deps_grouped": a4_deps_grouped,
     "j4_impact_api": j4_impact_api,
     "j2_references_with_file": j2_references_with_file,
     "j5_dataflow_paths": j5_dataflow_paths,
@@ -306,6 +350,7 @@ QUERIES = {
 
 ORACLES = {
     "j4_impact_bfs": _J4_SQL,
+    "a4_deps_grouped": _A4_SQL,
     "j4_impact_api": _J4B_SQL,
     "j2_references_with_file": _J2_SQL,
     "j5_dataflow_paths": _J5_SQL,
