@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "text_quality_score",
+    "mm_image_meta",
+    "stream_hourly_counts",
 ]
 
 
@@ -60,7 +62,7 @@ def main() -> None:
     g = PropertyGraph.from_tpch_recast(spark, sf_dir)
     g.nodes.count()
     g.edges.count()
-    g.closure("CONTAINS", max_depth=6).count()
+    g.closure("CONTAINS", max_depth=4).count()
     ingest_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}

@@ -24,6 +24,12 @@ def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     return PropertyGraph.from_tpch_recast(spark, sf_dir)
 
 
+#: depth of the recast CONTAINS forest (Region→Nation→Customer/Supplier
+#: →Order→LineItem — sources/recast.py). The closure is exact at this
+#: bound; deeper levels would be empty joins at ingest.
+CONTAINS_DEPTH = 4
+
+
 # --- j4: impact analysis — bounded BFS over CALLS (query.go:203-242) --------
 def j4_impact_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(seed)-[:CALLS*1..10]->(x) RETURN DISTINCT x`` with min-hop
@@ -129,7 +135,7 @@ def j2_references_with_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ancestor climb = one equi-join against the ingest-time CONTAINS
     # closure (no iterative BFS on the query path — SURVEY §2.3 J2
     # "precompute a containing_file closure at load").
-    anc = g.closure("CONTAINS", max_depth=6).select(
+    anc = g.closure("CONTAINS", max_depth=CONTAINS_DEPTH).select(
         F.col("desc").alias("usage_id"), F.col("anc").alias("anc_id")
     )
     roots = g.nodes.filter(F.col("label") == "Region").select(
@@ -234,7 +240,7 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # descendant scan = closure equi-join (forest ⇒ min-hop unique);
     # replaces 3 BFS rounds with one lookup into the ingest-time closure.
     descendants = (
-        g.closure("CONTAINS", max_depth=6)
+        g.closure("CONTAINS", max_depth=CONTAINS_DEPTH)
         .filter(F.col("hops") <= 3)
         .join(F.broadcast(svc), F.col("anc") == F.col("id"))
         .select(F.col("desc").alias("id"))
