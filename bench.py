@@ -63,6 +63,9 @@ def main() -> None:
     g.nodes.count()
     g.edges.count()
     g.closure("CONTAINS", max_depth=4).count()
+    # spawn the Python worker pool once (Arrow path) so mapInPandas
+    # queries measure kernel time, not interpreter startup
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
     ingest_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
@@ -70,9 +73,10 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue  # not built yet
-        df = fn(spark, sf_dir)
+        # time build + execute: streaming queries do their work inside
+        # fn (availableNow drain); batch queries build lazily in ~ms
         t0 = time.perf_counter()
-        df.collect()
+        fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {

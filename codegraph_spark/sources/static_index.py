@@ -32,6 +32,7 @@ batching. Records flow through Arrow in ``mapInPandas`` batches.
 from __future__ import annotations
 
 import ast
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -74,6 +75,7 @@ RECORD_SCHEMA = StructType([
     StructField("complexity", IntegerType()),
     StructField("symbol", StringType()),
     StructField("order", IntegerType()),       # CONTAINS order prop
+    StructField("hash", StringType()),         # File sha256 (F4, indexer.go:693-697)
 ])
 
 _BRANCH_NODES = (
@@ -134,7 +136,8 @@ def parse_python_file(path: str, source: str) -> list[dict]:
 
     n_lines = source.count("\n") + 1
     node(file_id, "File", name=path.rsplit("/", 1)[-1],
-         fqn=path, start_line=1, end_line=n_lines, lines_of_code=n_lines)
+         fqn=path, start_line=1, end_line=n_lines, lines_of_code=n_lines,
+         hash=hashlib.sha256(source.encode("utf-8")).hexdigest())
 
     try:
         tree = ast.parse(source)
