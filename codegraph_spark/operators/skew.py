@@ -1,0 +1,65 @@
+"""Skew mitigation for hub keys.
+
+Code graphs are zipfian: a handful of hub symbols (logger, error type)
+attract most REFERENCES/CALLS edges, so shuffling by symbol sends one
+partition 1000× the median load. Two standing mitigations:
+
+1. AQE skew-join splitting is always on (session.py) — Spark splits
+   oversized partitions at runtime. That covers sort-merge joins.
+2. For deliberate control (or non-join aggregations over a skewed key)
+   this module provides explicit salting: spread each hot key over
+   ``n_salt`` sub-keys, do the heavy work per sub-key, then combine.
+
+Both keep results identical to the unsalted plan — only the shuffle
+layout changes. (The reference never faces this: Neo4j resolves hub
+symbols through a BTREE index on a single node —
+/root/reference/pkg/schema/schema.go:82-203; at 100 TB the index
+becomes the shuffle, and the shuffle must be balanced.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Inner equi-join where *skewed* has hub values in ``on``.
+
+    The skewed side gets a deterministic salt derived from its full row
+    (xxhash64 % n_salt), so a hub key's rows spread over ``n_salt``
+    shuffle partitions; *other* is replicated once per salt value via
+    an exploded literal range (an ``n_salt``-fold dup of the small side
+    — use only when *other* is the dimension side). Result equals
+    ``skewed.join(other, on)`` row-for-row.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt))
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))
+    )
+    return left.join(right, on + ["_salt"]).drop("_salt")
+
+
+def salted_count_distinct(
+    df: DataFrame, group_key: str, distinct_col: str, n_salt: int = 16
+) -> DataFrame:
+    """``groupBy(key).agg(countDistinct(col))`` for hub keys: phase 1
+    dedups (key, col) within (key, salt) sub-groups, phase 2 combines —
+    the hot key's dedup state is sharded instead of single-partition.
+    Returns ``(group_key, n_distinct)``."""
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salt))
+    phase1 = (
+        df.select(group_key, distinct_col)
+        .withColumn("_salt", salt)
+        .groupBy(group_key, "_salt")
+        .agg(F.countDistinct(distinct_col).alias("_n"))
+    )
+    # distinct values land in exactly one salt shard (salt is a pure
+    # function of the value), so the final combine is a plain sum.
+    return phase1.groupBy(group_key).agg(F.sum("_n").alias("n_distinct"))

@@ -153,12 +153,104 @@ FROM (
 """
 
 
+# --- LSH: random-hyperplane bucketing (the 100 TB scale path) -----------------
+_N_PLANES = 8
+
+
+def _w(j: int, d) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-3, 3] —
+    a closed-form both engines can evaluate identically."""
+    return ((F.lit(j) * 31 + d * 17) % 7 - F.lit(3)).cast("long")
+
+
+def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: sign(v·w_j) over 8 fixed hyperplanes →
+    256 buckets; candidate pairs = same-bucket self-join. This is the
+    scale path for cosine near-neighbor search: the all-pairs O(N²)
+    join becomes a per-bucket join (N²/256 expected), and at 100 TB the
+    bucket key is the shuffle key — perfectly partitionable.
+
+    Cross-engine exactness: embeddings are quantized to milli-units
+    (round(x*1000) as long) before any arithmetic, so signatures and
+    pair dot products are integer math — no float summation-order
+    hazards between Spark and the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000).cast("long"),
+        ).alias("q"),
+    )
+    sig = F.concat(
+        *[
+            F.when(
+                F.aggregate(
+                    F.transform(F.col("q"), lambda x, i: x * _w(j, i)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for j in range(_N_PLANES)
+        ]
+    )
+    bucketed = emb.withColumn("bucket", sig)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select(
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        dot_q.alias("dot_milli2"),
+    )
+
+
+_LSH_SQL = f"""
+WITH qv AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 1000) AS BIGINT)) AS q
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id, q,
+           concat(
+               {", ".join(
+                   "CASE WHEN list_sum(list_transform(range(1, len(q) + 1), "
+                   f"i -> q[i] * ((({j} * 31 + (i - 1) * 17) % 7) - 3))) >= 0 "
+                   "THEN '1' ELSE '0' END"
+                   for j in range(_N_PLANES)
+               )}
+           ) AS bucket
+    FROM qv
+)
+SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                    i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_milli2
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_label": sim_ivf_label,
+    "sim_lsh_cosine": sim_lsh_cosine,
 }
 
 ORACLES = {
     "sim_topk_bruteforce": _BRUTE_SQL,
     "sim_ivf_label": _IVF_SQL,
+    "sim_lsh_cosine": _LSH_SQL,
 }
