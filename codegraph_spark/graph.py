@@ -43,6 +43,7 @@ class PropertyGraph:
         self.nodes = nodes
         self.edges = edges
         self._closures: dict[tuple[str, int], DataFrame] = {}
+        self._typed_edges: dict[str, DataFrame] = {}
 
     # ---- construction ----------------------------------------------------
     @classmethod
@@ -60,7 +61,18 @@ class PropertyGraph:
         key = (spark.sparkContext.applicationId, sf_dir)
         g = _RECAST_CACHE.get(key)
         if g is None:
-            g = cls(graph_nodes(spark, sf_dir), graph_edges(spark, sf_dir)).persist()
+            # Compact before persisting: the nodes/edges plans are unions
+            # of many per-table scans, so their natural partition count is
+            # the SUM of all input partitionings (130+ even at sf0.1).
+            # Every subsequent query action would pay one task per cached
+            # partition. Repartition to the session's parallelism — on a
+            # cluster, size by target partition bytes instead; the
+            # invariant is task count = O(cores), not O(input unions).
+            p = spark.sparkContext.defaultParallelism
+            g = cls(
+                graph_nodes(spark, sf_dir).repartition(p),
+                graph_edges(spark, sf_dir).repartition(p),
+            ).persist()
             _RECAST_CACHE[key] = g
         return g
 
@@ -89,9 +101,37 @@ class PropertyGraph:
         if clo is None:
             from codegraph_spark.operators.traversal import forest_closure
 
-            clo = forest_closure(self.edges, max_depth, edge_type=edge_type).persist()
+            p = self.edges.sparkSession.sparkContext.defaultParallelism
+            clo = (
+                forest_closure(self.edges, max_depth, edge_type=edge_type)
+                .repartition(p)  # union-of-levels plan → compact task count
+                .persist()
+            )
             self._closures[key] = clo
         return clo
+
+    def typed_edges(self, edge_type: str) -> DataFrame:
+        """Cached per-type edge subset — the Spark analog of Neo4j's
+        per-relationship-type store files. Iterative traversals hit one
+        edge type ``max_hops`` times (query.go:209 ``CALLS*1..10``);
+        filtering + persisting once means every round scans only that
+        type's rows instead of re-filtering the full edge table. At
+        scale this is the ``partitionBy("type")`` layout of
+        :meth:`write_parquet` kept hot in memory."""
+        te = self._typed_edges.get(edge_type)
+        if te is None:
+            p = self.edges.sparkSession.sparkContext.defaultParallelism
+            # hash-partition on src: iterative traversals probe by src
+            # every round, and a known HashPartitioning lets Catalyst
+            # skip the exchange if a round ever shuffle-joins. A type
+            # subset is ≪ the full edge table, so fewer partitions.
+            te = (
+                self.edges.filter(F.col("type") == edge_type)
+                .repartition(max(4, p // 4), F.col("src"))
+                .persist()
+            )
+            self._typed_edges[edge_type] = te
+        return te
 
     # ---- primitive lookups (reference: pkg/neo4j/query.go) ---------------
     def by_label(self, label: str, limit: int = 0) -> DataFrame:

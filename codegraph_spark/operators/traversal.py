@@ -45,6 +45,33 @@ def _directed(edges: DataFrame, edge_type: str | None, direction: str) -> DataFr
     raise ValueError(f"direction must be out|in|both, got {direction!r}")
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _tiny_shuffle(df: DataFrame, enabled: bool = True):
+    """Scope per-round shuffles of a seed-anchored traversal to one
+    partition, AQE off. Rationale: every round's shuffle moves only the
+    frontier (≪ edges at any data scale — the edge side is broadcast-
+    joined in place), so the default partition count just multiplies
+    task-launch overhead, and AQE adds a stage-materialization job per
+    round. Only the eager per-round checkpoints execute under this
+    scope; settings are restored before the caller's action runs."""
+    if not enabled:
+        yield
+        return
+    conf = df.sparkSession.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", "1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def bfs_reachable(
     edges: DataFrame,
     sources: DataFrame,
@@ -52,6 +79,7 @@ def bfs_reachable(
     edge_type: str | None = None,
     direction: str = "out",
     include_sources: bool = False,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Distinct nodes reachable in 1..max_hops (min-hop annotated).
 
@@ -60,26 +88,41 @@ def bfs_reachable(
     building, query/advanced.go:242-290). Cycles are handled by the
     visited set.
 
+    Scale design: the reference's traversals are seed-anchored (one
+    symbol / one function), so frontier ≪ edges at any data scale —
+    ``broadcast_frontier`` (default) makes every round a map-side
+    broadcast-hash join: the edge table is scanned in place, never
+    shuffled, and the visited anti-join broadcasts the (small) union
+    of per-level frontiers. Pass ``False`` for whole-graph seeds.
+    Exactly ONE job per round (the eager frontier checkpoint, which
+    also flattens lineage so round k doesn't replay rounds 1..k-1).
+
     :param sources: DataFrame with an ``id`` column of seed node ids.
     :returns: DataFrame ``(id, hops)`` — ``hops`` = minimum hop count.
     """
     e = _directed(edges, edge_type, direction)
-    frontier = sources.select("id").distinct().withColumn("hops", F.lit(0))
-    frontier = frontier.localCheckpoint(eager=True)
-    visited = frontier
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier.id == e._from)
-            .select(F.col("_to").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .withColumn("hops", F.lit(hop))
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    frontier = sources.select("id").distinct().localCheckpoint(eager=True)
+    levels = [frontier.withColumn("hops", F.lit(0))]
+    seen = frontier  # lazy union of (flat, checkpointed) levels
+    with _tiny_shuffle(edges, enabled=broadcast_frontier):
+        for hop in range(1, max_hops + 1):
+            f = F.broadcast(frontier) if broadcast_frontier else frontier
+            s = F.broadcast(seen) if broadcast_frontier else seen
+            nxt = (
+                f.join(e, f.id == e._from)
+                .select(F.col("_to").alias("id"))
+                .distinct()
+                .join(s, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt.withColumn("hops", F.lit(hop)))
+            seen = seen.unionByName(nxt)
+            frontier = nxt
+    visited = levels[0]
+    for lv in levels[1:]:
+        visited = visited.unionByName(lv)
     return visited if include_sources else visited.filter(F.col("hops") >= 1)
 
 
@@ -159,6 +202,9 @@ def enumerate_paths(
     (TraceDataFlow, query.go:245-285): per-path node arrays, cycle
     pruned via ``array_contains`` (SURVEY §7.3 risk 1).
 
+    Seed-anchored like :func:`bfs_reachable`, so the in-flight path set
+    is broadcast into each extension join (edges scanned in place).
+
     :returns: DataFrame ``(start, end, path array<string>, hops)``.
     """
     e = _directed(edges, edge_type, direction)
@@ -171,21 +217,22 @@ def enumerate_paths(
     )
     cur = cur.localCheckpoint(eager=True)
     acc: DataFrame | None = None
-    for hop in range(1, max_hops + 1):
-        cur = (
-            cur.join(e, cur.end == e._from)
-            .filter(~F.array_contains(F.col("path"), F.col("_to")))
-            .select(
-                "start",
-                F.col("_to").alias("end"),
-                F.concat(F.col("path"), F.array(F.col("_to"))).alias("path"),
-                F.lit(hop).alias("hops"),
+    with _tiny_shuffle(edges):
+        for hop in range(1, max_hops + 1):
+            cur = (
+                F.broadcast(cur).join(e, cur.end == e._from)
+                .filter(~F.array_contains(F.col("path"), F.col("_to")))
+                .select(
+                    "start",
+                    F.col("_to").alias("end"),
+                    F.concat(F.col("path"), F.array(F.col("_to"))).alias("path"),
+                    F.lit(hop).alias("hops"),
+                )
             )
-        )
-        cur = cur.localCheckpoint(eager=True)
-        if cur.isEmpty():
-            break
-        acc = cur if acc is None else acc.unionByName(cur)
+            cur = cur.localCheckpoint(eager=True)
+            if cur.isEmpty():
+                break
+            acc = cur if acc is None else acc.unionByName(cur)
     if acc is None:
         schema_src = cur
         return schema_src.limit(0)

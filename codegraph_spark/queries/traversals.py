@@ -37,14 +37,14 @@ def j4_impact_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     has chains + back-edge cycles, so this exercises the visited set."""
     g = _graph(spark, sf_dir)
     seeds = (
-        g.edges.filter(F.col("type") == "CONTAINS")
+        g.typed_edges("CONTAINS")
         .join(
             g.nodes.filter((F.col("label") == "Customer") & (F.col("key") == 1)).select("id"),
             F.col("src") == F.col("id"),
         )
         .select(F.col("dst").alias("id"))
     )
-    return bfs_reachable(g.edges, seeds, max_hops=10, edge_type="CALLS").select("id", "hops")
+    return bfs_reachable(g.typed_edges("CALLS"), seeds, max_hops=10).select("id", "hops")
 
 
 _J4_SQL = with_recast(
@@ -75,18 +75,18 @@ def j4_impact_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTAINS → LineItem → REFERENCES → Part, DISTINCT parts."""
     g = _graph(spark, sf_dir)
     seeds = (
-        g.edges.filter(F.col("type") == "CONTAINS")
+        g.typed_edges("CONTAINS")
         .join(
             g.nodes.filter((F.col("label") == "Customer") & (F.col("key") == 1)).select("id"),
             F.col("src") == F.col("id"),
         )
         .select(F.col("dst").alias("id"))
     )
-    reached = bfs_reachable(g.edges, seeds, max_hops=10, edge_type="CALLS").select("id")
-    contains = g.edges.filter(F.col("type") == "CONTAINS").select(
+    reached = bfs_reachable(g.typed_edges("CALLS"), seeds, max_hops=10).select("id")
+    contains = g.typed_edges("CONTAINS").select(
         F.col("src").alias("id"), F.col("dst").alias("li_id")
     )
-    refs = g.edges.filter(F.col("type") == "REFERENCES").select(
+    refs = g.typed_edges("REFERENCES").select(
         F.col("src").alias("li_id"), F.col("dst").alias("part_id")
     )
     parts = g.nodes.filter(F.col("label") == "Part").select(
@@ -183,9 +183,9 @@ def j5_dataflow_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-simple paths, cycle-guarded, 15-hop bound. Seeds: the chain
     heads (no incoming FLOWS_TO) of suppliers 0-2."""
     g = _graph(spark, sf_dir)
-    flows = g.edges.filter(F.col("type") == "FLOWS_TO")
+    flows = g.typed_edges("FLOWS_TO")
     supp_sel = (
-        g.edges.filter(F.col("type") == "DEPENDS_ON")
+        g.typed_edges("DEPENDS_ON")
         .join(
             g.nodes.filter((F.col("label") == "Supplier") & (F.col("key") <= 2)).select("id"),
             F.col("dst") == F.col("id"),
@@ -197,7 +197,7 @@ def j5_dataflow_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(flows.select(F.col("src").alias("li")), "li", "left_semi")
         .select(F.col("li").alias("id"))
     )
-    paths = enumerate_paths(g.edges, heads, max_hops=15, edge_type="FLOWS_TO")
+    paths = enumerate_paths(g.typed_edges("FLOWS_TO"), heads, max_hops=15)
     return paths.select(
         "start", "end", F.array_join("path", "->").alias("path_str"), "hops"
     )
@@ -239,26 +239,28 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc = g.nodes.filter((F.col("label") == "Region") & (F.col("key") == 0)).select("id")
     # descendant scan = closure equi-join (forest ⇒ min-hop unique);
     # replaces 3 BFS rounds with one lookup into the ingest-time closure.
+    # NARROW BEFORE BROADCAST: the raw descendant set of a service is
+    # huge (every LineItem under it); the callers we chain through are
+    # only its Order nodes. Join the label dim first (plain equi-join —
+    # AQE picks the strategy), then broadcast the small caller set
+    # through the edge chain so the big tables are scanned in place.
     descendants = (
         g.closure("CONTAINS", max_depth=CONTAINS_DEPTH)
         .filter(F.col("hops") <= 3)
         .join(F.broadcast(svc), F.col("anc") == F.col("id"))
         .select(F.col("desc").alias("id"))
     )
-    # each step keeps a bounded "current set" (descendants of ONE
-    # service) — broadcast it through the chain so the big edge tables
-    # are scanned in place, never shuffled.
-    callers = F.broadcast(descendants).join(
+    callers = descendants.join(
         g.nodes.filter(F.col("label") == "Order").select("id", F.col("name").alias("caller_name")),
         "id",
     )
-    calls = g.edges.filter(F.col("type") == "CALLS").select(
+    calls = g.typed_edges("CALLS").select(
         F.col("src").alias("id"), F.col("dst").alias("callee_id")
     )
-    contains = g.edges.filter(F.col("type") == "CONTAINS").select(
+    contains = g.typed_edges("CONTAINS").select(
         F.col("src").alias("callee_id"), F.col("dst").alias("li_id")
     )
-    refs = g.edges.filter(F.col("type") == "REFERENCES").select(
+    refs = g.typed_edges("REFERENCES").select(
         F.col("src").alias("li_id"), F.col("dst").alias("part_id")
     )
     parts = g.nodes.filter(F.col("symbol").isNotNull()).select(
