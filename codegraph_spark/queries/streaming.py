@@ -22,7 +22,9 @@ from codegraph_spark.streaming.incremental import (
 
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
-    return run_available_now(hourly_counts(ev), output_mode="complete")
+    # state = one row per (hour, event_type) — bounded cardinality, so
+    # a few state-store partitions; see run_available_now docstring.
+    return run_available_now(hourly_counts(ev), output_mode="complete", state_partitions=8)
 
 
 _STREAM_HOURLY_SQL = """

@@ -266,8 +266,14 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = g.nodes.filter(F.col("symbol").isNotNull()).select(
         F.col("id").alias("part_id"), "symbol"
     )
+    # intermediate sets (a service's callers × their callees' members)
+    # scale with service size — NOT broadcastable at 100 TB. Leave the
+    # strategy to AQE's runtime stats (broadcast when actually small,
+    # shuffle when not); only true dims (svc above, parts below) are
+    # hinted.
     return (
-        F.broadcast(F.broadcast(callers.join(calls, "id")).join(contains, "callee_id"))
+        callers.join(calls, "id")
+        .join(contains, "callee_id")
         .join(refs, "li_id")
         .join(F.broadcast(parts), "part_id")
         .filter(F.col("symbol").contains(" ") & ~F.col("symbol").contains("pkg0"))

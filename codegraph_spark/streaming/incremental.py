@@ -71,20 +71,39 @@ def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain all available input through the streaming query into a
     memory sink and return the result table (test/serving harness —
-    production sinks are transactional tables)."""
-    name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    production sinks are transactional tables).
+
+    ``state_partitions`` sizes the stateful-operator shuffle for this
+    drain (restored afterwards). A streaming agg instantiates one state
+    store per shuffle partition per micro-batch, so partition count
+    should track STATE volume (here: distinct group keys), not input
+    volume — for a bounded rollup (hours × event types) a handful of
+    stores beats the session default by 2×+. The partition count is
+    baked into a query's checkpoint, so this only applies to fresh
+    drains like this one."""
     spark = result.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
 
 
