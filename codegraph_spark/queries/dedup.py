@@ -22,19 +22,34 @@ _AB = [(1000003 + 7919 * i, 666013 + 104729 * i) for i in range(16)]
 _BANDS = 4  # 4 rows per band
 
 
+def _shingle_array() -> F.Column:
+    """Per-doc array of distinct 3-word shingles, computed entirely with
+    array expressions — no shuffle (the posexplode + lead-window
+    formulation costs a full shuffle+sort of every token; this stays
+    inside the row).
+
+    Implementation note: built by zipping the word array with its own
+    1- and 2-shifted slices. ``zip_with``/``slice`` ARGUMENTS are
+    evaluated once per row — an index-lambda formulation like
+    ``transform(words, (w, i) -> get(words, i+1))`` re-evaluates the
+    captured ``words`` (and its split) per ELEMENT, turning shingling
+    O(n²)."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    w2 = F.slice(words, 2, F.greatest(n - 1, F.lit(0)))
+    w3 = F.slice(words, 3, F.greatest(n - 2, F.lit(0)))
+    pairs = F.zip_with(words, w2, lambda a, b: F.concat_ws(" ", a, b))
+    tris = F.zip_with(pairs, w3, lambda p, c: F.concat_ws(" ", p, c))
+    # zip_with pads the shorter side with NULL and concat_ws skips
+    # NULLs, so the last two entries are 2-/1-word tails — slice off.
+    return F.array_distinct(F.slice(tris, 1, F.greatest(n - 2, F.lit(0))))
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) of 3-word shingles via a per-doc lead
-    window (partitioned by doc — scales with the corpus)."""
+    """Distinct (doc_id, shingle) pairs — map-side shingling, then one
+    explode (no shuffle until the consumer aggregates/joins)."""
     docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        exploded.withColumn("w2", F.lead("w", 1).over(win))
-        .withColumn("w3", F.lead("w", 2).over(win))
-        .filter(F.col("w3").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "w2", "w3").alias("shingle"))
-        .distinct()
-    )
+    return docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
 
 
 _SHINGLES_CTE = """
@@ -129,7 +144,11 @@ WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16 MinHashes per doc → 4 bands of 4 → docs colliding in ≥1 band
     are near-dup candidates. This is the 100 TB dedup path: cost is
-    O(docs × k) + a bucket join, never pairwise."""
+    O(docs × k) + a bucket join, never pairwise.
+
+    Shingling is map-side (array expressions); the signature groupBy
+    shuffles only 16 partial mins per doc (map-side combine), so the
+    real data movement is just the LSH bucket self-join."""
     sh = _shingles(spark, sf_dir).withColumn("h", _shingle_hash_spark())
     sig = sh.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
