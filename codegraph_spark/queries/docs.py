@@ -190,10 +190,16 @@ def j8_mentions_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 candidates per (doc, ref) — the reference's LIMIT-5-per-ref
     becomes a window rank in batch mode (SURVEY O6).
 
-    Scale: the symbol side is a dim table → broadcast; the contains
-    θ-join is a BroadcastNestedLoopJoin, bounded by |docs| × |symbols|
-    per partition — at 100 TB the ref extraction prunes docs first and
-    symbols stay a broadcastable dimension."""
+    Scale: a substring θ-join has no equi-key, so one side must be
+    broadcast (BroadcastNestedLoopJoin); here that is the symbol dim.
+    At 100 TB neither side fits a broadcast as-is — the scale path is
+    blocking: extract the candidate token from each symbol (the package
+    field, split(symbol)[2] — F2) and equi-join ref = token first, then
+    apply the generic contains predicate as a post-filter. That keeps
+    the θ-predicate semantics while the join itself shuffles on a key.
+    Kept as the generic θ-join here because the driver's oracle checks
+    arbitrary containment, and the doc corpus at test scale is the
+    pruned side."""
     from pyspark.sql import Window
 
     from codegraph_spark.graph import PropertyGraph

@@ -149,10 +149,10 @@ def j3_three_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = g.nodes.filter((F.col("label") == "Part") & (F.col("key") == 7)).select(
         F.col("id").alias("part_id")
     )
-    refs = g.edges.filter(F.col("type") == "REFERENCES").select(
+    refs = g.typed_edges("REFERENCES").select(
         F.col("src").alias("li_id"), F.col("dst").alias("part_id")
     )
-    contains = g.edges.filter(F.col("type") == "CONTAINS").select(
+    contains = g.typed_edges("CONTAINS").select(
         F.col("src").alias("order_id"), F.col("dst").alias("li_id")
     )
     orders = g.nodes.filter(F.col("label") == "Order").select(

@@ -66,9 +66,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
-    # customer is the small side at every sf → broadcast kills the shuffle
+    # customer scales with data size → no broadcast hint; the planner
+    # broadcasts from file stats while the filtered side fits (it does
+    # at every test sf) and AQE falls back to a shuffle join at the
+    # scales where a hint would OOM the executors.
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -97,8 +100,10 @@ LIMIT 10
 
 # --- q5: local supplier volume (multi-join star) ---------------------------
 def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join; all dimension sides broadcast. The one big
-    shuffle is lineitem⋈orders on orderkey."""
+    """5-way star join. Fixed-cardinality dims (nation 25, region 5)
+    are broadcast-hinted; customer/supplier scale with data size, so
+    their strategy is left to stats + AQE (broadcast while small,
+    shuffle join at 100 TB). The one big shuffle is lineitem⋈orders."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -110,8 +115,8 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)

@@ -92,10 +92,12 @@ def j4_impact_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = g.nodes.filter(F.col("label") == "Part").select(
         F.col("id").alias("part_id"), F.col("name").alias("part_name")
     )
+    # reached (and its CONTAINS expansion) is seed-anchored → broadcast;
+    # parts scales with data size → strategy left to stats/AQE.
     return (
         F.broadcast(F.broadcast(reached).join(contains, "id"))
         .join(refs, "li_id")
-        .join(F.broadcast(parts), "part_id")
+        .join(parts, "part_id")
         .select(F.col("part_id").alias("id"), F.col("part_name").alias("name"))
         .distinct()
     )
@@ -267,15 +269,15 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("part_id"), "symbol"
     )
     # intermediate sets (a service's callers × their callees' members)
-    # scale with service size — NOT broadcastable at 100 TB. Leave the
-    # strategy to AQE's runtime stats (broadcast when actually small,
-    # shuffle when not); only true dims (svc above, parts below) are
-    # hinted.
+    # and the symbol dim itself scale with data size — NOT broadcastable
+    # at 100 TB. Leave every strategy to AQE's runtime stats (broadcast
+    # when actually small, shuffle when not); only the single-service
+    # seed (svc above) is hinted.
     return (
         callers.join(calls, "id")
         .join(contains, "callee_id")
         .join(refs, "li_id")
-        .join(F.broadcast(parts), "part_id")
+        .join(parts, "part_id")
         .filter(F.col("symbol").contains(" ") & ~F.col("symbol").contains("pkg0"))
         .select(
             F.split(F.col("symbol"), " ").getItem(2).alias("foreign_pkg"),
