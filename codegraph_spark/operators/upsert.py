@@ -64,13 +64,26 @@ def merge_upsert(
         raise ValueError(f"schema mismatch: {sorted(cols)} vs {sorted(incoming.columns)}")
     non_keys = [c for c in cols if c not in keys]
 
-    tagged = existing.select(*cols).withColumn("_gen", F.lit(0)).unionByName(
-        incoming.select(*cols).withColumn("_gen", F.lit(1))
+    # _seq stamps batch position (monotonically_increasing_id is
+    # ascending in row order within a batch) so that duplicate keys
+    # INSIDE the incoming batch resolve deterministically to the last
+    # occurrence — the reference applies its MERGEs sequentially, so
+    # later writes win (scip_parser.go:103-133 first-seen dedup is the
+    # inverse and is handled by its own window in sources/scip.py).
+    tagged = (
+        existing.select(*cols)
+        .withColumn("_gen", F.lit(0))
+        .withColumn("_seq", F.monotonically_increasing_id())
+        .unionByName(
+            incoming.select(*cols)
+            .withColumn("_gen", F.lit(1))
+            .withColumn("_seq", F.monotonically_increasing_id())
+        )
     )
-    w = Window.partitionBy(*keys).orderBy(F.desc("_gen"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("_gen"), F.desc("_seq"))
     ranked = tagged.withColumn("_rn", F.row_number().over(w))
     if not set_plus_equals:
-        return ranked.filter(F.col("_rn") == 1).drop("_gen", "_rn")
+        return ranked.filter(F.col("_rn") == 1).drop("_gen", "_seq", "_rn")
 
     # SET += : newest non-null value per column, scanning newest-first.
     # first(col, ignorenulls) over the key window ordered newest-first
