@@ -1,0 +1,176 @@
+"""CLI — parity with the reference's Cobra command tree.
+
+The reference ships ``codegraph index project|scip``, ``codegraph query
+search|source``, and schema management as a CLI
+(/root/reference/cmd/codegraph/main.go:237-520, :555-585); the MCP
+server marshals the same operations as JSON. This CLI fronts the same
+engine surface:
+
+    python -m codegraph_spark index project ./src --out /tmp/graph
+    python -m codegraph_spark index scip index.scip --out /tmp/graph
+    python -m codegraph_spark --graph /tmp/graph query search Client --limit 10
+    python -m codegraph_spark --graph /tmp/graph lsp definition "scip-go gomod m v1 T#"
+    python -m codegraph_spark --graph /tmp/graph analyze impact "scip-go gomod m v1 T#"
+    python -m codegraph_spark --graph /tmp/graph schema validate
+
+Every command prints one JSON document (the reference's MCP/LSP
+responses are JSON structs — mcp-server/main.go:17-56); ``--sf-dir``
+loads the TPC-H recast demo graph instead of ``--graph``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="codegraph_spark")
+    p.add_argument("--graph", help="directory with nodes/ and edges/ parquet (from `index`)")
+    p.add_argument("--sf-dir", help="TPC-H-shaped directory to load as the recast demo graph")
+    p.add_argument("--cpus", default="8", help="local[N] parallelism (default 8)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    idx = sub.add_parser("index", help="build a graph from sources").add_subparsers(
+        dest="what", required=True
+    )
+    ip = idx.add_parser("project", help="static-index a source tree (S1+S2)")
+    ip.add_argument("root")
+    ip.add_argument("--out", required=True)
+    isc = idx.add_parser("scip", help="index a SCIP protobuf file (S4)")
+    isc.add_argument("scip_file")
+    isc.add_argument("--out", required=True)
+
+    q = sub.add_parser("query", help="search / source retrieval").add_subparsers(
+        dest="what", required=True
+    )
+    qs = q.add_parser("search")
+    qs.add_argument("term")
+    qs.add_argument("--types", nargs="*", default=None)
+    qs.add_argument("--limit", type=int, default=50)
+    qsrc = q.add_parser("source")
+    qsrc.add_argument("function_name")
+
+    lsp = sub.add_parser("lsp", help="LSP-style lookups").add_subparsers(
+        dest="what", required=True
+    )
+    for name in ("definition", "references", "implementations", "hover"):
+        lp = lsp.add_parser(name)
+        lp.add_argument("symbol")
+    comp = lsp.add_parser("completion")
+    comp.add_argument("prefix")
+    comp.add_argument("--limit", type=int, default=20)
+
+    an = sub.add_parser("analyze", help="advanced analysis").add_subparsers(
+        dest="what", required=True
+    )
+    ai = an.add_parser("impact")
+    ai.add_argument("symbol")
+    ai.add_argument("--max-depth", type=int, default=10)
+    ad = an.add_parser("deps")
+    ad.add_argument("service_pkg")
+    af = an.add_parser("flow")
+    af.add_argument("node_id")
+    af.add_argument("--max-depth", type=int, default=15)
+    ac = an.add_parser("complexity")
+    ac.add_argument("--threshold", type=int, default=10)
+    ag = an.add_parser("callgraph")
+    ag.add_argument("root_id")
+    ag.add_argument("--direction", default="out", choices=["out", "in", "both"])
+    ag.add_argument("--max-depth", type=int, default=3)
+
+    sc = sub.add_parser("schema", help="validate / info (K7/K8)").add_subparsers(
+        dest="what", required=True
+    )
+    sc.add_parser("validate")
+    sc.add_parser("info")
+
+    return p
+
+
+def _load_graph(spark, args):
+    from codegraph_spark.graph import PropertyGraph
+
+    if args.graph:
+        return PropertyGraph.from_parquet(
+            spark, f"{args.graph}/nodes", f"{args.graph}/edges"
+        )
+    if args.sf_dir:
+        return PropertyGraph.from_tpch_recast(spark, args.sf_dir)
+    raise SystemExit("this command needs --graph DIR or --sf-dir DIR")
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = _build_parser().parse_args(argv)
+
+    from codegraph_spark.session import get_spark
+
+    spark = get_spark(app_name="codegraph-spark-cli", cpus=args.cpus)
+    out: Any
+    try:
+        if args.cmd == "index":
+            from codegraph_spark.graph import PropertyGraph
+
+            if args.what == "project":
+                from codegraph_spark.sources.static_index import index_project
+
+                nodes, edges = index_project(spark, args.root)
+            else:
+                from codegraph_spark.sources.scip import index_scip
+
+                nodes, edges = index_scip(spark, args.scip_file)
+            g = PropertyGraph(nodes, edges)
+            g.write_parquet(f"{args.out}/nodes", f"{args.out}/edges")
+            out = {
+                "nodes": nodes.count(),
+                "edges": edges.count(),
+                "out": args.out,
+            }
+        elif args.cmd == "schema":
+            from codegraph_spark.schema import SchemaManager, database_info
+
+            g = _load_graph(spark, args)
+            out = (
+                SchemaManager().validate(g)
+                if args.what == "validate"
+                else {**SchemaManager().info(g), **database_info(spark)}
+            )
+        else:
+            from codegraph_spark.services import AdvancedService, LSPService, MCPService
+
+            g = _load_graph(spark, args).persist()
+            if args.cmd == "query":
+                if args.what == "search":
+                    out = LSPService(g).search(args.term, args.types, args.limit)
+                else:
+                    out = MCPService(g).get_source(args.function_name)
+            elif args.cmd == "lsp":
+                svc = LSPService(g)
+                out = {
+                    "definition": lambda: svc.go_to_definition(args.symbol),
+                    "references": lambda: svc.find_references(args.symbol),
+                    "implementations": lambda: svc.find_implementations(args.symbol),
+                    "hover": lambda: svc.get_hover(args.symbol),
+                    "completion": lambda: svc.get_completion(args.prefix, args.limit),
+                }[args.what]()
+            else:  # analyze
+                adv = AdvancedService(g)
+                out = {
+                    "impact": lambda: adv.analyze_impact(args.symbol, args.max_depth),
+                    "deps": lambda: adv.analyze_dependencies(args.service_pkg),
+                    "flow": lambda: adv.trace_data_flow(args.node_id, args.max_depth),
+                    "complexity": lambda: adv.analyze_complexity(args.threshold),
+                    "callgraph": lambda: adv.build_call_graph(
+                        args.root_id, args.direction, args.max_depth
+                    ),
+                }[args.what]()
+        json.dump(out, sys.stdout, indent=2, default=str)
+        print()
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

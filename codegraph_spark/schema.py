@@ -65,7 +65,16 @@ class SchemaManager:
         """ValidateSchema (schema.go:443-488): every declared constraint
         holds on the live graph; referential integrity of edges."""
         failures: list[str] = []
+        skipped: list[str] = []
+        cols = set(graph.nodes.columns)
         for c in self.constraints:
+            # properties are open-schema (§1.5): a constraint on a
+            # column this graph doesn't carry is vacuously satisfied
+            # (Neo4j likewise validates declared constraints against
+            # whatever properties exist) — report it, don't crash.
+            if c.prop not in cols:
+                skipped.append(f"{c.label}.{c.prop} (column absent)")
+                continue
             scoped = graph.nodes.filter(
                 (F.col("label") == c.label) & F.col(c.prop).isNotNull()
             )
@@ -84,7 +93,7 @@ class SchemaManager:
         )
         if orphans:
             failures.append("edges reference node ids not present in nodes")
-        return {"valid": not failures, "failures": failures}
+        return {"valid": not failures, "failures": failures, "skipped": skipped}
 
     def info(self, graph: PropertyGraph) -> dict:
         """GetSchemaInfo (schema.go:410-440): labels, edge types,

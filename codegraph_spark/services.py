@@ -210,11 +210,19 @@ class AdvancedService:
         return {"service": service_pkg, "dependencies": _rows(grouped)}
 
     def analyze_complexity(self, threshold: int = 10) -> dict:
-        """A6 (advanced.go:213-239, declared-stub shape made real)."""
-        fns = self.g.nodes.filter(
-            F.col("label").isin("Function", "Method")
-            & F.col("complexity").isNotNull()
+        """A6 (advanced.go:213-239, declared-stub shape made real).
+
+        Properties are open-schema (§1.5): a graph without a
+        ``complexity`` column behaves as all-NULL (Cypher semantics for
+        an absent property), yielding the empty summary, not an error."""
+        cx = (
+            F.col("complexity")
+            if "complexity" in self.g.nodes.columns
+            else F.lit(None).cast("double")
         )
+        fns = self.g.nodes.filter(
+            F.col("label").isin("Function", "Method") & cx.isNotNull()
+        ).withColumn("complexity", cx)
         row = fns.agg(
             F.count("*").alias("totalFunctions"),
             F.avg("complexity").alias("averageComplexity"),

@@ -1,0 +1,35 @@
+"""CLI surface: parser shape parity with the reference's command tree
+(cmd/codegraph/main.go). End-to-end CLI runs spawn their own
+SparkSession, so here we check parsing only; the commands themselves
+are the service methods covered by tests/test_services.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from codegraph_spark.__main__ import _build_parser
+
+
+@pytest.mark.parametrize(
+    "argv,expect",
+    [
+        (["index", "project", "./src", "--out", "/tmp/g"], ("index", "project")),
+        (["index", "scip", "x.scip", "--out", "/tmp/g"], ("index", "scip")),
+        (["--graph", "/tmp/g", "query", "search", "Client", "--limit", "10"], ("query", "search")),
+        (["--graph", "/tmp/g", "query", "source", "fn"], ("query", "source")),
+        (["--graph", "/tmp/g", "lsp", "definition", "scip-go gomod m v1 T#"], ("lsp", "definition")),
+        (["--graph", "/tmp/g", "lsp", "completion", "pre", "--limit", "5"], ("lsp", "completion")),
+        (["--sf-dir", "/d", "analyze", "impact", "sym", "--max-depth", "5"], ("analyze", "impact")),
+        (["--sf-dir", "/d", "analyze", "callgraph", "n1", "--direction", "both"], ("analyze", "callgraph")),
+        (["--graph", "/tmp/g", "schema", "validate"], ("schema", "validate")),
+        (["--graph", "/tmp/g", "schema", "info"], ("schema", "info")),
+    ],
+)
+def test_cli_parses_reference_command_tree(argv, expect):
+    args = _build_parser().parse_args(argv)
+    assert (args.cmd, args.what) == expect
+
+
+def test_cli_rejects_unknown_command():
+    with pytest.raises(SystemExit):
+        _build_parser().parse_args(["frobnicate"])
