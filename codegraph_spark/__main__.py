@@ -87,6 +87,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sc.add_parser("validate")
     sc.add_parser("info")
 
+    srv = sub.add_parser("serve", help="long-running servers").add_subparsers(
+        dest="what", required=True
+    )
+    srv.add_parser("mcp", help="MCP stdio JSON-RPC server (mcp-server/main.go)")
+
     return p
 
 
@@ -141,6 +146,11 @@ def main(argv: list[str] | None = None) -> None:
             from codegraph_spark.services import AdvancedService, LSPService, MCPService
 
             g = _load_graph(spark, args).persist()
+            if args.cmd == "serve":
+                from codegraph_spark.mcp import serve
+
+                serve(MCPService(g), sys.stdin, sys.stdout)
+                return
             if args.cmd == "query":
                 if args.what == "search":
                     out = LSPService(g).search(args.term, args.types, args.limit)
