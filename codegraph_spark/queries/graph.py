@@ -215,7 +215,7 @@ def j9_orphan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPT-ish integrity check)."""
     g = _graph(spark, sf_dir)
     parts = g.nodes.filter(F.col("label") == "Part")
-    refs = g.edges.filter(F.col("type") == "REFERENCES").select(F.col("dst").alias("id"))
+    refs = g.typed_edges("REFERENCES").select(F.col("dst").alias("id"))
     return parts.join(refs, "id", "left_anti").select("id", "name", "key")
 
 
@@ -235,7 +235,7 @@ def j10_optional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = g.nodes.filter(F.col("label") == "Customer").select(
         F.col("id").alias("cid"), "name"
     )
-    ords = g.edges.filter(F.col("type") == "CONTAINS").select(
+    ords = g.typed_edges("CONTAINS").select(
         F.col("src").alias("cid"), F.col("dst").alias("oid")
     )
     return (
