@@ -94,8 +94,9 @@ def bfs_reachable(
     broadcast-hash join: the edge table is scanned in place, never
     shuffled, and the visited anti-join broadcasts the (small) union
     of per-level frontiers. Pass ``False`` for whole-graph seeds.
-    Exactly ONE job per round (the eager frontier checkpoint, which
-    also flattens lineage so round k doesn't replay rounds 1..k-1).
+    Exactly ONE job per round: the frontier count materializes a lazy
+    checkpoint (flattening lineage so round k doesn't replay rounds
+    1..k-1) and doubles as the empty-frontier termination barrier.
 
     :param sources: DataFrame with an ``id`` column of seed node ids.
     :returns: DataFrame ``(id, hops)`` — ``hops`` = minimum hop count.
@@ -108,14 +109,17 @@ def bfs_reachable(
         for hop in range(1, max_hops + 1):
             f = F.broadcast(frontier) if broadcast_frontier else frontier
             s = F.broadcast(seen) if broadcast_frontier else seen
+            # lazy checkpoint + count = ONE job per round: the count
+            # materializes the checkpoint (truncating lineage) and is
+            # the empty-frontier barrier — no separate isEmpty action.
             nxt = (
                 f.join(e, f.id == e._from)
                 .select(F.col("_to").alias("id"))
                 .distinct()
                 .join(s, "id", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.isEmpty():
+            if nxt.count() == 0:
                 break
             levels.append(nxt.withColumn("hops", F.lit(hop)))
             seen = seen.unionByName(nxt)
@@ -229,8 +233,8 @@ def enumerate_paths(
                     F.lit(hop).alias("hops"),
                 )
             )
-            cur = cur.localCheckpoint(eager=True)
-            if cur.isEmpty():
+            cur = cur.localCheckpoint(eager=False)
+            if cur.count() == 0:
                 break
             acc = cur if acc is None else acc.unionByName(cur)
     if acc is None:
