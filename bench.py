@@ -34,6 +34,7 @@ HEADLINE = [
     "j6_service_deps",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster_cc",
     "sim_topk_bruteforce",
     "text_quality_score",
     "mm_image_meta",

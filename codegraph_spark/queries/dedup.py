@@ -292,12 +292,96 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+# --- dedup_cluster_cc: duplicate-cluster resolution (connected components) ----
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve duplicate CLUSTERS: map every document to a canonical
+    representative across a union of candidate generators (here: exact
+    content hash + order-insensitive token fingerprint — a doc pair may
+    connect through either, so clusters chain transitively).
+
+    The production dedup pipeline needs this step after candidate
+    generation — pairs alone can't answer "which copy do I keep".
+
+    Scale design: connected components via min-label propagation over
+    the doc–KEY bipartite graph, NOT over doc–doc pairs — a dup group
+    of size g contributes g rows per round instead of g² pairs (hub
+    groups are exactly where pair-joins explode at 100 TB). Each round
+    is two key-partitioned aggregations; labels only decrease, so
+    sum(label) is a monotone convergence witness (one count-free check
+    per round), and rounds are bounded by cluster diameter, which for
+    dup clusters is tiny. The same alternating pattern is the
+    small-star/large-star CC of the MapReduce literature."""
+    docs = load_table(spark, sf_dir, "documents")
+    dk = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("x:"), F.md5(F.lower(F.col("text")))),
+                F.concat(
+                    F.lit("f:"),
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.array_sort(
+                                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+                            ),
+                        )
+                    ),
+                ),
+            )
+        ).alias("key"),
+    ).localCheckpoint(eager=False)
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    prev_sum = None
+    for _ in range(8):  # diameter bound; dup clusters are shallow
+        key_min = (
+            dk.join(labels, "doc_id")
+            .groupBy("key")
+            .agg(F.min("cluster_id").alias("kmin"))
+        )
+        labels = (
+            dk.join(key_min, "key")
+            .groupBy("doc_id")
+            .agg(F.min("kmin").alias("cluster_id"))
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+_CLUSTER_SQL = """
+WITH RECURSIVE dk AS (
+    SELECT doc_id, 'x:' || md5(lower(text)) AS key FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'f:' || md5(list_aggregate(list_sort(list_distinct(string_split(lower(text), ' '))), 'string_agg', ' ')) AS key
+    FROM documents
+),
+reach(a, b) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.a, k2.doc_id
+    FROM reach r JOIN dk k1 ON k1.doc_id = r.b JOIN dk k2 ON k2.key = k1.key
+)
+SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical
+FROM reach GROUP BY a
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster_cc": dedup_cluster_cc,
 }
 
 ORACLES = {
@@ -306,4 +390,5 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": _EMB_SQL,
+    "dedup_cluster_cc": _CLUSTER_SQL,
 }
