@@ -135,11 +135,92 @@ FROM documents
 """
 
 
+# --- sample_stratified: deterministic hash-stratified downsampling ------------
+
+#: per-language keep rates in per-mille — the corpus-mixing knob.
+_SAMPLE_RATES = {"en": 600, "es": 300, "de": 300, "fr": 100}
+_SAMPLE_DEFAULT = 50  # everything else ('und', rare langs)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the corpus-curation step
+    that sets the training mix. Membership = md5(doc_id) mod 1000 <
+    per-language rate: shuffle-free and partition-local (a pure filter
+    that scans in place at any scale), reproducible across engines and
+    reruns (no RNG state, unlike ``sampleBy`` whose seed stream depends
+    on partitioning), and monotone in the rate (raising a stratum's
+    rate only ADDS docs — stable ablations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000
+    )
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for lang, r in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate_pm"))
+        .filter(F.col("bucket") < F.col("rate_pm"))
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, bucket, rate_pm FROM (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket,
+           CASE lang WHEN 'en' THEN 600 WHEN 'es' THEN 300
+                     WHEN 'de' THEN 300 WHEN 'fr' THEN 100
+                     ELSE {_SAMPLE_DEFAULT} END AS rate_pm
+    FROM documents
+) WHERE bucket < rate_pm
+"""
+
+
+# --- corpus_mix_summary: per-language corpus statistics rollup ----------------
+def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing table a training run consumes: per-language doc and
+    token counts plus each stratum's per-mille share of the corpus
+    token budget. Aggregates are INTEGER sums only — float aggregation
+    is summation-order-dependent across engines/partitionings, so
+    ratios are derived from exact ints after the agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", F.size(F.split(F.col("text"), " ")).alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    total = per.select(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.crossJoin(total)
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.col("n_tokens") * 1000 / F.col("total_tokens")).alias("share_pm"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIX_SQL = """
+SELECT lang, n_docs, n_tokens,
+       CAST(FLOOR(n_tokens * 1000 / CAST(SUM(n_tokens) OVER () AS DOUBLE)) AS BIGINT) AS share_pm
+FROM (
+    SELECT lang, count(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS n_tokens
+    FROM documents GROUP BY lang
+)
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "sample_stratified": sample_stratified,
+    "corpus_mix_summary": corpus_mix_summary,
 }
 
 ORACLES = {
@@ -147,4 +228,6 @@ ORACLES = {
     "text_quality_score": _QUALITY_SQL,
     "text_token_count": _TOKENS_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
+    "sample_stratified": _SAMPLE_SQL,
+    "corpus_mix_summary": _MIX_SQL,
 }
