@@ -90,6 +90,30 @@ class PropertyGraph:
         self.nodes.write.mode(mode).partitionBy("label").parquet(nodes_path)
         self.edges.write.mode(mode).partitionBy("type").parquet(edges_path)
 
+    def write_bucketed(self, prefix: str = "codegraph", buckets: int = 32) -> None:
+        """Persist as BUCKETED tables so graph-pattern joins co-locate.
+
+        Every traversal join is ``edges.src = nodes.id``; bucketing
+        nodes by ``id`` and edges by ``src`` with the same bucket count
+        makes that equi-join shuffle-free on read-back (Catalyst sees
+        matching HashPartitioning on both scans and plans a SortMergeJoin
+        with NO Exchange). At 100 TB this is the difference between
+        re-shuffling 2 multi-TB tables per query and none — the on-disk
+        analog of the ``typed_edges`` in-memory layout. Bucket count
+        fixes fan-in per reducer; choose ≈ table_size / 1 GiB at the
+        target scale (32 suffices for the test fixtures).
+        """
+        (
+            self.nodes.write.mode("overwrite")
+            .bucketBy(buckets, "id").sortBy("id")
+            .format("parquet").saveAsTable(f"{prefix}_nodes")
+        )
+        (
+            self.edges.write.mode("overwrite")
+            .bucketBy(buckets, "src").sortBy("src")
+            .format("parquet").saveAsTable(f"{prefix}_edges")
+        )
+
     def closure(self, edge_type: str = "CONTAINS", max_depth: int = 6) -> DataFrame:
         """Cached ancestor→descendant closure ``(anc, desc, hops)`` of an
         acyclic containment forest — the ingest-time precompute behind
