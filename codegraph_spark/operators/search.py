@@ -8,8 +8,10 @@ rank (Function/Method first), ORDER BY rank, name, LIMIT.
 
 At scale this is a full scan by design — the reference degrades the
 same way (full-text index needs Neo4j Enterprise, schema.go:175-176).
-Catalyst prunes to only the searched columns; an inverted-index table
-is the future optimization (SURVEY §7.3 risk 3).
+Catalyst prunes to only the searched columns; the scale path is the
+trigram inverted index in ``operators/inverted_index.py`` (SURVEY
+§7.3 risk 3), which prefilters candidates by gram intersection and
+re-verifies with this scan's predicate — result-identical.
 """
 
 from __future__ import annotations
