@@ -56,6 +56,31 @@ LIMIT 50
 """)
 
 
+# --- o1b: the same search served through the trigram inverted index ----------
+def o1_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o1_search_ranked's exact semantics through the scale path
+    (operators/inverted_index.py): gram-intersection candidate
+    prefilter → contains verify → identical rank/order/limit. Shares
+    o1's oracle — the point IS result-identity with the scan."""
+    from codegraph_spark.operators.inverted_index import build_trigram_index, search_via_index
+
+    g = _graph(spark, sf_dir)
+    rank_order = [(("Part",), 1), (("LineItem",), 2), (("Order",), 3)]
+    index = build_trigram_index(g.nodes, fields=["name", "symbol"])
+    out = search_via_index(
+        g.nodes, index, "red", fields=["name", "symbol"],
+        node_types=["Part", "LineItem", "Customer", "Supplier"],
+        limit=0,
+    )
+    # re-rank with o1's CASE (search_via_index applies the default rank)
+    rank = None
+    for labels, r in rank_order:
+        cond = F.col("label").isin(*labels)
+        rank = F.when(cond, r) if rank is None else rank.when(cond, r)
+    out = out.withColumn("rank", rank.otherwise(6))
+    return out.orderBy("rank", "name", "id").limit(50).select("id", "label", "name", "rank")
+
+
 # --- p5: string service-membership predicate (query.go:300) -----------------
 def p5_symbol_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``symbol CONTAINS ' ' AND NOT symbol CONTAINS $svc`` — the
@@ -329,6 +354,7 @@ QUERIES = {
     "p1_find_by_label": p1_find_by_label,
     "f6_display_name": f6_display_name,
     "o1_search_ranked": o1_search_ranked,
+    "o1_search_indexed": o1_search_indexed,
     "p5_symbol_membership": p5_symbol_membership,
     "a1_count_per_label": a1_count_per_label,
     "a2_count_per_edge_type": a2_count_per_edge_type,
@@ -345,6 +371,7 @@ ORACLES = {
     "p1_find_by_label": _P1_SQL,
     "f6_display_name": _F6_SQL,
     "o1_search_ranked": _O1_SQL,
+    "o1_search_indexed": _O1_SQL,
     "p5_symbol_membership": _P5_SQL,
     "a1_count_per_label": _A1_SQL,
     "a2_count_per_edge_type": _A2_SQL,
