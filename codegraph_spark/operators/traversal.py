@@ -176,7 +176,8 @@ def transitive_closure(edges: DataFrame, max_depth: int = 64) -> DataFrame:
     forest is shallow (≤ 6 levels) and this is 3 rounds of equi-joins.
     Safe on cycles (converges to SCC-pairs), intended for DAGs/forests.
     """
-    clo = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    clo = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    size = clo.count()  # materializes the checkpoint (one job)
     depth = 1
     while depth < max_depth:
         a, b = clo.alias("a"), clo.alias("b")
@@ -184,10 +185,11 @@ def transitive_closure(edges: DataFrame, max_depth: int = 64) -> DataFrame:
             a.join(b, F.col("a.dst") == F.col("b.src"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         )
-        merged = clo.unionByName(new).distinct().localCheckpoint(eager=True)
-        if merged.count() == clo.count():
+        merged = clo.unionByName(new).distinct().localCheckpoint(eager=False)
+        merged_size = merged.count()  # one job per doubling round
+        if merged_size == size:
             break
-        clo = merged
+        clo, size = merged, merged_size
         depth *= 2
     return clo
 

@@ -143,6 +143,35 @@ def test_forest_closure_matches_reference(spark, parents, max_depth):
     assert got == ref
 
 
+@SETTINGS
+@given(
+    parents=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=10),
+)
+def test_transitive_closure_matches_reference(spark, parents):
+    """Path-doubling all-pairs reachability on random forests equals
+    the brute-force reachable-pairs set (hop counts not tracked)."""
+    from codegraph_spark.operators.traversal import transitive_closure
+
+    edges = [(p % (i + 1), i + 1) for i, p in enumerate(parents)]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    ref: set[tuple[str, str]] = set()
+
+    def reach(root, node):
+        for nxt in adj.get(node, ()):
+            ref.add((f"n{root}", f"n{nxt}"))
+            reach(root, nxt)
+
+    for r in adj:
+        reach(r, r)
+    got = {
+        (r["src"], r["dst"])
+        for r in transitive_closure(_edges_df(spark, edges)).collect()
+    }
+    assert got == ref
+
+
 @pytest.mark.parametrize("direction", ["in", "both"])
 def test_bfs_directions(spark, direction):
     """`in` climbs edges backwards; `both` treats them as undirected."""
