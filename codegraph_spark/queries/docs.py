@@ -316,7 +316,8 @@ def f9_word_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _F9_SQL = """
-SELECT doc_id, pos, tok, start_byte,
+SELECT doc_id, pos, tok,
+       CAST(start_byte AS BIGINT) AS start_byte,
        substr(text, CAST(start_byte AS INT) + 1, length(tok)) AS token_at_offset
 FROM (
     SELECT doc_id, text, pos, tok,

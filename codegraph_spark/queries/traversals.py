@@ -317,10 +317,15 @@ def a4_deps_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference groups discovered dependencies by foreignService
     host-side (CallingFunctions list + CallCount counter,
     advanced.go:148-177); here the same group-by runs distributed over
-    the J6 result: ``collect_set`` sorted for determinism + count."""
+    the J6 result: ``collect_set`` sorted for determinism + count. The
+    list is serialized to a comma-joined scalar so the result is a plain
+    hashable row (the reference's CallingFunctions list is JSON-encoded
+    at the serving boundary anyway)."""
     deps = j6_service_deps(spark, sf_dir)
     return deps.groupBy("foreign_pkg").agg(
-        F.sort_array(F.collect_set("caller_name")).alias("calling_functions"),
+        F.array_join(
+            F.sort_array(F.collect_set("caller_name")), ","
+        ).alias("calling_functions"),
         F.count("*").alias("call_count"),
     )
 
@@ -347,7 +352,8 @@ deps AS (
 """,
     sql="""
 SELECT foreign_pkg,
-       list_sort(list(DISTINCT caller_name)) AS calling_functions,
+       list_aggregate(list_sort(list(DISTINCT caller_name)), 'string_agg', ',')
+           AS calling_functions,
        count(*) AS call_count
 FROM deps
 GROUP BY foreign_pkg
