@@ -260,10 +260,20 @@ SELECT doc_id, {bits} AS simhash FROM votes
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: candidate pairs restricted to the same label
     bucket (the IVF-style prefilter — at 100 TB buckets come from
-    LSH/k-means, never a global cross join), cosine ≥ 0.9."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    LSH/k-means, never a global cross join), cosine ≥ 0.9.
+
+    The synthetic embeddings are random (max natural same-label cosine
+    ≈0.47 at sf0.01), so the corpus is augmented with deterministic
+    planted duplicates — every 40th vector cloned under ``vec_id +
+    1_000_000`` — making the gate exercise the join and the cosine math
+    instead of passing vacuously on an empty result."""
+    base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
+    clones = base.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v", "label"
+    )
+    emb = base.unionByName(clones)
     a, b = emb.alias("a"), emb.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -273,20 +283,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos_f", F.floor(cos * 100) / 100)
+        .withColumn("cos_r", F.round(cos, 2))
         .filter(cos >= 0.9)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("cos_f").alias("cosine"),
+            F.col("cos_r").alias("cosine"),
         )
     )
 
 
 _EMB_SQL = """
+WITH emb AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 40 = 0
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 100) / 100 AS cosine
-FROM embeddings a JOIN embeddings b
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 2) AS cosine
+FROM emb a JOIN emb b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
 """

@@ -59,3 +59,20 @@ def test_cluster_matches_duckdb_oracle_on_chain(spark, chain_dir):
         for r in dedup_cluster_cc(spark, chain_dir).collect()
     }
     assert got == want
+
+
+def test_embedding_cosine_finds_planted_duplicates(spark):
+    """The planted-clone augmentation must surface every 40th vector as
+    a (vec_id, vec_id+1_000_000) pair with cosine 1.0 — a zero-row green
+    would mean the candidate join never ran (VERDICT r1 §wrong.4)."""
+    from codegraph_spark.queries.dedup import dedup_embedding_cosine
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert len(pairs) > 0
+    expected = {(v, v + 1_000_000) for v in range(0, 500, 40)}
+    assert expected <= set(pairs)
+    assert all(abs(c - 1.0) < 1e-9 for c in pairs.values())
