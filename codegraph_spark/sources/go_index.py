@@ -185,6 +185,7 @@ def parse_go_file(path: str, source: str) -> list[dict]:
     file_id = f"file:{path}"
     node(file_id, "File", name=path.rsplit("/", 1)[-1], fqn=path,
          start_line=1, end_line=len(raw), lines_of_code=len(raw),
+         language="Go",
          hash=hashlib.sha256(source.encode("utf-8")).hexdigest())
 
     package = None

@@ -445,3 +445,63 @@ def index_scip(spark: SparkSession, scip_path: str) -> tuple[DataFrame, DataFram
     with open(scip_path, "rb") as f:
         data = f.read()
     return scip_to_graph(*scip_dataframes(spark, data))
+
+
+def generate_scip_index(
+    project_path: str,
+    scip_binary: str = "scip-go",
+    module_name: str | None = None,
+    module_version: str = "v0",
+) -> str:
+    """S3 generator hook: shell out to ``scip-go`` to produce
+    ``<project>/index.scip`` (generateSCIPIndex, scip_indexer.go:97-132;
+    the binary is pluggable exactly like SetSCIPBinary, :368-371).
+
+    Driver-side by design — index generation is a per-project subprocess
+    in the reference too; the *decode* of its output is the distributed
+    part (scip_dataframes). Raises FileNotFoundError with the
+    reference's install hint when the binary is absent."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which(scip_binary) is None:
+        raise FileNotFoundError(
+            f"{scip_binary} not found in PATH. Install with: "
+            "go install github.com/sourcegraph/scip-go/cmd/scip-go@latest"
+        )
+    output_file = os.path.join(project_path, "index.scip")
+    cmd = [
+        shutil.which(scip_binary),
+        "--module-name", module_name or os.path.basename(project_path.rstrip("/")),
+        "--module-version", module_version,
+        "--output", output_file,
+    ]
+    proc = subprocess.run(cmd, cwd=project_path, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{scip_binary} command failed (rc={proc.returncode}):\n"
+            f"{proc.stdout}{proc.stderr}"
+        )
+    if not os.path.exists(output_file):
+        raise RuntimeError(f"SCIP index file was not generated: {output_file}")
+    return output_file
+
+
+def index_scip_project(
+    spark: SparkSession, project_path: str, scip_binary: str = "scip-go"
+) -> tuple[DataFrame, DataFrame]:
+    """IndexProject parity for the SCIP pipeline (scip_indexer.go:60-95):
+    generate via the pluggable binary, fall back to a pre-existing
+    ``index.scip`` when the toolchain is absent (this container has no
+    Go toolchain; the reference hard-fails instead — our fallback keeps
+    ingestion usable from checked-in indexes)."""
+    import os
+
+    try:
+        path = generate_scip_index(project_path, scip_binary)
+    except FileNotFoundError:
+        path = os.path.join(project_path, "index.scip")
+        if not os.path.exists(path):
+            raise
+    return index_scip(spark, path)

@@ -76,7 +76,16 @@ RECORD_SCHEMA = StructType([
     StructField("symbol", StringType()),
     StructField("order", IntegerType()),       # CONTAINS order prop
     StructField("hash", StringType()),         # File sha256 (F4, indexer.go:693-697)
+    StructField("language", StringType()),     # F8 language-from-extension
 ])
+
+# F8 parity (scip_indexer.go detectLanguage): extension → language.
+LANGUAGE_BY_EXT = {".py": "Python", ".go": "Go"}
+
+
+def _language(path: str) -> str | None:
+    dot = path.rfind(".")
+    return LANGUAGE_BY_EXT.get(path[dot:]) if dot >= 0 else None
 
 _BRANCH_NODES = (
     ast.If, ast.For, ast.While, ast.ExceptHandler, ast.With,
@@ -137,6 +146,7 @@ def parse_python_file(path: str, source: str) -> list[dict]:
     n_lines = source.count("\n") + 1
     node(file_id, "File", name=path.rsplit("/", 1)[-1],
          fqn=path, start_line=1, end_line=n_lines, lines_of_code=n_lines,
+         language="Python",
          hash=hashlib.sha256(source.encode("utf-8")).hexdigest())
 
     try:
@@ -232,10 +242,22 @@ def parse_python_file(path: str, source: str) -> list[dict]:
     return records
 
 
-def walk_sources(spark: SparkSession, root: str, glob: str = "*.py") -> DataFrame:
+def parse_source_file(path: str, source: str) -> list[dict]:
+    """Language dispatch for the per-file parse kernel: ``go/parser``
+    analog for ``.go`` (sources/go_index.py), stdlib ``ast`` for ``.py``.
+    Same flat RECORD_SCHEMA stream either way."""
+    if path.endswith(".go"):
+        from codegraph_spark.sources.go_index import parse_go_file
+
+        return parse_go_file(path, source)
+    return parse_python_file(path, source)
+
+
+def walk_sources(spark: SparkSession, root: str, glob: str = "*.{py,go}") -> DataFrame:
     """S1 directory walk as a distributed scan (indexer.go:43-82).
     Returns ``(path, content)``; skip-dir anti-filter applied on the
-    file path, test files dropped like the reference drops *_test.go."""
+    file path, test files dropped like the reference drops *_test.go
+    (indexer.go:58-60)."""
     df = (
         spark.read.format("text")
         .option("wholetext", "true")
@@ -248,7 +270,9 @@ def walk_sources(spark: SparkSession, root: str, glob: str = "*.py") -> DataFram
         )
     )
     skip_re = "/(" + "|".join(d.replace(".", r"\.") for d in SKIP_DIRS) + ")/"
-    return df.filter(~F.col("path").rlike(skip_re))
+    return df.filter(
+        ~F.col("path").rlike(skip_re) & ~F.col("path").endswith("_test.go")
+    )
 
 
 def index_records(files: DataFrame) -> DataFrame:
@@ -259,7 +283,7 @@ def index_records(files: DataFrame) -> DataFrame:
         for pdf in batches:
             out: list[dict] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                out.extend(parse_python_file(path, content))
+                out.extend(parse_source_file(path, content))
             yield pd.DataFrame(out, columns=[f.name for f in RECORD_SCHEMA.fields])
 
     return files.mapInPandas(run, schema=RECORD_SCHEMA)
@@ -287,8 +311,37 @@ def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     return nodes, edges
 
 
-def index_project(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
-    """IndexProject parity (indexer.go:43-82): walk → parse → split.
-    Returns (nodes, edges), each deterministic for a fixed tree."""
+def index_project(
+    spark: SparkSession, root: str, service_name: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """IndexProject parity (indexer.go:43-82): Service root node
+    (createServiceNode, indexer.go:84-97) + Service-CONTAINS->File edges
+    (indexer.go:132) + walk → parse → split. Deterministic for a fixed
+    tree (the reference stamps createdAt/updatedAt; we leave timestamps
+    to the upsert layer, F21, so re-index is exactly idempotent)."""
     records = index_records(walk_sources(spark, root)).persist()
-    return split_records(records)
+    nodes, edges = split_records(records)
+
+    name = service_name or root.rstrip("/").rsplit("/", 1)[-1]
+    sid = f"service:{name}"
+    svc = spark.createDataFrame(
+        [(sid, "Service", name, name, root)], "id string, label string, name string, fqn string, path string"
+    )
+    svc_nodes = svc.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in ("id", "label", "name", "fqn", "path")
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in nodes.schema.fields
+        ]
+    )
+    svc_edges = (
+        nodes.filter(F.col("label") == "File")
+        .select(
+            F.lit(sid).alias("src"),
+            F.col("id").alias("dst"),
+            F.lit("CONTAINS").alias("type"),
+            F.lit(None).cast("int").alias("order"),
+        )
+    )
+    return nodes.unionByName(svc_nodes), edges.unionByName(svc_edges)

@@ -48,8 +48,13 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (LTZ); under the UTC session
+        # timezone this cast is value-identity with the batch loader.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,178 @@
+"""Go-language dogfood: index the reference repo itself (read-only
+input) and assert the thresholds of its own integration suite
+(test/integration/indexing_test.go:91-158 — 1 Service, >=10 Files,
+>=5 Functions, >=100 Symbols, Service-CONTAINS->File >=10,
+File..CONTAINS..definitions >=50), plus unit checks on the Go parse
+kernel (func/method/type/var, doc comments, receiver linking, CALLS)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from codegraph_spark.sources.go_index import parse_go_file
+from codegraph_spark.sources.static_index import index_project
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_graph(spark):
+    nodes, edges = index_project(spark, REFERENCE, service_name="codegraph")
+    nodes, edges = nodes.persist(), edges.persist()
+    yield nodes, edges
+    nodes.unpersist()
+    edges.unpersist()
+
+
+def test_dogfood_thresholds(ref_graph):
+    """indexing_test.go:91-158 verifyCodeIndexing, minus the Reference
+    rows (REFERENCES comes from the SCIP pipeline, not the static one)."""
+    nodes, edges = ref_graph
+    by_label = {r["label"]: r["n"] for r in
+                nodes.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert by_label.get("Service", 0) == 1
+    assert by_label.get("File", 0) >= 10
+    assert by_label.get("Function", 0) >= 5
+    assert by_label.get("Symbol", 0) >= 100
+    assert by_label.get("Class", 0) >= 5          # Go type decls
+    assert by_label.get("Method", 0) >= 20        # receiver funcs
+
+    # Service contains >=10 files (indexer.go:132 edge)
+    svc_files = (
+        edges.filter(F.col("type") == "CONTAINS")
+        .filter(F.col("src").startswith("service:"))
+        .filter(F.col("dst").startswith("file:"))
+    )
+    assert svc_files.count() >= 10
+
+    # definitions contained somewhere >=50; DEFINES edges exist
+    by_type = {r["type"]: r["n"] for r in
+               edges.groupBy("type").agg(F.count("*").alias("n")).collect()}
+    assert by_type.get("CONTAINS", 0) >= 50
+    assert by_type.get("DEFINES", 0) >= 100
+    assert by_type.get("CALLS", 0) >= 1
+
+
+def test_dogfood_no_test_files(ref_graph):
+    """The walk drops *_test.go exactly as indexer.go:58-60 does."""
+    nodes, _ = ref_graph
+    assert nodes.filter(F.col("path").endswith("_test.go")).isEmpty()
+
+
+def test_dogfood_no_orphan_edges(ref_graph):
+    nodes, edges = ref_graph
+    ids = nodes.select("id")
+    assert edges.join(ids, edges.src == ids.id, "left_anti").isEmpty()
+    assert edges.join(ids, edges.dst == ids.id, "left_anti").isEmpty()
+
+
+def test_dogfood_language_column(ref_graph):
+    """F8: File nodes carry language inferred from extension."""
+    nodes, _ = ref_graph
+    langs = {r["language"] for r in
+             nodes.filter(F.col("label") == "File").select("language").distinct().collect()}
+    assert langs == {"Go"}
+
+
+GO_SRC = '''\
+// Package calc does arithmetic.
+package calc
+
+import "fmt"
+
+// Version is the release tag.
+const Version = "1.0"
+
+var (
+	registry map[string]int
+	Debug    bool
+)
+
+// Engine holds state.
+type Engine struct {
+	n int
+}
+
+type (
+	Pair struct{ a, b int }
+	Mode int
+)
+
+// Add sums two ints.
+func Add(a, b int) int {
+	if a > 0 && b > 0 {
+		return a + b
+	}
+	return helper(a) + helper(b)
+}
+
+func helper(x int) int { // not exported
+	return x * 2
+}
+
+// Run drives the engine.
+func (e *Engine) Run(steps int) error {
+	for i := 0; i < steps; i++ {
+		Add(i, e.n)
+	}
+	return fmt.Errorf("done %q", "{not a brace}")
+}
+'''
+
+
+def test_parse_go_unit():
+    recs = parse_go_file("/r/pkg/calc/calc.go", GO_SRC)
+    nodes = {r["id"]: r for r in recs if r["rec"] == "node"}
+    edges = [(r["id"], r["label"], r["dst"]) for r in recs if r["rec"] == "edge"]
+
+    mod = nodes["module:r/pkg/calc/calc"]
+    assert mod["name"] == "calc"
+    assert "arithmetic" in mod["docstring"]
+
+    add = nodes["function:/r/pkg/calc/calc.go:r/pkg/calc/calc.Add"]
+    assert add["label"] == "Function" and add["is_exported"]
+    assert add["signature"] == "Add(a, b int) int"
+    assert add["docstring"] == "Add sums two ints."
+    assert add["complexity"] >= 3  # if + &&
+    assert add["lines_of_code"] == 6
+
+    h = nodes["function:/r/pkg/calc/calc.go:r/pkg/calc/calc.helper"]
+    assert not h["is_exported"]
+
+    run = nodes["method:/r/pkg/calc/calc.go:r/pkg/calc/calc.Engine.Run"]
+    assert run["label"] == "Method"
+    # method CONTAINed by its receiver type, not the module
+    assert ("class:/r/pkg/calc/calc.go:r/pkg/calc/calc.Engine", "CONTAINS",
+            run["id"]) in edges
+
+    # type() block members + struct
+    for tname in ("Engine", "Pair", "Mode"):
+        assert f"class:/r/pkg/calc/calc.go:r/pkg/calc/calc.{tname}" in nodes
+
+    # var/const incl. grouped block
+    for vname in ("Version", "registry", "Debug"):
+        assert f"variable:/r/pkg/calc/calc.go:r/pkg/calc/calc.{vname}" in nodes
+    assert nodes["variable:/r/pkg/calc/calc.go:r/pkg/calc/calc.Version"]["is_exported"]
+    assert not nodes["variable:/r/pkg/calc/calc.go:r/pkg/calc/calc.registry"]["is_exported"]
+
+    # same-file CALLS: Add -> helper, Run -> Add
+    calls = {(s, d) for s, t, d in edges if t == "CALLS"}
+    assert (add["id"], h["id"]) in calls
+    assert (run["id"], add["id"]) in calls
+
+    # parameters with order
+    params = [r for r in recs if r["rec"] == "node" and r["label"] == "Parameter"
+              and r["fqn"].startswith("r/pkg/calc/calc.Add.")]
+    assert [p["name"] for p in sorted(params, key=lambda p: p["order"])] == ["a", "b"]
+
+    # minted SCIP symbols are 5-part, scip-go scheme
+    syms = [r["symbol"] for r in recs if r["rec"] == "node" and r["label"] == "Symbol"]
+    assert syms and all(s.startswith("scip-go gomod ") and len(s.split(" ", 4)) == 5
+                        for s in syms)
+
+
+def test_parse_non_go_degrades_to_file_node():
+    recs = parse_go_file("/r/README.md", "# hello\nno package clause\n")
+    labels = {r["label"] for r in recs if r["rec"] == "node"}
+    assert labels == {"File"}

@@ -151,3 +151,55 @@ def test_kind_and_display_name(spark):
 def test_empty_index(spark):
     nodes, edges = scip_to_graph(*scip_dataframes(spark, b""))
     assert nodes.isEmpty() and edges.isEmpty()
+
+
+def test_generate_scip_index_fake_binary(spark, tmp_path):
+    """S3 generator hook (generateSCIPIndex, scip_indexer.go:97-132;
+    pluggable binary per SetSCIPBinary :368-371): a fake scip-go that
+    emits the wire-format fixture; the full pipeline decodes it."""
+    import os
+    import stat
+
+    from codegraph_spark.sources.scip import generate_scip_index, index_scip_project
+
+    project = tmp_path / "proj"
+    project.mkdir()
+    fixture = tmp_path / "fixture.scip"
+    fixture.write_bytes(encode_scip(FIXTURE))
+
+    fake = tmp_path / "fake-scip-go"
+    fake.write_text(
+        "#!/bin/sh\n"
+        '# args: --module-name N --module-version V --output OUT\n'
+        f'cp "{fixture}" "$6"\n'
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IXUSR)
+
+    out = generate_scip_index(str(project), scip_binary=str(fake))
+    assert out == str(project / "index.scip") and os.path.exists(out)
+
+    nodes, edges = index_scip_project(spark, str(project), scip_binary=str(fake))
+    assert nodes.count() > 0 and edges.count() > 0
+
+
+def test_generate_scip_index_missing_binary(tmp_path):
+    """Reference behavior when scip-go is absent: install-hint error."""
+    import pytest as _pytest
+
+    from codegraph_spark.sources.scip import generate_scip_index
+
+    with _pytest.raises(FileNotFoundError, match="not found in PATH"):
+        generate_scip_index(str(tmp_path), scip_binary="scip-go-definitely-absent")
+
+
+def test_index_scip_project_fallback_to_existing(spark, tmp_path):
+    """No binary + checked-in index.scip → decode the existing file."""
+    from codegraph_spark.sources.scip import index_scip_project
+
+    project = tmp_path / "proj2"
+    project.mkdir()
+    (project / "index.scip").write_bytes(encode_scip(FIXTURE))
+    nodes, _ = index_scip_project(
+        spark, str(project), scip_binary="scip-go-definitely-absent"
+    )
+    assert nodes.count() > 0
