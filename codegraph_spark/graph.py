@@ -134,6 +134,30 @@ class PropertyGraph:
             self._closures[key] = clo
         return clo
 
+    def closure_from(
+        self, anc_prefix: str, edge_type: str = "CONTAINS", max_depth: int = 6
+    ) -> DataFrame:
+        """Cached ancestor-rooted slice of :meth:`closure` — rows whose
+        ``anc`` id carries the given prefix (= node-label namespace of
+        the graph's id scheme, e.g. ``"region:"``).
+
+        Serving-layer pattern: service-anchored traversals (service
+        deps, query.go:288-292) only ever look up service roots, but a
+        full-closure scan touches every (anc, desc) pair — depth× the
+        node count. Slicing once and persisting makes each subsequent
+        lookup scan only the service-rooted rows (the on-disk analog is
+        partitioning the closure table by anc label at ingest)."""
+        key = (edge_type, max_depth, anc_prefix)
+        clo = self._closures.get(key)
+        if clo is None:
+            clo = (
+                self.closure(edge_type, max_depth)
+                .filter(F.col("anc").startswith(anc_prefix))
+                .persist()
+            )
+            self._closures[key] = clo
+        return clo
+
     def typed_edges(self, edge_type: str) -> DataFrame:
         """Cached per-type edge subset — the Spark analog of Neo4j's
         per-relationship-type store files. Iterative traversals hit one

@@ -247,7 +247,7 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE picks the strategy), then broadcast the small caller set
     # through the edge chain so the big tables are scanned in place.
     descendants = (
-        g.closure("CONTAINS", max_depth=CONTAINS_DEPTH)
+        g.closure_from("region:", "CONTAINS", max_depth=CONTAINS_DEPTH)
         .filter(F.col("hops") <= 3)
         .join(F.broadcast(svc), F.col("anc") == F.col("id"))
         .select(F.col("desc").alias("id"))
