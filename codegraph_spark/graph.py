@@ -158,6 +158,26 @@ class PropertyGraph:
             self._closures[key] = clo
         return clo
 
+    def trigram_index(self, fields: tuple[str, ...] = ("name", "symbol")) -> DataFrame:
+        """Cached ``(gram, id)`` posting table over the searchable
+        fields (operators/inverted_index.py) — built ONCE per graph at
+        first use and persisted, so indexed search serves from the warm
+        table with no build stage on the query path (the ingest-time
+        analog is ``write_index``/parquet alongside the graph tables)."""
+        key = ("__trigram__",) + tuple(fields)
+        idx = self._closures.get(key)
+        if idx is None:
+            from codegraph_spark.operators.inverted_index import build_trigram_index
+
+            p = self.nodes.sparkSession.sparkContext.defaultParallelism
+            idx = (
+                build_trigram_index(self.nodes, fields=list(fields))
+                .repartition(p, "gram")  # gram-hash layout = pruned lookups
+                .persist()
+            )
+            self._closures[key] = idx
+        return idx
+
     def typed_edges(self, edge_type: str) -> DataFrame:
         """Cached per-type edge subset — the Spark analog of Neo4j's
         per-relationship-type store files. Iterative traversals hit one

@@ -67,6 +67,23 @@ def build_trigram_index(nodes: DataFrame, fields: list[str] | None = None) -> Da
     return grams.distinct()
 
 
+def write_index(index: DataFrame, path: str) -> None:
+    """Persist the posting table in the warehouse, gram-sorted within
+    files so lookups prune on parquet min/max stats (``gram = 'abc'``
+    skips row groups). NOT ``partitionBy("gram")`` — 26³+ tiny
+    directories is the small-files anti-pattern; at real scale bucket
+    by gram instead (``bucketBy`` + ``saveAsTable``) for shuffle-free
+    posting-list joins."""
+    index.sortWithinPartitions("gram").write.mode("overwrite").parquet(path)
+
+
+def load_index(spark, path: str) -> DataFrame:
+    """Read the ingest-time posting table back for serving; pair with
+    ``search_via_index`` — gram equality predicates reach the scan
+    (PushedFilters) so only matching row groups are read."""
+    return spark.read.parquet(path)
+
+
 def search_via_index(
     nodes: DataFrame,
     index: DataFrame,

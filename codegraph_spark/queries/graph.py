@@ -61,12 +61,14 @@ def o1_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """o1_search_ranked's exact semantics through the scale path
     (operators/inverted_index.py): gram-intersection candidate
     prefilter → contains verify → identical rank/order/limit. Shares
-    o1's oracle — the point IS result-identity with the scan."""
-    from codegraph_spark.operators.inverted_index import build_trigram_index, search_via_index
+    o1's oracle — the point IS result-identity with the scan. The
+    posting table is the graph's persisted ingest-time index
+    (PropertyGraph.trigram_index) — no build stage on the query path."""
+    from codegraph_spark.operators.inverted_index import search_via_index
 
     g = _graph(spark, sf_dir)
     rank_order = [(("Part",), 1), (("LineItem",), 2), (("Order",), 3)]
-    index = build_trigram_index(g.nodes, fields=["name", "symbol"])
+    index = g.trigram_index(("name", "symbol"))
     out = search_via_index(
         g.nodes, index, "red", fields=["name", "symbol"],
         node_types=["Part", "LineItem", "Customer", "Supplier"],

@@ -53,3 +53,38 @@ def test_index_search_equals_scan_fuzz(corpus, term):
     want = {r["id"] for r in search_nodes(nodes, term, limit=0).collect()}
     got = {r["id"] for r in search_via_index(nodes, index, term, limit=0).collect()}
     assert got == want
+
+
+def test_index_roundtrip_and_served_search(corpus, spark, tmp_path):
+    """Ingest-time persistence: write the posting table, load it back,
+    and serve the search from the stored index — results identical to
+    the scan, and the lookup plan pushes the gram filter to the scan."""
+    from codegraph_spark.operators.inverted_index import load_index, write_index
+
+    nodes, index = corpus
+    path = str(tmp_path / "trigram_index")
+    write_index(index, path)
+    stored = load_index(spark, path)
+
+    want = {r["id"] for r in search_nodes(nodes, "merge", limit=0).collect()}
+    got = {r["id"] for r in search_via_index(nodes, stored, "merge", limit=0).collect()}
+    assert got == want
+
+    plan = stored.filter(stored.gram == "mer")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "mer" in plan
+
+
+def test_graph_trigram_index_cached(spark):
+    """PropertyGraph.trigram_index builds once and returns the same
+    persisted frame on subsequent calls (no rebuild on the query path)."""
+    from codegraph_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [("n1", "Function", "alpha", None), ("n2", "Function", "beta", None)],
+        "id string, label string, name string, symbol string",
+    )
+    edges = spark.createDataFrame([], "src string, dst string, type string")
+    g = PropertyGraph(nodes, edges)
+    first = g.trigram_index(("name", "symbol"))
+    assert first.storageLevel.useMemory
+    assert g.trigram_index(("name", "symbol")) is first
