@@ -63,3 +63,58 @@ def salted_count_distinct(
     # distinct values land in exactly one salt shard (salt is a pure
     # function of the value), so the final combine is a plain sum.
     return phase1.groupBy(group_key).agg(F.sum("_n").alias("n_distinct"))
+
+
+def salted_self_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    n_salt: int = 16,
+    hot_threshold: int = 1024,
+) -> DataFrame:
+    """Candidate-pair generation ``(doc_a < doc_b sharing a key value)``
+    — the self-equi-join behind shingle / LSH-bucket dedup — with hub
+    keys balanced. One output row per (key co-occurrence, unordered
+    pair), exactly like the plain self-join.
+
+    Keys are split hot/cold by document frequency (one broadcast of the
+    hot-key list). Cold keys self-join as usual. For hot keys the left
+    side is salted by ``xxhash64(id) % n_salt`` and the right side is
+    replicated once per salt value, so a key of frequency f emits its
+    f²/2 pairs from ``n_salt`` tasks of ~f/n_salt build rows each
+    instead of one f-row task. Each (a, b) pair still appears exactly
+    once: b-replicas join only the single a-salt shard that owns a.
+
+    The quadratic OUTPUT of a hub key is inherent to the operator (the
+    pairs exist); what salting bounds is per-task build size and the
+    stragglers. At 100 TB pair stopword shingles with a doc-frequency
+    cutoff upstream (drop grams with df > corpus_fraction from
+    candidate generation and re-verify survivors exactly).
+    """
+    from functools import reduce
+
+    freq = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    hot_keys = F.broadcast(freq.filter(F.col("_n") > hot_threshold).select(*keys))
+    cold = df.join(hot_keys, list(keys), "left_anti")
+    hot = df.join(hot_keys, list(keys), "left_semi")
+
+    def pairs(left: DataFrame, right: DataFrame, salted: bool) -> DataFrame:
+        a, b = left.alias("a"), right.alias("b")
+        cond = reduce(
+            lambda x, y: x & y,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys],
+        ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        if salted:
+            cond = cond & (F.col("a._salt") == F.col("b._salt"))
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+
+    hot_l = hot.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)))
+    hot_r = hot.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))
+    )
+    return pairs(cold, cold, salted=False).unionByName(
+        pairs(hot_l, hot_r, salted=True)
+    )

@@ -101,14 +101,16 @@ FROM documents GROUP BY 1
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs share ≥1 shingle (bucket join, not cross join);
     Jaccard = |∩| / |∪| ≥ 0.5. The exact verifier for the LSH path."""
+    from codegraph_spark.operators.skew import salted_self_pairs
+
     sh = _shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # hot-shingle-balanced candidate join (stopword shingles are the
+    # skew case — operators/skew.py); result-identical to the plain
+    # self-join, pairs spread over salt shards for hub shingles.
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        salted_self_pairs(sh, ["shingle"], "doc_id", n_salt=8, hot_threshold=1024)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -166,12 +168,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # hot-bucket-balanced LSH self-join (a near-universal band key —
+    # e.g. boilerplate docs — is the skew case); identical pairs.
+    from codegraph_spark.operators.skew import salted_self_pairs
+
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        salted_self_pairs(banded, ["band", "key"], "doc_id", n_salt=8, hot_threshold=1024)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_bands"))
     )
 

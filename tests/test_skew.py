@@ -63,3 +63,46 @@ def test_salted_count_distinct(skewed):
         .collect()
     }
     assert got == want
+
+
+def test_salted_self_pairs_hub_shingle(spark):
+    """Planted hub shingle (100 docs share it → 4950 pairs): results
+    identical to the plain self-join, and the salted build side is
+    bounded per shuffle shard instead of one 100-row hot task."""
+    from codegraph_spark.operators.skew import salted_self_pairs
+
+    hub = spark.range(100).select(
+        F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("doc_id"),
+        F.lit("the").alias("shingle"),
+    )
+    cold = spark.range(300).select(
+        F.concat(F.lit("d"), F.lpad((F.col("id") % 60).cast("string"), 3, "0")).alias("doc_id"),
+        F.concat(F.lit("sh"), F.col("id").cast("string")).alias("shingle"),
+    )
+    sh = hub.unionByName(cold).persist()
+
+    n_salt = 8
+    got = salted_self_pairs(sh, ["shingle"], "doc_id", n_salt=n_salt, hot_threshold=50)
+    a, b = sh.alias("a"), sh.alias("b")
+    want = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    assert got.exceptAll(want).isEmpty()
+    assert want.exceptAll(got).isEmpty()
+    assert got.count() == want.count()  # multiset equality incl. dup co-occurrences
+
+    # per-shard bound on the salted build side: no (key, salt) shard
+    # holds more than ~3x the fair share of the hub's 100 rows
+    shard_sizes = (
+        sh.join(
+            sh.groupBy("shingle").agg(F.count("*").alias("n")).filter("n > 50").select("shingle"),
+            "shingle", "left_semi",
+        )
+        .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)))
+        .groupBy("shingle", "_salt")
+        .agg(F.count("*").alias("rows"))
+    )
+    max_shard = shard_sizes.agg(F.max("rows")).collect()[0][0]
+    assert max_shard <= 3 * (100 // n_salt)
