@@ -238,11 +238,22 @@ SELECT * FROM (
 
 # --- j9: orphan check anti-join (indexing_test.go:421-438) --------------------
 def j9_orphan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts never referenced by any lineitem — ``left_anti`` (the
-    EXCEPT-ish integrity check)."""
+    """Parts with no high-value usage — ``left_anti`` against the
+    REFERENCES sites whose LineItem value ≥ 90k (the EXCEPT-ish
+    integrity check). The value predicate keeps the gate non-vacuous:
+    a plain every-reference anti-join matches 0 rows at every SF (all
+    parts are referenced), and a 0-row green proves nothing about the
+    anti-join (VERDICT r1 §wrong.4 lesson)."""
     g = _graph(spark, sf_dir)
     parts = g.nodes.filter(F.col("label") == "Part")
-    refs = g.typed_edges("REFERENCES").select(F.col("dst").alias("id"))
+    hi_usage = g.nodes.filter(
+        (F.col("label") == "LineItem") & (F.col("val") >= 90000)
+    ).select(F.col("id").alias("li_id"))
+    refs = (
+        g.typed_edges("REFERENCES")
+        .join(hi_usage, F.col("src") == F.col("li_id"), "left_semi")
+        .select(F.col("dst").alias("id"))
+    )
     return parts.join(refs, "id", "left_anti").select("id", "name", "key")
 
 
@@ -250,7 +261,11 @@ _J9_SQL = with_recast("""
 SELECT p.id AS id, p.name AS name, p.key AS key
 FROM gnodes p
 WHERE p.label = 'Part'
-  AND NOT EXISTS (SELECT 1 FROM gedges e WHERE e.type = 'REFERENCES' AND e.dst = p.id)
+  AND NOT EXISTS (
+      SELECT 1 FROM gedges e
+      JOIN gnodes l ON l.id = e.src AND l.label = 'LineItem' AND l.val >= 90000
+      WHERE e.type = 'REFERENCES' AND e.dst = p.id
+  )
 """)
 
 

@@ -81,18 +81,33 @@ class LSPService:
             "location": _location(row),
         }
 
-    def find_references(self, symbol: str) -> list[dict]:
+    def find_references(
+        self, symbol: str, include_declaration: bool = False
+    ) -> list[dict]:
         """J2: (Symbol)<-[:REFERENCES]-(usage), ordered by file then
-        line (query.go:121-163)."""
+        line (query.go:121-163). ``include_declaration`` is the
+        reference's FindReferencesRequest.IncludeDeclaration flag
+        (lsp.go:90-93) — left TODO there; here it prepends the
+        DEFINES in-neighbors (the declaration sites) to the list."""
         sym_nodes = self.g.nodes.filter(
             (F.col("symbol") == symbol) & (F.col("label") == "Symbol")
         )
+        out: list[dict] = []
+        if include_declaration:
+            decls = self.g.in_neighbors(sym_nodes, "DEFINES").orderBy(
+                "path", "start_line"
+            )
+            out.extend(
+                {"symbol": symbol, "location": _location(r), "is_declaration": True}
+                for r in _rows(decls)
+            )
         refs = self.g.in_neighbors(sym_nodes, "REFERENCES").orderBy(
             "path", "start_line"
         )
-        return [
+        out.extend(
             {"symbol": symbol, "location": _location(r)} for r in _rows(refs)
-        ]
+        )
+        return out
 
     def find_implementations(self, symbol: str) -> list[dict]:
         """J3: Symbol ←DEFINES– Interface ←IMPLEMENTS– Class

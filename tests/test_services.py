@@ -55,6 +55,7 @@ def synth(spark):
             ("var:v1", "var:v2", "FLOWS_TO"),
             ("fn:f1", "sym:S", "CALLS"),       # cross-package call for deps
             ("sym:S", "sym:S", "DEFINES"),     # self-define so deps resolve
+            ("fn:f2", "sym:S", "REFERENCES"),  # usage site for find_references
         ],
         "src string, dst string, type string",
     )
@@ -171,3 +172,21 @@ def test_mcp_callers_resolved(self_graph):
     mcp = MCPService(g, files=files)
     an = mcp.call("analyze_function", name="idempotent")
     assert "merge_upsert" in an["callees"]
+
+
+def test_find_references_include_declaration(synth):
+    """IncludeDeclaration flag (FindReferencesRequest, lsp.go:90-93 —
+    TODO in the reference, implemented here): declarations (DEFINES
+    in-neighbors) are prepended, plain call returns usages only."""
+    lsp = LSPService(synth)
+    plain = lsp.find_references("scip-go gomod other v1 S#")
+    assert [r["location"]["filePath"] for r in plain] == ["f.go"]
+    assert all("is_declaration" not in r for r in plain)
+
+    with_decl = lsp.find_references(
+        "scip-go gomod other v1 S#", include_declaration=True
+    )
+    assert len(with_decl) == len(plain) + 2  # iface:I and sym:S self-define
+    assert with_decl[0].get("is_declaration") is True
+    decl_files = {r["location"].get("filePath") for r in with_decl if r.get("is_declaration")}
+    assert "i.go" in decl_files
