@@ -67,6 +67,10 @@ _GATE_FRONT = [
     "mm_frame_sample", "stream_hourly_counts",
 ]
 _GATE_TAIL = [
+    # no-oracle entries first: their driver row is the weaker rows-only
+    # check regardless, so a hash-gated query should never lose its
+    # window slot to one
+    "sim_ivf_kmeans",
     "p4_not_null_filter", "p5_symbol_membership", "o1_search_indexed",
     "j4_impact_api", "a6_stats_summary", "f6_display_name",
     "f10_source_slice", "f13_feature_extract", "f15_status_infer",

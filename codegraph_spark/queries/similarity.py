@@ -153,6 +153,123 @@ FROM (
 """
 
 
+# --- IVF with a TRAINED coarse quantizer (k-means, Lloyd iterations) ----------
+def _elementwise_mean(df: DataFrame, group_col: str, vec_col: str = "v") -> DataFrame:
+    """Per-group mean vector via posexplode + (group, dim) average —
+    the distributed centroid update (shuffle rows = n·d, key = (group,
+    dim): perfectly partitionable at any scale)."""
+    dims = df.select(group_col, F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    return (
+        dims.groupBy(group_col, "dim").agg(F.avg("x").alias("m"))
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+        .select(group_col, F.transform(F.col("p"), lambda s: s.m).alias("cv"))
+    )
+
+
+def train_ivf_kmeans(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Coarse quantizer for IVF: k-means centroids ``(cluster, cv)``.
+
+    - **Init** (deterministic farthest-point, the k-means++ idea minus
+      randomness): seed 1 is the vector with the smallest
+      ``xxhash64(vec_id)``; each next seed is the vector whose best
+      cosine to the chosen seeds is worst. Every step is a broadcast
+      join + ``orderBy().limit(1)`` — TakeOrderedAndProject, a
+      distributed per-partition top-k + driver merge, never a global
+      sort. k passes over the corpus, at ingest time. (Plain hash-draw
+      init can land two seeds in one natural cluster and Lloyd never
+      recovers — observed on the planted-cluster test.)
+    - **Lloyd rounds**: assign = one broadcast join against k centroids
+      (corpus scanned in place, map-side argmax); update = the (cluster,
+      dim) mean above. ``iters`` is small and fixed — IVF needs a coarse
+      quantizer, not convergence (FAISS trains on a sample for the same
+      reason).
+    """
+    h = F.xxhash64(F.col("vec_id").cast("string"))
+    chosen = (
+        emb.orderBy(h, "vec_id").limit(1)
+        .select(F.lit(1).alias("cluster"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, k + 1):
+        far = (
+            emb.join(F.broadcast(chosen))
+            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("best"), F.first("v").alias("v"))
+            .orderBy(F.asc("best"), "vec_id")
+            .limit(1)
+            .select(F.lit(i).alias("cluster"), F.col("v").alias("cv"))
+        )
+        chosen = chosen.unionByName(far).localCheckpoint(eager=False)
+    centroids = chosen
+    for _ in range(iters):
+        assigned = assign_ivf(emb, centroids).select("cluster", "v")
+        centroids = _elementwise_mean(assigned, "cluster", "v").localCheckpoint(eager=False)
+    return centroids
+
+
+def assign_ivf(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, argmax
+    cosine per vector (map-side; ties broken by cluster id)."""
+    scored = emb.join(F.broadcast(centroids)).withColumn(
+        "sim", cosine(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "sim", "cv")
+    )
+
+
+#: trained inverted file per (applicationId, sf_dir) — IVF training is
+#: ingest-time work (like the graph recast / trigram index); serving
+#: probes the warm posting lists.
+_IVF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _trained_inverted_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    inv = _IVF_CACHE.get(key)
+    if inv is None:
+        emb = _emb(spark, sf_dir)
+        cents = train_ivf_kmeans(emb, k=8, iters=2)
+        inv = assign_ivf(emb, cents).persist()
+        _IVF_CACHE[key] = inv
+    return inv
+
+
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with the TRAINED quantizer (train_ivf_kmeans): queries
+    probe their nearest centroid's posting list only. This is the real
+    IVF scale path (sim_ivf_label keeps the label-as-quantizer variant
+    because its assignment is SQL-mirrorable); k-means is iterative, so
+    this entry has no SQL oracle — the driver records the weaker
+    rows-only check, and tests/test_similarity.py asserts planted-
+    cluster recall against the brute-force baseline instead."""
+    inv = _trained_inverted_file(spark, sf_dir)  # cluster → members
+    q = inv.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("cluster").alias("probe"),
+    )
+    scored = (
+        inv.join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", F.col("cluster").alias("probe_cluster"),
+                F.col("vec_id").alias("neighbor_id"),
+                (F.floor(F.col("cos") * 10000) / 10000).alias("cosine"), "rn")
+    )
+
+
 # --- LSH: random-hyperplane bucketing (the 100 TB scale path) -----------------
 _N_PLANES = 8
 
@@ -246,9 +363,12 @@ FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_label": sim_ivf_label,
+    "sim_ivf_kmeans": sim_ivf_kmeans,
     "sim_lsh_cosine": sim_lsh_cosine,
 }
 
+# sim_ivf_kmeans: no oracle by design — k-means is iterative (driver
+# records the rows-only check; recall is pytest-asserted instead).
 ORACLES = {
     "sim_topk_bruteforce": _BRUTE_SQL,
     "sim_ivf_label": _IVF_SQL,

@@ -1,0 +1,92 @@
+"""Trained-quantizer IVF (queries/similarity.py): on well-separated
+planted clusters the k-means coarse quantizer must recover the cluster
+structure, and probe-1 IVF top-k must equal brute-force top-k
+(recall@k = 1.0 when true neighbors share the query's cluster)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from codegraph_spark.queries.similarity import (
+    assign_ivf,
+    cosine,
+    train_ivf_kmeans,
+    sim_ivf_kmeans,
+)
+
+D = 8          # dims
+PER_CLUSTER = 30
+
+
+@pytest.fixture(scope="module")
+def clusters(spark):
+    """3 orthogonal clusters: cluster c concentrates on axis 2c with a
+    small deterministic off-axis wobble — cosine within a cluster is
+    ~1, across clusters ~0."""
+    rows = []
+    for c in range(3):
+        for i in range(PER_CLUSTER):
+            v = [0.0] * D
+            v[2 * c] = 10.0
+            v[(2 * c + 1) % D] = (i % 7) * 0.1   # wobble, deterministic
+            rows.append((c * PER_CLUSTER + i, v, f"c{c}"))
+    return spark.createDataFrame(
+        rows, "vec_id long, v array<double>, label string"
+    ).persist()
+
+
+def test_kmeans_recovers_planted_clusters(clusters):
+    cents = train_ivf_kmeans(clusters, k=3, iters=3)
+    assert cents.count() == 3
+    inv = assign_ivf(clusters, cents)
+    # every planted cluster maps to exactly one learned cluster id
+    purity = (
+        inv.withColumn("planted", F.col("label"))
+        .groupBy("planted")
+        .agg(F.countDistinct("cluster").alias("k"))
+    )
+    assert {r["k"] for r in purity.collect()} == {1}
+    # and the mapping is injective (3 distinct learned ids)
+    assert inv.select("cluster").distinct().count() == 3
+
+
+def test_ivf_probe_matches_bruteforce_on_separated_clusters(clusters):
+    cents = train_ivf_kmeans(clusters, k=3, iters=3)
+    inv = assign_ivf(clusters, cents)
+    q = inv.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("cluster").alias("probe"),
+    )
+    scored = inv.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+    ).withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    ivf_top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id")
+    )
+
+    allp = clusters.alias("a").join(
+        F.broadcast(clusters.filter(F.col("vec_id") < 3).alias("qq")),
+        F.col("a.vec_id") != F.col("qq.vec_id"),
+    ).withColumn("cos", cosine(F.col("qq.v"), F.col("a.v")))
+    wb = Window.partitionBy("qq.vec_id").orderBy(F.desc("cos"), "a.vec_id")
+    brute_top = (
+        allp.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("qq.vec_id").alias("q_id"), F.col("a.vec_id").alias("vec_id"))
+    )
+    got = {(r["q_id"], r["vec_id"]) for r in ivf_top.collect()}
+    want = {(r["q_id"], r["vec_id"]) for r in brute_top.collect()}
+    assert got == want  # recall@5 == 1.0 on separated clusters
+
+
+def test_sim_ivf_kmeans_runs_on_fixture(spark, sf_dir):
+    out = sim_ivf_kmeans(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries x top-5
+    assert out.columns == ["q_id", "probe_cluster", "neighbor_id", "cosine", "rn"]
