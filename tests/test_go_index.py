@@ -176,3 +176,29 @@ def test_parse_non_go_degrades_to_file_node():
     recs = parse_go_file("/r/README.md", "# hello\nno package clause\n")
     labels = {r["label"] for r in recs if r["rec"] == "node"}
     assert labels == {"File"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(src=st.text(
+    alphabet="package funcvartype(){}\"'`//*\n\t ab,;.<>=&|%!0123",
+    max_size=400,
+))
+def test_parse_go_never_throws(src):
+    """indexer.go:104-110 semantics: malformed source degrades, never
+    raises — the kernel runs inside a mapInPandas batch where one bad
+    file must not kill the task."""
+    recs = parse_go_file("/r/x.go", src)
+    assert isinstance(recs, list)
+    assert recs and recs[0]["label"] == "File"
+
+
+@settings(max_examples=30, deadline=None)
+@given(src=st.text(max_size=200))
+def test_parse_go_arbitrary_unicode_never_throws(src):
+    recs = parse_go_file("/r/y.go", src)
+    assert isinstance(recs, list)
