@@ -130,7 +130,12 @@ def bfs_reachable(
                 .localCheckpoint(eager=False)
             )
             levels.append(nxt.withColumn("hops", F.lit(hop)))
-            seen = seen.unionByName(nxt)
+            # re-checkpoint the growing visited set each round: without
+            # this, round k's anti-join broadcast re-scans k separate
+            # level RDDs (O(k²) scans across the loop); with it, one
+            # flat RDD per round (the union copy is |seen| rows — tiny
+            # for seed-anchored traversals).
+            seen = seen.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt
     visited = levels[0]
     for lv in levels[1:]:
