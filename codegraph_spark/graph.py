@@ -135,11 +135,17 @@ class PropertyGraph:
         return clo
 
     def closure_from(
-        self, anc_prefix: str, edge_type: str = "CONTAINS", max_depth: int = 6
+        self,
+        anc_prefix: str,
+        edge_type: str = "CONTAINS",
+        max_depth: int = 6,
+        hops_leq: int | None = None,
     ) -> DataFrame:
         """Cached ancestor-rooted slice of :meth:`closure` — rows whose
         ``anc`` id carries the given prefix (= node-label namespace of
-        the graph's id scheme, e.g. ``"region:"``).
+        the graph's id scheme, e.g. ``"region:"``), optionally capped
+        at ``hops_leq`` levels (baked into the persisted slice, so a
+        depth-capped lookup never re-scans the deeper rows).
 
         Serving-layer pattern: service-anchored traversals (service
         deps, query.go:288-292) only ever look up service roots, but a
@@ -147,14 +153,15 @@ class PropertyGraph:
         node count. Slicing once and persisting makes each subsequent
         lookup scan only the service-rooted rows (the on-disk analog is
         partitioning the closure table by anc label at ingest)."""
-        key = (edge_type, max_depth, anc_prefix)
+        key = (edge_type, max_depth, anc_prefix, hops_leq)
         clo = self._closures.get(key)
         if clo is None:
-            clo = (
-                self.closure(edge_type, max_depth)
-                .filter(F.col("anc").startswith(anc_prefix))
-                .persist()
+            clo = self.closure(edge_type, max_depth).filter(
+                F.col("anc").startswith(anc_prefix)
             )
+            if hops_leq is not None:
+                clo = clo.filter(F.col("hops") <= hops_leq)
+            clo = clo.persist()
             self._closures[key] = clo
         return clo
 
@@ -202,10 +209,22 @@ class PropertyGraph:
         return te
 
     # ---- primitive lookups (reference: pkg/neo4j/query.go) ---------------
-    def by_label(self, label: str, limit: int = 0) -> DataFrame:
+    def by_label(self, label: str, limit: int = 0, cached: bool = False) -> DataFrame:
         """FindNodesByLabel (query.go:25-37). limit 0 = unlimited
-        (reference appends LIMIT only when >0, query.go:27-29)."""
-        out = self.nodes.filter(F.col("label") == label)
+        (reference appends LIMIT only when >0, query.go:27-29).
+        ``cached=True`` serves from a persisted per-label subset — the
+        in-memory analog of the ``partitionBy("label")`` disk layout
+        (same pattern as :meth:`typed_edges`); use it on hot serving
+        paths that re-touch one label per call."""
+        if cached:
+            key = ("__label__", label)
+            sub = self._closures.get(key)
+            if sub is None:
+                sub = self.nodes.filter(F.col("label") == label).persist()
+                self._closures[key] = sub
+            out = sub
+        else:
+            out = self.nodes.filter(F.col("label") == label)
         return out.limit(limit) if limit > 0 else out
 
     def by_property(self, label: str, prop: str, value) -> DataFrame:

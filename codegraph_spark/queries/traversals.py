@@ -247,13 +247,12 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE picks the strategy), then broadcast the small caller set
     # through the edge chain so the big tables are scanned in place.
     descendants = (
-        g.closure_from("region:", "CONTAINS", max_depth=CONTAINS_DEPTH)
-        .filter(F.col("hops") <= 3)
+        g.closure_from("region:", "CONTAINS", max_depth=CONTAINS_DEPTH, hops_leq=3)
         .join(F.broadcast(svc), F.col("anc") == F.col("id"))
         .select(F.col("desc").alias("id"))
     )
     callers = descendants.join(
-        g.nodes.filter(F.col("label") == "Order").select("id", F.col("name").alias("caller_name")),
+        g.by_label("Order", cached=True).select("id", F.col("name").alias("caller_name")),
         "id",
     )
     calls = g.typed_edges("CALLS").select(
