@@ -11,12 +11,14 @@ research.md:280-323).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from codegraph_spark.streaming.incremental import (
     hourly_counts,
     read_events_stream,
     run_available_now,
+    running_user_totals,
 )
 
 
@@ -34,5 +36,38 @@ FROM events
 GROUP BY 1, 2
 """
 
-QUERIES = {"stream_hourly_counts": stream_hourly_counts}
-ORACLES = {"stream_hourly_counts": _STREAM_HOURLY_SQL}
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator end-to-end (§2.8): per-user running
+    (count, total) via ``applyInPandasWithState``, drained availableNow;
+    the final state row per user (max n_events — the running count is
+    monotone) must equal the batch aggregate however the input splits
+    into micro-batches. State shards by user_id — the 1000-executor
+    layout is the shuffle partitioning itself."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        running_user_totals(ev), output_mode="update", state_partitions=8
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+_STREAM_RUNNING_SQL = """
+SELECT user_id, count(*) AS n_events,
+       ROUND(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "stream_hourly_counts": stream_hourly_counts,
+    "stream_running_totals": stream_running_totals,
+}
+ORACLES = {
+    "stream_hourly_counts": _STREAM_HOURLY_SQL,
+    "stream_running_totals": _STREAM_RUNNING_SQL,
+}
