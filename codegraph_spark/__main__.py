@@ -59,6 +59,9 @@ def _build_parser() -> argparse.ArgumentParser:
     for name in ("definition", "references", "implementations", "hover"):
         lp = lsp.add_parser(name)
         lp.add_argument("symbol")
+        if name == "references":
+            # FindReferencesRequest.IncludeDeclaration (lsp.go:90-93)
+            lp.add_argument("--include-declaration", action="store_true")
     comp = lsp.add_parser("completion")
     comp.add_argument("prefix")
     comp.add_argument("--limit", type=int, default=20)
@@ -160,7 +163,9 @@ def main(argv: list[str] | None = None) -> None:
                 svc = LSPService(g)
                 out = {
                     "definition": lambda: svc.go_to_definition(args.symbol),
-                    "references": lambda: svc.find_references(args.symbol),
+                    "references": lambda: svc.find_references(
+                        args.symbol, include_declaration=args.include_declaration
+                    ),
                     "implementations": lambda: svc.find_implementations(args.symbol),
                     "hover": lambda: svc.get_hover(args.symbol),
                     "completion": lambda: svc.get_completion(args.prefix, args.limit),

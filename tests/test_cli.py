@@ -33,3 +33,15 @@ def test_cli_parses_reference_command_tree(argv, expect):
 def test_cli_rejects_unknown_command():
     with pytest.raises(SystemExit):
         _build_parser().parse_args(["frobnicate"])
+
+
+def test_cli_references_include_declaration_flag():
+    """lsp references grows --include-declaration (lsp.go:90-93)."""
+    from codegraph_spark.__main__ import _build_parser
+
+    args = _build_parser().parse_args(
+        ["lsp", "references", "sym", "--include-declaration"]
+    )
+    assert args.include_declaration is True
+    args = _build_parser().parse_args(["lsp", "references", "sym"])
+    assert args.include_declaration is False
