@@ -109,11 +109,45 @@ FROM (
 """
 
 
+def ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregation per event_type (p50/p90/p99 of value).
+
+    Gate variant uses EXACT ``percentile`` (linear interpolation — same
+    semantics as DuckDB ``quantile_cont``) so the oracle can match
+    bit-for-bit after rounding. The 100 TB path swaps in
+    ``approx_percentile`` (t-digest sketch, mergeable map-side partials,
+    bounded memory per group) — one identifier change, same plan shape;
+    exact percentile must hold a full per-group value buffer, which is
+    the scale hazard."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.round(F.percentile("value", q), 4).alias(name)
+                for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+            ],
+        )
+    )
+
+
+_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
+       ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "ev_hourly_agg": ev_hourly_agg,
     "ev_sessionize": ev_sessionize,
     "ev_json_props": ev_json_props,
     "ev_top3_per_type": ev_top3_per_type,
+    "ev_value_quantiles": ev_value_quantiles,
 }
 
 ORACLES = {
@@ -121,4 +155,5 @@ ORACLES = {
     "ev_sessionize": _SESSIONIZE_SQL,
     "ev_json_props": _JSON_SQL,
     "ev_top3_per_type": _TOP3_SQL,
+    "ev_value_quantiles": _QUANTILES_SQL,
 }
