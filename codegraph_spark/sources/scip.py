@@ -47,6 +47,10 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     shift = 0
     out = 0
     while True:
+        if i >= len(buf):
+            raise ValueError(
+                f"malformed SCIP index: truncated varint at byte {i}"
+            )
         b = buf[i]
         out |= (b & 0x7F) << shift
         i += 1
@@ -78,6 +82,11 @@ def _fields(buf: bytes) -> list[tuple[int, int, Any]]:
             v, i = _read_varint(buf, i)
         elif wt == 2:
             ln, i = _read_varint(buf, i)
+            if i + ln > len(buf):
+                raise ValueError(
+                    f"malformed SCIP index: field at byte {i} claims "
+                    f"{ln} bytes, {len(buf) - i} remain"
+                )
             v = buf[i:i + ln]
             i += ln
         elif wt == 5:  # fixed32 (not used by our subset; skip)

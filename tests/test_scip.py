@@ -203,3 +203,33 @@ def test_index_scip_project_fallback_to_existing(spark, tmp_path):
         spark, str(project), scip_binary="scip-go-definitely-absent"
     )
     assert nodes.count() > 0
+
+
+def test_decode_malformed_raises_cleanly():
+    """Truncated/over-length fields raise ValueError with a position,
+    never a bare IndexError (a broken scip-go output should fail the
+    ingest loudly and diagnosably)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated varint"):
+        decode_scip(b"\x0a\xff\xff")
+    with _pytest.raises(ValueError, match="claims"):
+        decode_scip(b"\x0a\x05\x12")
+    # unknown fields are skipped per protobuf semantics; empty is empty
+    assert decode_scip(b"") == {"documents": [], "occurrences": [], "symbols": []}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(max_size=120))
+def test_decode_fuzz_valueerror_only(data):
+    """Arbitrary bytes either decode or raise ValueError — no other
+    exception type escapes the wire-format reader."""
+    try:
+        out = decode_scip(data)
+        assert set(out) == {"documents", "occurrences", "symbols"}
+    except ValueError:
+        pass
