@@ -165,6 +165,20 @@ class PropertyGraph:
             self._closures[key] = clo
         return clo
 
+    def cached_view(self, name: str, build) -> DataFrame:
+        """Named materialized view on the graph: built once by
+        ``build()``, persisted, served warm thereafter — the in-memory
+        analog of an ingest-time denormalized table (what Neo4j's
+        BTREE/relationship indexes amortize for the reference; at 100 TB
+        the on-disk form is a parquet table refreshed with the graph).
+        Use for hot join chains that every call re-derives otherwise."""
+        key = ("__view__", name)
+        view = self._closures.get(key)
+        if view is None:
+            view = build().persist()
+            self._closures[key] = view
+        return view
+
     def trigram_index(self, fields: tuple[str, ...] = ("name", "symbol")) -> DataFrame:
         """Cached ``(gram, id)`` posting table over the searchable
         fields (operators/inverted_index.py) — built ONCE per graph at

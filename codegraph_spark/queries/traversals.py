@@ -258,25 +258,31 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     calls = g.typed_edges("CALLS").select(
         F.col("src").alias("id"), F.col("dst").alias("callee_id")
     )
-    contains = g.typed_edges("CONTAINS").select(
-        F.col("src").alias("callee_id"), F.col("dst").alias("li_id")
-    )
-    refs = g.typed_edges("REFERENCES").select(
-        F.col("src").alias("li_id"), F.col("dst").alias("part_id")
-    )
-    parts = g.nodes.filter(F.col("symbol").isNotNull()).select(
-        F.col("id").alias("part_id"), "symbol"
-    )
-    # intermediate sets (a service's callers × their callees' members)
-    # and the symbol dim itself scale with data size — NOT broadcastable
-    # at 100 TB. Leave every strategy to AQE's runtime stats (broadcast
-    # when actually small, shuffle when not); only the single-service
-    # seed (svc above) is hinted.
+
+    # callee → defined foreign symbol: the CONTAINS ⋈ REFERENCES ⋈
+    # symbol-dim chain, materialized ONCE per graph (cached_view) — the
+    # denormalized serving table every service-deps/a4 call otherwise
+    # re-derives (~3 joins over edge-scale rows per call). Its rows
+    # scale with the data (never broadcast); join strategy left to AQE.
+    def _member_symbols() -> DataFrame:
+        contains = g.typed_edges("CONTAINS").select(
+            F.col("src").alias("callee_id"), F.col("dst").alias("li_id")
+        )
+        refs = g.typed_edges("REFERENCES").select(
+            F.col("src").alias("li_id"), F.col("dst").alias("part_id")
+        )
+        parts = g.nodes.filter(F.col("symbol").isNotNull()).select(
+            F.col("id").alias("part_id"), "symbol"
+        )
+        return (
+            contains.join(refs, "li_id").join(parts, "part_id")
+            .select("callee_id", "symbol")
+        )
+
+    member_symbols = g.cached_view("member_symbols", _member_symbols)
     return (
         callers.join(calls, "id")
-        .join(contains, "callee_id")
-        .join(refs, "li_id")
-        .join(parts, "part_id")
+        .join(member_symbols, "callee_id")
         .filter(F.col("symbol").contains(" ") & ~F.col("symbol").contains("pkg0"))
         .select(
             F.split(F.col("symbol"), " ").getItem(2).alias("foreign_pkg"),
