@@ -231,6 +231,38 @@ FROM walk WHERE hops >= 1
 )
 
 
+def member_symbols_view(g: PropertyGraph) -> DataFrame:
+    """callee → defined foreign symbol: the CONTAINS ⋈ REFERENCES ⋈
+    symbol-dim chain, materialized ONCE per graph (cached_view) — the
+    denormalized serving table every service-deps/a4 call otherwise
+    re-derives (~3 joins over edge-scale rows per call). Its rows scale
+    with the data (never broadcast); join strategy left to AQE."""
+
+    def build() -> DataFrame:
+        contains = g.typed_edges("CONTAINS").select(
+            F.col("src").alias("callee_id"), F.col("dst").alias("li_id")
+        )
+        refs = g.typed_edges("REFERENCES").select(
+            F.col("src").alias("li_id"), F.col("dst").alias("part_id")
+        )
+        parts = g.nodes.filter(F.col("symbol").isNotNull()).select(
+            F.col("id").alias("part_id"), "symbol"
+        )
+        return (
+            contains.join(refs, "li_id").join(parts, "part_id")
+            .select("callee_id", "symbol")
+        )
+
+    return g.cached_view("member_symbols", build)
+
+
+def warm_views(spark: SparkSession, sf_dir: str) -> None:
+    """Build every query-layer materialized view for the sf_dir graph —
+    ingest-time work (bench runs it inside ingest_sec)."""
+    g = _graph(spark, sf_dir)
+    member_symbols_view(g).count()
+
+
 # --- j6: service dependency discovery (query.go:288-323) ----------------------
 def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(svc)-[:CONTAINS*]->(caller)-[:CALLS]->(fn)``, fn's definition
@@ -259,27 +291,7 @@ def j6_service_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("id"), F.col("dst").alias("callee_id")
     )
 
-    # callee → defined foreign symbol: the CONTAINS ⋈ REFERENCES ⋈
-    # symbol-dim chain, materialized ONCE per graph (cached_view) — the
-    # denormalized serving table every service-deps/a4 call otherwise
-    # re-derives (~3 joins over edge-scale rows per call). Its rows
-    # scale with the data (never broadcast); join strategy left to AQE.
-    def _member_symbols() -> DataFrame:
-        contains = g.typed_edges("CONTAINS").select(
-            F.col("src").alias("callee_id"), F.col("dst").alias("li_id")
-        )
-        refs = g.typed_edges("REFERENCES").select(
-            F.col("src").alias("li_id"), F.col("dst").alias("part_id")
-        )
-        parts = g.nodes.filter(F.col("symbol").isNotNull()).select(
-            F.col("id").alias("part_id"), "symbol"
-        )
-        return (
-            contains.join(refs, "li_id").join(parts, "part_id")
-            .select("callee_id", "symbol")
-        )
-
-    member_symbols = g.cached_view("member_symbols", _member_symbols)
+    member_symbols = member_symbols_view(g)
     return (
         callers.join(calls, "id")
         .join(member_symbols, "callee_id")
