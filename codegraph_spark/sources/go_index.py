@@ -362,15 +362,26 @@ def parse_go_file(path: str, source: str) -> list[dict]:
             continue
         i += 1
 
-    # best-effort same-file CALLS (reference TODO, indexer.go:300)
+    # best-effort same-file CALLS (reference TODO, indexer.go:300);
+    # bare-name calls that do NOT resolve locally are emitted as
+    # 'callcand' records — in Go a bare name can live in any file of
+    # the same package, so resolution is deferred to a distributed
+    # equi-join against the package's Function nodes
+    # (static_index.split_records). No cross-file state in the kernel.
     fn_ids = {fid for fid, _, _ in bodies}
     for fid, bi, bj in bodies:
         seen: set[str] = set()
+        cands: set[str] = set()
         for mm in _CALL_RE.finditer("\n".join(clean[bi + 1:bj + 1])):
             callee = mm.group(1)
+            if callee in _GO_KEYWORDS:
+                continue
             target = def_ids.get(callee)
-            if (target and target != fid and target in fn_ids
-                    and callee not in _GO_KEYWORDS and target not in seen):
-                seen.add(target)
-                edge(fid, "CALLS", target)
+            if target:
+                if target != fid and target in fn_ids and target not in seen:
+                    seen.add(target)
+                    edge(fid, "CALLS", target)
+            elif callee not in cands:
+                cands.add(callee)
+                rec(rec="callcand", id=fid, name=callee, fqn=module_fqn)
     return records

@@ -292,7 +292,14 @@ def index_records(files: DataFrame) -> DataFrame:
 def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split the record stream into (nodes, edges). Callers should
     ``persist()`` *records* first if materializing both — otherwise the
-    parse runs twice (documented, parse is cheap & deterministic)."""
+    parse runs twice (documented, parse is cheap & deterministic).
+
+    Cross-file call resolution: the Go kernel emits ``callcand``
+    records for bare-name calls with no same-file definition (in Go a
+    bare name may be defined in any file of the package). Those resolve
+    here as ONE distributed equi-join on (package fqn, name) against
+    the package-level Function nodes — per-file kernels stay pure, the
+    cross-file state lives in the shuffle, exactly where it scales."""
     nodes = (
         records.filter(F.col("rec") == "node")
         .drop("rec", "dst", "order")
@@ -306,9 +313,27 @@ def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("label").alias("type"),
             F.col("order"),
         )
-        .dropDuplicates(["src", "dst", "type"])
     )
-    return nodes, edges
+    cands = records.filter(F.col("rec") == "callcand").select(
+        F.col("id").alias("src"),
+        F.col("name").alias("callee"),
+        F.col("fqn").alias("pkg"),
+    )
+    targets = nodes.filter(F.col("label") == "Function").select(
+        F.col("id").alias("dst"),
+        F.col("name").alias("callee"),
+        # Function fqn = "<pkg>.<name>" — strip the trailing ".<name>"
+        F.expr("substring(fqn, 1, length(fqn) - length(name) - 1)").alias("pkg"),
+    )
+    resolved = (
+        cands.join(targets, ["pkg", "callee"])
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", F.lit("CALLS").alias("type"),
+            F.lit(None).cast("int").alias("order"),
+        )
+    )
+    return nodes, edges.unionByName(resolved).dropDuplicates(["src", "dst", "type"])
 
 
 def index_project(

@@ -202,3 +202,35 @@ def test_parse_go_never_throws(src):
 def test_parse_go_arbitrary_unicode_never_throws(src):
     recs = parse_go_file("/r/y.go", src)
     assert isinstance(recs, list)
+
+
+def test_cross_file_same_package_calls(spark, tmp_path, monkeypatch):
+    """A bare-name call defined in ANOTHER file of the same package
+    resolves to a CALLS edge via the distributed (pkg, name) join in
+    split_records; unresolvable names produce nothing."""
+    # pytest tmp dirs live under /tmp, which the reference-parity skip
+    # list drops ("tmp") — narrow the list for this fixture tree
+    from codegraph_spark.sources import static_index as si
+
+    monkeypatch.setattr(
+        si, "SKIP_DIRS", [d for d in si.SKIP_DIRS if d != "tmp"]
+    )
+    pkg = tmp_path / "src" / "calc"
+    pkg.mkdir(parents=True)
+    (pkg / "a.go").write_text(
+        "package calc\n\nfunc Driver() int {\n\treturn helperB(1) + missing(2)\n}\n"
+    )
+    (pkg / "b.go").write_text(
+        "package calc\n\nfunc helperB(x int) int {\n\treturn x\n}\n"
+    )
+    nodes, edges = index_project(spark, str(tmp_path / "src"))
+    calls = {(r["src"], r["dst"]) for r in
+             edges.filter("type = 'CALLS'").collect()}
+    driver = [s for s, d in calls if ".Driver" in s]
+    assert len(calls) == 1
+    (s, d), = calls
+    assert "a.go" in s and ".Driver" in s
+    assert "b.go" in d and ".helperB" in d
+    # no orphan edges from the unresolved 'missing' candidate
+    ids = nodes.select("id")
+    assert edges.join(ids, edges.dst == ids.id, "left_anti").isEmpty()
