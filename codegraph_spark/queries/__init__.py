@@ -61,20 +61,22 @@ def _tuned(fn: QueryFn) -> QueryFn:
 # column-expression/filter ops, each recorded green in BOTH rounds 1
 # and 2 and each still pytest-gated.
 _GATE_FRONT = [
+    # rounds 1-2 never recorded these 12 (they sat at positions 51-62)
     "text_token_count", "text_fingerprint", "sample_stratified",
     "corpus_mix_summary", "ev_hourly_agg", "ev_sessionize",
     "ev_json_props", "ev_top3_per_type", "mm_image_meta", "mm_resize",
     "mm_frame_sample", "stream_hourly_counts",
+    # new in round 3 — no driver row exists yet
+    "ev_value_quantiles", "stream_running_totals", "sim_ivf_kmeans",
 ]
 _GATE_TAIL = [
-    # no-oracle entries first: their driver row is the weaker rows-only
-    # check regardless, so a hash-gated query should never lose its
-    # window slot to one
-    "sim_ivf_kmeans",
     "p4_not_null_filter", "p5_symbol_membership", "o1_search_indexed",
     "j4_impact_api", "a6_stats_summary", "f6_display_name",
     "f10_source_slice", "f13_feature_extract", "f15_status_infer",
     "f16_code_symbols", "f17_chunk_words", "f18_feature_context",
+    # these three rotate out to make room for the round-3 entries:
+    # each holds green rows in BOTH rounds 1 and 2
+    "j8_mentions_topk", "f11_title_doctype", "a5_feature_merge",
 ]
 
 
