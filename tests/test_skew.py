@@ -106,3 +106,42 @@ def test_salted_self_pairs_hub_shingle(spark):
     )
     max_shard = shard_sizes.agg(F.max("rows")).collect()[0][0]
     assert max_shard <= 3 * (100 // n_salt)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 4)),
+    min_size=1, max_size=30,
+))
+def test_salted_self_pairs_fuzz(spark, rows):
+    """Random (doc, key) multisets: salted pair generation is always
+    multiset-identical to the naive self-join, across hot thresholds."""
+    from codegraph_spark.operators.skew import salted_self_pairs
+
+    df = spark.createDataFrame(
+        [(f"d{d}", f"k{k}") for d, k in rows], "doc_id string, shingle string"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in salted_self_pairs(
+            df, ["shingle"], "doc_id", n_salt=4, hot_threshold=3
+        ).collect()
+    )
+    a, b = df.alias("a"), df.alias("b")
+    want = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).collect()
+    )
+    assert got == want
