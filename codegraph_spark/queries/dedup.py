@@ -393,6 +393,59 @@ FROM reach GROUP BY a
 """
 
 
+# --- decontamination: eval-set n-gram overlap against the corpus -------------
+#: the held-out "benchmark" slice — one source namespace of the corpus
+_EVAL_SOURCE = "src0"
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram collisions between the
+    eval slice (source = src0) and the training remainder — the check
+    every training pipeline runs before a data release (eval examples
+    leaking into training data inflate benchmark scores).
+
+    Same bucket-join shape as the n-gram dedup verifier: shingles are
+    map-side, the only movement is the equi-join on the shingle key
+    (never an all-pairs compare). Hot/stopword shingles carry the usual
+    skew caveat — at 100 TB drop grams above a document-frequency
+    cutoff from candidate generation (correctness preserved: dropped
+    grams only lower n_shared, and the release gate re-verifies
+    flagged pairs exactly)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = _shingles(spark, sf_dir).join(docs, "doc_id")
+    evals = tagged.filter(F.col("source") == _EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    train = tagged.filter(F.col("source") != _EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        evals.join(train, "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH {_SHINGLES_CTE.strip()},
+evals AS (
+    SELECT s.doc_id AS eval_doc, s.shingle
+    FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE d.source = '{_EVAL_SOURCE}'
+),
+train AS (
+    SELECT s.doc_id AS train_doc, s.shingle
+    FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE d.source <> '{_EVAL_SOURCE}'
+)
+SELECT e.eval_doc, t.train_doc, count(*) AS n_shared
+FROM evals e JOIN train t ON e.shingle = t.shingle
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -400,6 +453,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
+    "text_contamination": text_contamination,
 }
 
 ORACLES = {
@@ -409,4 +463,5 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": _EMB_SQL,
     "dedup_cluster_cc": _CLUSTER_SQL,
+    "text_contamination": _CONTAMINATION_SQL,
 }
