@@ -40,6 +40,10 @@ from pyspark.sql import functions as F
 
 RAW_GRAY_V1 = "raw-gray-v1"
 
+#: audio analog of ``raw-gray-v1``: bytes 0-3 sample rate (uint32 BE),
+#: bytes 4-7 sample count (uint32 BE), then n unsigned 8-bit samples.
+RAW_PCM_V1 = "raw-pcm-v1"
+
 #: metadata carried alongside every media payload (typed, columnar —
 #: never inside the binary, so planning-time pruning can use it).
 META_COLS = ("modality", "codec", "width", "height", "n_bytes")
@@ -172,6 +176,72 @@ def resize_image_stats(images: DataFrame, factor: int = 2) -> DataFrame:
 
     return images.select("doc_id", "payload", "codec").mapInPandas(
         batches, schema=RESIZE_SCHEMA
+    )
+
+
+def encode_documents_as_audio(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Deterministic ``raw-pcm-v1`` clip per document: n_samples =
+    1024 + doc_id % 512 unsigned 8-bit samples taken from the document
+    text repeated — JVM-side packing exactly like the image encoder."""
+    n = (F.lit(1024) + F.col("doc_id") % 512).cast("int")
+    reps = F.ceil(n / F.length("text")).cast("int") + F.lit(1)
+    body = F.substring(F.repeat(F.col("text"), reps), 1, n)
+    header = F.to_binary(
+        F.concat(
+            F.lpad(F.hex(F.lit(sample_rate)), 8, "0"),
+            F.lpad(F.hex(n), 8, "0"),
+        ),
+        F.lit("hex"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(header, F.encode(body, "US-ASCII")).alias("payload"),
+        F.lit("audio").alias("modality"),
+        F.lit(RAW_PCM_V1).alias("codec"),
+        F.lit(sample_rate).alias("sample_rate"),
+        n.alias("n_samples"),
+        (n + F.lit(8)).alias("n_bytes"),
+    )
+
+
+AUDIO_ENERGY_SCHEMA = "doc_id long, win_idx int, energy long"
+
+
+def audio_window_energy(audio: DataFrame, window: int = 256) -> DataFrame:
+    """Windowed energy (sum of squared samples) per non-overlapping
+    ``window``-sample block, trailing partial windows dropped — the
+    audio feature-extract shape (silence trimming / VAD prefilters
+    compute exactly this). Integer math end to end so the oracle can
+    recompute it bit-for-bit from the text."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out_ids, out_idx, out_e = [], [], []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                if codec != RAW_PCM_V1:
+                    raise NotImplementedError(
+                        f"codec {codec!r}: real audio decoders (MP3/FLAC/...) "
+                        "are not available in this container — only "
+                        f"{RAW_PCM_V1!r} is decodable."
+                    )
+                samples = np.frombuffer(payload, dtype=np.uint8, offset=8)
+                n_win = samples.size // window
+                usable = samples[: n_win * window].reshape(n_win, window)
+                sq = usable.astype(np.int64)
+                energies = (sq * sq).sum(axis=1)
+                out_ids.extend([doc_id] * n_win)
+                out_idx.extend(range(n_win))
+                out_e.extend(int(e) for e in energies)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "win_idx": out_idx, "energy": out_e}
+            )
+
+    return audio.select("doc_id", "payload", "codec").mapInPandas(
+        batches, schema=AUDIO_ENERGY_SCHEMA
     )
 
 

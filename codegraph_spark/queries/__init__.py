@@ -77,8 +77,8 @@ _GATE_TAIL = [
     # these three rotate out to make room for the round-3 entries:
     # each holds green rows in BOTH rounds 1 and 2
     "j8_mentions_topk", "f11_title_doctype", "a5_feature_merge",
-    # late round-3 addition; awaiting a future window slot
-    "text_contamination",
+    # late round-3 additions; awaiting a future window slot
+    "text_contamination", "mm_audio_energy",
 ]
 
 

@@ -117,14 +117,56 @@ GROUP BY doc_id, i // {_FRAME_LEN}
 """
 
 
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end: deterministic raw-pcm-v1 clip per
+    document → Arrow-batched windowed-energy kernel (256-sample
+    windows, sum of squares, integer math). The oracle recomputes the
+    energies analytically from the text bytes, proving the binary
+    pack → Arrow transfer → numpy window reduce round-trip."""
+    from codegraph_spark.operators.multimodal import (
+        audio_window_energy,
+        encode_documents_as_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_energy(encode_documents_as_audio(docs), window=256)
+
+
+_MM_AUDIO_SQL = """
+WITH auds AS (
+    SELECT doc_id,
+           CAST(1024 + doc_id % 512 AS INT) AS n,
+           substr(
+               repeat(text, CAST(ceil((1024 + doc_id % 512)
+                                      / CAST(length(text) AS DOUBLE)) AS INT) + 1),
+               1, 1024 + doc_id % 512
+           ) AS body
+    FROM documents
+),
+samples AS (
+    SELECT doc_id, n,
+           unnest(list_transform(string_split(body, ''), x -> ascii(x))) AS b,
+           unnest(range(0, n)) AS i
+    FROM auds
+)
+SELECT doc_id, CAST(i // 256 AS INT) AS win_idx,
+       CAST(sum(CAST(b AS BIGINT) * b) AS BIGINT) AS energy
+FROM samples
+WHERE i < (n // 256) * 256
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "mm_image_meta": mm_image_meta,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_energy": mm_audio_energy,
 }
 
 ORACLES = {
     "mm_image_meta": _MM_META_SQL,
     "mm_resize": _MM_RESIZE_SQL,
     "mm_frame_sample": _MM_FRAME_SQL,
+    "mm_audio_energy": _MM_AUDIO_SQL,
 }

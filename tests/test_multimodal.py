@@ -85,3 +85,36 @@ def test_foreign_codec_raises(spark, images):
     jpeg = images.withColumn("codec", F.lit("jpeg"))
     with pytest.raises(Exception, match="NotImplementedError|jpeg"):
         decode_image_stats(jpeg).collect()
+
+
+def test_audio_energy_kernel(spark):
+    """raw-pcm-v1 pack → Arrow kernel → windowed integer energies;
+    partial trailing windows dropped; foreign codecs refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from codegraph_spark.operators.multimodal import (
+        audio_window_energy,
+        encode_documents_as_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcd" * 300), (300, "xy" * 900)], "doc_id long, text string"
+    )
+    audio = encode_documents_as_audio(docs)
+    meta = {r["doc_id"]: r for r in audio.collect()}
+    assert meta[0]["n_samples"] == 1024 and meta[300]["n_samples"] == 1324
+    assert meta[0]["codec"] == "raw-pcm-v1" and meta[0]["modality"] == "audio"
+
+    out = audio_window_energy(audio, window=256)
+    rows = {(r["doc_id"], r["win_idx"]): r["energy"] for r in out.collect()}
+    # doc 0: 1024/256 = 4 full windows; doc 300: 1324//256 = 5 (partial dropped)
+    assert sorted(i for d, i in rows if d == 0) == [0, 1, 2, 3]
+    assert sorted(i for d, i in rows if d == 300) == [0, 1, 2, 3, 4]
+    # energy of a repeated "abcd" window: 64 repetitions of the 4-byte motif
+    motif = sum(ord(c) ** 2 for c in "abcd")
+    assert rows[(0, 0)] == motif * 64
+
+    bad = audio.withColumn("codec", F.lit("mp3"))
+    with _pytest.raises(Exception, match="mp3"):
+        audio_window_energy(bad).collect()
