@@ -109,37 +109,67 @@ def _packed_int32s(v: bytes) -> list[int]:
     return out
 
 
+def _as_bytes(v: Any, wt: int, what: str) -> bytes:
+    """Wire-type guard: the schema expects a length-delimited field here.
+    A varint in its place means the index is malformed (or adversarial)
+    — fail with a diagnosis instead of leaking AttributeError."""
+    if wt != 2 or not isinstance(v, (bytes, bytearray)):
+        raise ValueError(
+            f"malformed SCIP index: {what} has wire type {wt}, "
+            "expected length-delimited"
+        )
+    return bytes(v)
+
+
+def _as_int(v: Any, wt: int, what: str) -> int:
+    if wt != 0 or not isinstance(v, int):
+        raise ValueError(
+            f"malformed SCIP index: {what} has wire type {wt}, expected varint"
+        )
+    return v
+
+
 def decode_scip(data: bytes) -> dict[str, list[dict]]:
     """Decode an ``index.scip`` byte string into plain dicts:
     ``{"documents": [...], "occurrences": [...], "symbols": [...]}``.
     The SCIP range convention: [startLine, startCol, endLine, endCol],
-    or 3 elements when the occurrence is single-line."""
+    or 3 elements when the occurrence is single-line. Malformed input
+    raises ValueError (never a stray AttributeError/IndexError) — the
+    fuzz contract in tests/test_scip.py."""
     documents: list[dict] = []
     occurrences: list[dict] = []
     symbols: list[dict] = []
-    for fno, _wt, v in _fields(data):
+    for fno, wt, v in _fields(data):
         if fno != 2:  # Index.documents
             continue
         doc: dict[str, Any] = {"relative_path": "", "language": "", "text": ""}
-        for dfno, _dwt, dv in _fields(v):
+        for dfno, dwt, dv in _fields(_as_bytes(v, wt, "Index.documents")):
             if dfno == 1:
-                doc["relative_path"] = dv.decode()
+                doc["relative_path"] = _as_bytes(dv, dwt, "Document.relative_path").decode()
             elif dfno == 4:
-                doc["language"] = dv.decode()
+                doc["language"] = _as_bytes(dv, dwt, "Document.language").decode()
             elif dfno == 5:
-                doc["text"] = dv.decode()
+                doc["text"] = _as_bytes(dv, dwt, "Document.text").decode()
             elif dfno == 2:  # occurrence
                 occ = {"symbol": "", "symbol_roles": 0, "range": []}
-                for ofno, owt, ov in _fields(dv):
+                for ofno, owt, ov in _fields(_as_bytes(dv, dwt, "Document.occurrences")):
                     if ofno == 1:
-                        occ["range"] = _packed_int32s(ov) if owt == 2 else [ov]
+                        occ["range"] = (
+                            _packed_int32s(ov) if owt == 2
+                            else [_as_int(ov, owt, "Occurrence.range")]
+                        )
                     elif ofno == 2:
-                        occ["symbol"] = ov.decode()
+                        occ["symbol"] = _as_bytes(ov, owt, "Occurrence.symbol").decode()
                     elif ofno == 3:
-                        occ["symbol_roles"] = ov
+                        occ["symbol_roles"] = _as_int(ov, owt, "Occurrence.symbol_roles")
                 r = occ.pop("range")
                 if len(r) == 3:  # single-line shorthand
                     r = [r[0], r[1], r[0], r[2]]
+                if len(r) != 4:
+                    raise ValueError(
+                        f"malformed SCIP index: occurrence range has {len(r)} "
+                        "elements, expected 3 or 4"
+                    )
                 occ.update(
                     start_line=r[0], start_col=r[1], end_line=r[2], end_col=r[3],
                     path=doc["relative_path"],
@@ -148,15 +178,15 @@ def decode_scip(data: bytes) -> dict[str, list[dict]]:
             elif dfno == 3:  # SymbolInformation
                 si = {"symbol": "", "documentation": "", "kind": 0,
                       "display_name": ""}
-                for sfno, _swt, sv in _fields(dv):
+                for sfno, swt, sv in _fields(_as_bytes(dv, dwt, "Document.symbols")):
                     if sfno == 1:
-                        si["symbol"] = sv.decode()
+                        si["symbol"] = _as_bytes(sv, swt, "SymbolInformation.symbol").decode()
                     elif sfno == 3:
-                        si["documentation"] = sv.decode()
+                        si["documentation"] = _as_bytes(sv, swt, "SymbolInformation.documentation").decode()
                     elif sfno == 5:
-                        si["kind"] = sv
+                        si["kind"] = _as_int(sv, swt, "SymbolInformation.kind")
                     elif sfno == 6:
-                        si["display_name"] = sv.decode()
+                        si["display_name"] = _as_bytes(sv, swt, "SymbolInformation.display_name").decode()
                 symbols.append(si)
         documents.append({k: doc[k] for k in ("relative_path", "language", "text")})
     return {"documents": documents, "occurrences": occurrences, "symbols": symbols}
