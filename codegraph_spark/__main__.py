@@ -90,6 +90,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sc.add_parser("validate")
     sc.add_parser("info")
 
+    sq = sub.add_parser("sql", help="run ANSI SQL over the warehouse views")
+    sq.add_argument("statement")
+    sq.add_argument("--limit", type=int, default=100,
+                    help="max rows printed (0 = unlimited)")
+
     srv = sub.add_parser("serve", help="long-running servers").add_subparsers(
         dest="what", required=True
     )
@@ -136,6 +141,16 @@ def main(argv: list[str] | None = None) -> None:
                 "edges": edges.count(),
                 "out": args.out,
             }
+        elif args.cmd == "sql":
+            from codegraph_spark.sql import sql as run_sql
+
+            if not args.sf_dir:
+                raise SystemExit("sql needs --sf-dir DIR (the warehouse root)")
+            df = run_sql(spark, args.sf_dir, args.statement)
+            if args.limit > 0:
+                df = df.limit(args.limit)
+            out = {"columns": df.columns,
+                   "rows": [list(r) for r in df.collect()]}
         elif args.cmd == "schema":
             from codegraph_spark.schema import SchemaManager, database_info
 
