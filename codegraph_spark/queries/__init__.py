@@ -78,7 +78,7 @@ _GATE_TAIL = [
     # each holds green rows in BOTH rounds 1 and 2
     "j8_mentions_topk", "f11_title_doctype", "a5_feature_merge",
     # late round-3 additions; awaiting a future window slot
-    "text_contamination", "mm_audio_energy",
+    "text_contamination", "mm_audio_energy", "graph_pagerank",
 ]
 
 

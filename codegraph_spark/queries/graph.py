@@ -367,9 +367,33 @@ FROM gnodes WHERE symbol IS NOT NULL
 """)
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance ranking over the CALLS graph (operators/pagerank.py):
+    top-20 nodes by PageRank, deterministic tiebreak on id. Iterative —
+    no SQL oracle; tests/test_pagerank.py pins the numerics against a
+    pure-Python power iteration with identical damping/dangling
+    semantics, and the driver records the rows-only check."""
+    from codegraph_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf_dir)
+    calls = g.typed_edges("CALLS")
+    members = (
+        calls.select(F.col("src").alias("id"))
+        .unionByName(calls.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = pagerank(members, calls.select("src", "dst"), iters=10)
+    return (
+        ranks.orderBy(F.desc("rank"), "id")
+        .limit(20)
+        .select("id", F.round("rank", 9).alias("rank"))
+    )
+
+
 QUERIES = {
     "p1_find_by_label": p1_find_by_label,
     "f6_display_name": f6_display_name,
+    "graph_pagerank": graph_pagerank,
     "o1_search_ranked": o1_search_ranked,
     "o1_search_indexed": o1_search_indexed,
     "p5_symbol_membership": p5_symbol_membership,
