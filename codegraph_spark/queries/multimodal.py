@@ -69,8 +69,8 @@ _MM_META_SQL = f"""
 WITH {_BODY_CTE}
 SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
        CAST(count(*) AS INT) AS body_len,
-       (sum(b) * 1000) // count(*) AS mean_milli,
-       sum(b) AS checksum
+       CAST((sum(b) * 1000) // count(*) AS BIGINT) AS mean_milli,
+       CAST(sum(b) AS BIGINT) AS checksum
 FROM px
 GROUP BY doc_id
 """
@@ -88,7 +88,7 @@ WITH {_BODY_CTE}
 SELECT doc_id,
        CAST((any_value(w) + 1) // 2 AS INT) AS out_width,
        CAST((any_value(h) + 1) // 2 AS INT) AS out_height,
-       sum(b) FILTER (WHERE (i // w) % 2 = 0 AND (i % w) % 2 = 0) AS out_checksum
+       CAST(sum(b) FILTER (WHERE (i // w) % 2 = 0 AND (i % w) % 2 = 0) AS BIGINT) AS out_checksum
 FROM px
 GROUP BY doc_id
 """
@@ -109,7 +109,7 @@ _MM_FRAME_SQL = f"""
 WITH {_BODY_CTE}
 SELECT doc_id,
        CAST(i // {_FRAME_LEN} AS INT) AS frame_idx,
-       sum(b) AS frame_checksum
+       CAST(sum(b) AS BIGINT) AS frame_checksum
 FROM px
 WHERE i // {_FRAME_LEN} < (w * h) // {_FRAME_LEN}
   AND (i // {_FRAME_LEN}) % {_EVERY} = 0

@@ -207,7 +207,7 @@ SELECT lang, n_docs, n_tokens,
        CAST(FLOOR(n_tokens * 1000 / CAST(SUM(n_tokens) OVER () AS DOUBLE)) AS BIGINT) AS share_pm
 FROM (
     SELECT lang, count(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS n_tokens
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
     FROM documents GROUP BY lang
 )
 ORDER BY lang

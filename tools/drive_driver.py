@@ -35,12 +35,15 @@ for name in ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    # Dtype-faithful: a float NEVER renders like an int (the real driver
+    # hashes 5.0 != 5 — the round-3 uncast-HUGEINT reds were invisible
+    # here because the old norm collapsed both to "5").
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".") or "0"
+        return f"f:{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
