@@ -369,10 +369,13 @@ FROM gnodes WHERE symbol IS NOT NULL
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance ranking over the CALLS graph (operators/pagerank.py):
-    top-20 nodes by PageRank, deterministic tiebreak on id. Iterative —
-    no SQL oracle; tests/test_pagerank.py pins the numerics against a
-    pure-Python power iteration with identical damping/dangling
-    semantics, and the driver records the rows-only check."""
+    top-20 nodes by PageRank, deterministic tiebreak on id. The fixed
+    iteration count (10) and damping make the whole computation
+    mechanically unrollable, so the oracle is 10 generated chained CTEs
+    (_pagerank_sql) — one link-mass + dangling-mass + update triple per
+    iteration, mirroring the operator's arithmetic exactly.
+    tests/test_pagerank.py additionally pins the numerics against a
+    pure-Python power iteration."""
     from codegraph_spark.operators.pagerank import pagerank
 
     g = _graph(spark, sf_dir)
@@ -388,6 +391,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id", F.round("rank", 9).alias("rank"))
     )
+
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled-CTE oracle for :func:`graph_pagerank` — generated like
+    dedup._minhash_sql(). The operator is deterministic (fixed iters,
+    fixed damping, round(rank, 9) output), so each rank update becomes
+    one CTE triple: dangling mass (scalar), link mass (group-by over
+    edges), new ranks. Float literals are embedded via repr() and CAST
+    to DOUBLE so DuckDB performs the identical IEEE operations instead
+    of DECIMAL arithmetic (1.0 - 0.85 must be 0.15000000000000002 on
+    both engines)."""
+    damp = f"CAST({damping!r} AS DOUBLE)"
+    teleport_num = f"CAST({1.0 - damping!r} AS DOUBLE)"
+    # Every multiply-referenced CTE is AS MATERIALIZED: each r{i} is
+    # consumed twice (d{i+1} and l{i+1}); plain inlining would double
+    # the plan per iteration (2^iters base-table scans — observed as a
+    # file-handle explosion on the parquet views).
+    ctes = [
+        "calls AS MATERIALIZED (SELECT src, dst FROM gedges WHERE type = 'CALLS')",
+        """members AS MATERIALIZED (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM calls UNION ALL SELECT dst FROM calls))""",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM members)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg FROM calls GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT m.id, 1.0 / nn.n AS rank FROM members m CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""d{i} AS (
+    SELECT coalesce(sum(r.rank), 0.0) AS dm
+    FROM {p} r LEFT JOIN deg d ON d.id = r.id
+    WHERE d.id IS NULL)""")
+        ctes.append(f"""l{i} AS (
+    SELECT c.dst AS id, sum(r.rank / d.out_deg) AS link_mass
+    FROM {p} r JOIN deg d ON d.id = r.id JOIN calls c ON c.src = r.id
+    GROUP BY c.dst)""")
+        ctes.append(f"""r{i} AS MATERIALIZED (
+    SELECT m.id,
+           ({teleport_num} / nn.n)
+           + {damp} * (coalesce(l.link_mass, 0.0) + dm.dm / nn.n) AS rank
+    FROM members m CROSS JOIN nn CROSS JOIN d{i} dm
+    LEFT JOIN l{i} l ON l.id = m.id)""")
+    # top-20 selected on the UNROUNDED rank (as the Spark side does),
+    # rounding applied only in the outer projection.
+    tail = f"""
+SELECT id, round(rank, 9) AS rank FROM (
+    SELECT id, rank FROM r{iters} ORDER BY rank DESC, id LIMIT 20
+)"""
+    return with_recast(tail, extra_ctes=",\n".join(ctes))
 
 
 QUERIES = {
@@ -410,6 +462,7 @@ QUERIES = {
 
 ORACLES = {
     "p1_find_by_label": _P1_SQL,
+    "graph_pagerank": _pagerank_sql(),
     "f6_display_name": _F6_SQL,
     "o1_search_ranked": _O1_SQL,
     "o1_search_indexed": _O1_SQL,
