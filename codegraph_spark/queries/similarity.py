@@ -171,8 +171,9 @@ def train_ivf_kmeans(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     """Coarse quantizer for IVF: k-means centroids ``(cluster, cv)``.
 
     - **Init** (deterministic farthest-point, the k-means++ idea minus
-      randomness): seed 1 is the vector with the smallest
-      ``xxhash64(vec_id)``; each next seed is the vector whose best
+      randomness): seed 1 is the vector with the smallest md5-derived
+      hash of ``vec_id`` (cross-engine computable, same construction as
+      text.sample_stratified); each next seed is the vector whose best
       cosine to the chosen seeds is worst. Every step is a broadcast
       join + ``orderBy().limit(1)`` — TakeOrderedAndProject, a
       distributed per-partition top-k + driver merge, never a global
@@ -185,7 +186,9 @@ def train_ivf_kmeans(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
       quantizer, not convergence (FAISS trains on a sample for the same
       reason).
     """
-    h = F.xxhash64(F.col("vec_id").cast("string"))
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
     chosen = (
         emb.orderBy(h, "vec_id").limit(1)
         .select(F.lit(1).alias("cluster"), F.col("v").alias("cv"))
@@ -244,10 +247,12 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with the TRAINED quantizer (train_ivf_kmeans): queries
     probe their nearest centroid's posting list only. This is the real
     IVF scale path (sim_ivf_label keeps the label-as-quantizer variant
-    because its assignment is SQL-mirrorable); k-means is iterative, so
-    this entry has no SQL oracle — the driver records the weaker
-    rows-only check, and tests/test_similarity.py asserts planted-
-    cluster recall against the brute-force baseline instead."""
+    for the simple one-join shape). Training is deterministic (hash-
+    seeded farthest-point init, fixed k and Lloyd rounds), so the whole
+    pipeline unrolls into chained CTEs — _ivf_kmeans_sql generates the
+    oracle: 7 argmin seeding steps, 2 assign+mean pairs, then the
+    probe/top-5 tail. tests/test_similarity.py asserts planted-cluster
+    recall against the brute-force baseline as defense-in-depth."""
     inv = _trained_inverted_file(spark, sf_dir)  # cluster → members
     q = inv.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
@@ -360,6 +365,65 @@ FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 """
 
 
+def _ivf_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-CTE oracle for :func:`sim_ivf_kmeans`, generated like
+    graph._pagerank_sql(): the trained quantizer is deterministic, so
+    seeding becomes k-1 chained argmin CTEs and each Lloyd round an
+    assign+mean CTE pair. Multiply-referenced states are MATERIALIZED
+    (plain inlining doubles the plan per step)."""
+    parts = [
+        "ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """s1 AS MATERIALIZED (
+    SELECT 1 AS cluster, v AS cv FROM ev
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+             vec_id
+    LIMIT 1)""",
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""s{i} AS MATERIALIZED (
+    SELECT * FROM s{i - 1}
+    UNION ALL
+    SELECT {i} AS cluster, v AS cv FROM (
+        SELECT vec_id, v, best FROM (
+            SELECT e.vec_id AS vec_id, any_value(e.v) AS v,
+                   max(list_cosine_similarity(e.v, c.cv)) AS best
+            FROM ev e CROSS JOIN s{i - 1} c
+            GROUP BY e.vec_id
+        ) ORDER BY best ASC, vec_id LIMIT 1
+    ))""")
+    cents = f"s{k}"
+    assign = """{name} AS MATERIALIZED (
+    SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cluster) AS rn
+        FROM ev e CROSS JOIN {cents} c
+    ) WHERE rn = 1)"""
+    for r in range(1, iters + 1):
+        parts.append(assign.format(name=f"a{r}", cents=cents))
+        parts.append(f"""m{r} AS MATERIALIZED (
+    SELECT cluster, list(m ORDER BY dim) AS cv FROM (
+        SELECT cluster, dim, avg(x) AS m FROM (
+            SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+            FROM a{r}
+        ) GROUP BY cluster, dim
+    ) GROUP BY cluster)""")
+        cents = f"m{r}"
+    parts.append(assign.format(name="inv", cents=cents))
+    tail = """
+SELECT q_id, probe_cluster, neighbor_id, floor(cos * 10000) / 10000 AS cosine, rn
+FROM (
+    SELECT q.vec_id AS q_id, c.cluster AS probe_cluster, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, c.v) AS cos,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS INT) AS rn
+    FROM inv q JOIN inv c ON c.cluster = q.cluster AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 3
+) WHERE rn <= 5
+"""
+    return "WITH " + ",\n".join(parts) + tail
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_label": sim_ivf_label,
@@ -367,10 +431,9 @@ QUERIES = {
     "sim_lsh_cosine": sim_lsh_cosine,
 }
 
-# sim_ivf_kmeans: no oracle by design — k-means is iterative (driver
-# records the rows-only check; recall is pytest-asserted instead).
 ORACLES = {
     "sim_topk_bruteforce": _BRUTE_SQL,
     "sim_ivf_label": _IVF_SQL,
+    "sim_ivf_kmeans": _ivf_kmeans_sql(),
     "sim_lsh_cosine": _LSH_SQL,
 }
