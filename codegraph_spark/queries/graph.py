@@ -238,12 +238,38 @@ SELECT * FROM (
 
 # --- j9: orphan check anti-join (indexing_test.go:421-438) --------------------
 def j9_orphan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity orphan integrity check: parts never referenced
+    by ANY LineItem — the exact never-referenced ``left_anti`` the
+    reference asserts (indexing_test.go:421-438). On TPC-H data every
+    part is referenced, so this legitimately returns 0 rows at every
+    SF; the anti-join MACHINERY is additionally exercised by the
+    non-vacuous j9b variant below (same plan shape, value-filtered
+    reference set), so a 0-row green here is backed by a many-row green
+    there."""
+    g = _graph(spark, sf_dir)
+    parts = g.nodes.filter(F.col("label") == "Part")
+    refs = g.typed_edges("REFERENCES").select(F.col("dst").alias("id"))
+    return parts.join(refs, "id", "left_anti").select("id", "name", "key")
+
+
+_J9_SQL = with_recast("""
+SELECT p.id AS id, p.name AS name, p.key AS key
+FROM gnodes p
+WHERE p.label = 'Part'
+  AND NOT EXISTS (
+      SELECT 1 FROM gedges e
+      WHERE e.type = 'REFERENCES' AND e.dst = p.id
+  )
+""")
+
+
+# --- j9b: the non-vacuous anti-join variant (engine-exercise twin of j9) ------
+def j9b_low_usage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts with no high-value usage — ``left_anti`` against the
-    REFERENCES sites whose LineItem value ≥ 90k (the EXCEPT-ish
-    integrity check). The value predicate keeps the gate non-vacuous:
-    a plain every-reference anti-join matches 0 rows at every SF (all
-    parts are referenced), and a 0-row green proves nothing about the
-    anti-join (VERDICT r1 §wrong.4 lesson)."""
+    REFERENCES sites whose LineItem value ≥ 90k. Same anti-join plan
+    shape as j9 but with a non-empty result at every SF, so the gate
+    row proves the anti-join actually filters (VERDICT r1 §wrong.4
+    lesson: a 0-row green proves nothing about the join)."""
     g = _graph(spark, sf_dir)
     parts = g.nodes.filter(F.col("label") == "Part")
     hi_usage = g.nodes.filter(
@@ -257,7 +283,7 @@ def j9_orphan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.join(refs, "id", "left_anti").select("id", "name", "key")
 
 
-_J9_SQL = with_recast("""
+_J9B_SQL = with_recast("""
 SELECT p.id AS id, p.name AS name, p.key AS key
 FROM gnodes p
 WHERE p.label = 'Part'
@@ -456,6 +482,7 @@ QUERIES = {
     "j3_three_hop_chain": j3_three_hop_chain,
     "j7_callers_callees": j7_callers_callees,
     "j9_orphan_parts": j9_orphan_parts,
+    "j9b_low_usage_parts": j9b_low_usage_parts,
     "j10_optional_counts": j10_optional_counts,
     "f5_symbol_parse": f5_symbol_parse,
 }
@@ -474,6 +501,7 @@ ORACLES = {
     "j3_three_hop_chain": _J3_SQL,
     "j7_callers_callees": _J7_SQL,
     "j9_orphan_parts": _J9_SQL,
+    "j9b_low_usage_parts": _J9B_SQL,
     "j10_optional_counts": _J10_SQL,
     "f5_symbol_parse": _F5_SQL,
 }
