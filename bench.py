@@ -65,10 +65,10 @@ def main() -> None:
     g = PropertyGraph.from_tpch_recast(spark, sf_dir)
     # warehouse build: base tables, closure + service slice, typed-edge
     # and label subsets, trigram posting table, query-layer materialized
-    # views, and a full-width decode of the cached node batches (search
-    # touches name/symbol; first touch pays the column decompression).
+    # views (warm_views carries the dataset's warm-set config), and a
+    # full-width decode of the cached node batches (search touches
+    # name/symbol; first touch pays the column decompression).
     # All part of ingest, reported in ingest_sec.
-    g.warm_serving_caches()
     from codegraph_spark.queries.traversals import warm_views
 
     warm_views(spark, sf_dir)

@@ -165,23 +165,46 @@ class PropertyGraph:
             self._closures[key] = clo
         return clo
 
-    def warm_serving_caches(self) -> None:
-        """Materialize every ingest-time serving structure: base tables,
-        the containment closure + its service-rooted slice, per-type
-        edge subsets, hot label subsets, the trigram posting table, and
-        registered views. One call = the full warehouse build; serving
-        queries then only ever touch warm storage. (bench.py runs this
-        inside ingest_sec; a cluster deployment runs it once per graph
-        refresh.)"""
+    def warm_serving_caches(
+        self,
+        *,
+        closures: "Sequence[tuple[str, int]]" = (),
+        rooted_slices: "Sequence[tuple[str, str, int, int | None]]" = (),
+        hot_labels: "Sequence[str]" = (),
+        edge_types: "Sequence[str] | None" = None,
+        trigram_fields: "Sequence[str] | None" = None,
+    ) -> None:
+        """Materialize the graph's ingest-time serving structures: base
+        tables, per-type edge subsets, and any requested closures /
+        rooted closure slices / hot label subsets / trigram posting
+        table. One call = the warehouse build; serving queries then only
+        ever touch warm storage (a cluster deployment runs it once per
+        graph refresh).
+
+        The warm SET is caller-provided — which roots, labels, and
+        search fields are hot is a property of the dataset's query
+        layer, not of the graph structure (the recast TPC-H graph warms
+        ``region:`` roots and Order callers; a code graph built by
+        index_project warms ``service:`` roots and File/Function).
+        ``edge_types`` defaults to every type present in the graph —
+        one distinct-scan at ingest, never on the query path.
+        """
         self.nodes.count()
         self.edges.count()
-        self.closure("CONTAINS", max_depth=4).count()
-        self.closure_from("region:", "CONTAINS", max_depth=4, hops_leq=3).count()
-        for et in ("CALLS", "CONTAINS", "REFERENCES", "FLOWS_TO", "DEPENDS_ON"):
+        if edge_types is None:
+            edge_types = [
+                r[0] for r in self.edges.select("type").distinct().collect()
+            ]
+        for et in edge_types:
             self.typed_edges(et).count()
-        for lbl in ("Order",):
+        for et, depth in closures:
+            self.closure(et, max_depth=depth).count()
+        for prefix, et, depth, hops in rooted_slices:
+            self.closure_from(prefix, et, max_depth=depth, hops_leq=hops).count()
+        for lbl in hot_labels:
             self.by_label(lbl, cached=True).count()
-        self.trigram_index(("name", "symbol")).count()
+        if trigram_fields:
+            self.trigram_index(tuple(trigram_fields)).count()
 
     def cached_view(self, name: str, build) -> DataFrame:
         """Named materialized view on the graph: built once by

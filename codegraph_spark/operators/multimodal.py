@@ -49,13 +49,32 @@ RAW_PCM_V1 = "raw-pcm-v1"
 META_COLS = ("modality", "codec", "width", "height", "n_bytes")
 
 
+def _ascii_nonempty(docs: DataFrame) -> DataFrame:
+    """Encoder precondition: payload bytes are the document's text
+    bytes, and the oracle recomputes them as per-CHARACTER codepoints —
+    byte == codepoint only for non-empty ASCII text. Empty documents
+    are dropped (the oracle's unnest yields zero payload rows for them;
+    unfiltered they would null the repeat-count and crash the decode
+    kernel on a null payload). Non-ASCII text FAILS FAST: Spark's
+    ``encode(_, 'US-ASCII')`` would silently substitute ``?`` (63)
+    where the oracle sees the real codepoint — refusing beats
+    diverging."""
+    docs = docs.filter(F.length("text") > 0)
+    ok = F.col("text").rlike(r"^[\x00-\x7F]*$")
+    return docs.withColumn(
+        "_ascii_ck", F.assert_true(ok, F.lit("non-ASCII document text cannot be media-encoded"))
+    ).drop("_ascii_ck")
+
+
 def encode_documents_as_images(docs: DataFrame) -> DataFrame:
     """Derive a deterministic ``raw-gray-v1`` image per document.
 
     width = 16 + doc_id % 48, height = 16 + doc_id % 32; pixels = the
-    document text (ASCII) repeated to fill width*height bytes. Built
-    entirely JVM-side (hex-packed header + ``encode``), no UDF.
+    document text (non-empty ASCII — see :func:`_ascii_nonempty`)
+    repeated to fill width*height bytes. Built entirely JVM-side
+    (hex-packed header + ``encode``), no UDF.
     """
+    docs = _ascii_nonempty(docs)
     w = (F.lit(16) + F.col("doc_id") % 48).cast("int")
     h = (F.lit(16) + F.col("doc_id") % 32).cast("int")
     n = (w * h).cast("int")
@@ -182,7 +201,9 @@ def resize_image_stats(images: DataFrame, factor: int = 2) -> DataFrame:
 def encode_documents_as_audio(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Deterministic ``raw-pcm-v1`` clip per document: n_samples =
     1024 + doc_id % 512 unsigned 8-bit samples taken from the document
-    text repeated — JVM-side packing exactly like the image encoder."""
+    text repeated — JVM-side packing exactly like the image encoder
+    (same non-empty-ASCII precondition, :func:`_ascii_nonempty`)."""
+    docs = _ascii_nonempty(docs)
     n = (F.lit(1024) + F.col("doc_id") % 512).cast("int")
     reps = F.ceil(n / F.length("text")).cast("int") + F.lit(1)
     body = F.substring(F.repeat(F.col("text"), reps), 1, n)

@@ -118,3 +118,21 @@ def test_audio_energy_kernel(spark):
     bad = audio.withColumn("codec", F.lit("mp3"))
     with _pytest.raises(Exception, match="mp3"):
         audio_window_energy(bad).collect()
+
+
+def test_empty_text_dropped(spark):
+    docs = spark.createDataFrame(
+        [(0, "abcd"), (1, "")], "doc_id long, text string"
+    )
+    from codegraph_spark.operators.multimodal import encode_documents_as_audio
+
+    assert [r["doc_id"] for r in encode_documents_as_images(docs).collect()] == [0]
+    assert [r["doc_id"] for r in encode_documents_as_audio(docs).collect()] == [0]
+
+
+def test_non_ascii_fails_fast(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame([(0, "héllo")], "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException):
+        encode_documents_as_images(docs).collect()

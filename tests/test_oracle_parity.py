@@ -15,12 +15,15 @@ import pytest
 
 
 def _normalize_cell(v):
+    # Dtype-faithful, matching tools/drive_driver.py: a float NEVER
+    # renders like an int (the driver hashes 5.0 != 5; the round-3
+    # uncast-HUGEINT reds were invisible to a ".0"-stripping norm).
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".") or "0"
+        return f"f:{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_normalize_cell(x) for x in v) + "]"
     return str(v)
