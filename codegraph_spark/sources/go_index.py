@@ -33,9 +33,13 @@ _GO_KEYWORDS = frozenset(
 )
 
 _FUNC_RE = re.compile(
-    r"^func\s+(?:\((?P<recv>[^)]*)\)\s*)?(?P<name>\w+)\s*\("
+    r"^func\s+(?:\((?P<recv>[^)]*)\)\s*)?(?P<name>\w+)\s*"
+    r"(?:\[(?P<tparams>[^\]]*)\])?\s*\("
 )
-_TYPE_RE = re.compile(r"^type\s+(?P<name>\w+)\s+(?P<kind>\S.*)$")
+_TYPE_RE = re.compile(
+    r"^type\s+(?P<name>\w+)(?:\[(?P<tparams>[^\]]*)\])?\s+(?P<kind>\S.*)$"
+)
+_IFACE_METHOD_RE = re.compile(r"^\s*(?P<mname>\w+)\s*(?:\[[^\]]*\])?\s*\(")
 _VvarCONST_RE = re.compile(r"^(?P<kw>var|const)\s+(?P<name>\w+)")
 _BLOCK_ENTRY_RE = re.compile(r"^\s*(?P<name>\w+)")
 _BRANCH_RE = re.compile(r"\b(?:if|for|case)\b|&&|\|\|")
@@ -177,6 +181,11 @@ def parse_go_file(path: str, source: str) -> list[dict]:
         records.append(base)
 
     def node(id_, label, **kw) -> None:
+        # every Go record carries language='Go' so cross-file call
+        # resolution can join against Go definitions only (a Python
+        # module fqn colliding with a Go package fqn must not fabricate
+        # a cross-language CALLS edge — split_records filters on this)
+        kw.setdefault("language", "Go")
         rec(rec="node", id=id_, label=label, path=path, **kw)
 
     def edge(src, type_, dst, order=None) -> None:
@@ -228,18 +237,50 @@ def parse_go_file(path: str, source: str) -> list[dict]:
     # indexer.go:224 links methods to the module; we do one better)
     order = [0]
 
-    def emit_type(name: str, i: int, j: int, doc_idx: int) -> None:
+    def emit_type(
+        name: str, i: int, j: int, doc_idx: int,
+        kind: str | None = None, tparams: str | None = None,
+    ) -> None:
+        """Type declaration → Class node, or Interface node with its
+        method set when the underlying type is ``interface`` (the
+        reference's visitor handles *ast.InterfaceType the same way it
+        handles *ast.StructType, indexer.go:176-193 — we keep the
+        distinct label so implementations queries can anchor on it).
+        Generic type parameters land in ``signature`` (``[K, V any]``),
+        mirroring how function signatures carry theirs."""
+        is_iface = bool(kind) and kind.lstrip().startswith("interface")
+        label = "Interface" if is_iface else "Class"
         cid = f"class:{path}:{module_fqn}.{name}"
         def_ids.setdefault(name, cid)
-        node(cid, "Class", name=name, fqn=f"{module_fqn}.{name}",
+        node(cid, label, name=name, fqn=f"{module_fqn}.{name}",
              docstring=_doc_comment(raw, doc_idx),
              is_exported=name[0].isupper(),
+             signature=f"[{tparams}]" if tparams else None,
              complexity=1, **span_props(i, j))
         edge(module_id, "CONTAINS", cid, order=order[0])
         order[0] += 1
         sym = _mint_go_symbol(module_fqn, f"{module_fqn}.{name}", "class")
         node(f"symbol:{sym}", "Symbol", name=name, symbol=sym)
         edge(cid, "DEFINES", f"symbol:{sym}")
+        if is_iface and j > i:
+            # interface method set: one Method node per declared method
+            # (embedded interfaces — bare identifiers, no '(' — skipped)
+            for mo, k in enumerate(range(i + 1, j)):
+                lm = _IFACE_METHOD_RE.match(clean[k])
+                if not lm or lm.group("mname") in _GO_KEYWORDS:
+                    continue
+                mname = lm.group("mname")
+                mfqn = f"{module_fqn}.{name}.{mname}"
+                mid = f"method:{path}:{mfqn}"
+                node(mid, "Method", name=mname, fqn=mfqn,
+                     signature=raw[k].strip(),
+                     is_exported=mname[0].isupper(), is_async=False,
+                     complexity=1, start_line=k + 1, end_line=k + 1,
+                     lines_of_code=1)
+                edge(cid, "CONTAINS", mid, order=mo)
+                msym = _mint_go_symbol(module_fqn, mfqn, "method")
+                node(f"symbol:{msym}", "Symbol", name=mname, symbol=msym)
+                edge(mid, "DEFINES", f"symbol:{msym}")
 
     i = 0
     type_spans: set[int] = set()
@@ -249,7 +290,8 @@ def parse_go_file(path: str, source: str) -> list[dict]:
             m = _TYPE_RE.match(cl)
             if m:
                 j = _body_end(clean, i) if "{" in cl else i
-                emit_type(m.group("name"), i, j, i)
+                emit_type(m.group("name"), i, j, i,
+                          kind=m.group("kind"), tparams=m.group("tparams"))
                 type_spans.update(range(i, j + 1))
                 i = j + 1
                 continue
@@ -257,10 +299,16 @@ def parse_go_file(path: str, source: str) -> list[dict]:
                 # type ( ... ) block: entries at paren depth 1
                 j = i + 1
                 while j < len(clean) and not clean[j].strip().startswith(")"):
-                    mm = _BLOCK_ENTRY_RE.match(clean[j])
+                    mm = re.match(
+                        r"^\s*(?P<name>\w+)(?:\[(?P<tparams>[^\]]*)\])?"
+                        r"\s*(?P<kind>.*)$",
+                        clean[j],
+                    )
                     if mm and mm.group("name") not in _GO_KEYWORDS:
                         k = _body_end(clean, j) if "{" in clean[j] else j
-                        emit_type(mm.group("name"), j, k, j)
+                        emit_type(mm.group("name"), j, k, j,
+                                  kind=mm.group("kind") or None,
+                                  tparams=mm.group("tparams"))
                         j = k
                     j += 1
                 type_spans.update(range(i, j + 1))
@@ -294,7 +342,10 @@ def parse_go_file(path: str, source: str) -> list[dict]:
 
             recv_type = None
             if is_method:
-                rt = re.findall(r"\w+", recv)
+                # strip type-parameter brackets first: for a generic
+                # receiver `(r *Recv[T])` the receiver TYPE is Recv,
+                # not the last identifier T
+                rt = re.findall(r"\w+", re.sub(r"\[[^\]]*\]", "", recv))
                 recv_type = rt[-1] if rt else None
             kind = "method" if is_method else "function"
             fqn = (f"{module_fqn}.{recv_type}.{name}" if recv_type

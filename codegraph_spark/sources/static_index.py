@@ -319,10 +319,17 @@ def split_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("name").alias("callee"),
         F.col("fqn").alias("pkg"),
     )
-    targets = nodes.filter(F.col("label") == "Function").select(
+    # Candidates only come from Go files, and a Go bare name resolves to
+    # a package-level Go FUNCTION — restrict targets to language='Go'
+    # (carried on every Go record) so a Python module whose fqn collides
+    # with a Go package fqn can never fabricate a cross-language CALLS
+    # edge. For Go Function nodes fqn is exactly "<pkg>.<name>", so the
+    # suffix strip below is exact, not a heuristic.
+    targets = nodes.filter(
+        (F.col("label") == "Function") & (F.col("language") == "Go")
+    ).select(
         F.col("id").alias("dst"),
         F.col("name").alias("callee"),
-        # Function fqn = "<pkg>.<name>" — strip the trailing ".<name>"
         F.expr("substring(fqn, 1, length(fqn) - length(name) - 1)").alias("pkg"),
     )
     resolved = (

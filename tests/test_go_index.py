@@ -37,6 +37,12 @@ def test_dogfood_thresholds(ref_graph):
     assert by_label.get("Symbol", 0) >= 100
     assert by_label.get("Class", 0) >= 5          # Go type decls
     assert by_label.get("Method", 0) >= 20        # receiver funcs
+    # The reference declares NO named interface types (verified:
+    # `grep -rn '^type .* interface' --include=*.go` is empty — it only
+    # uses anonymous interface{} values), so the dogfood expectation is
+    # exactly zero; interface METHOD-SET extraction is proven by the
+    # unit kernel test (test_parse_go_interfaces_and_generics).
+    assert by_label.get("Interface", 0) == 0
 
     # Service contains >=10 files (indexer.go:132 edge)
     svc_files = (
@@ -170,6 +176,73 @@ def test_parse_go_unit():
     syms = [r["symbol"] for r in recs if r["rec"] == "node" and r["label"] == "Symbol"]
     assert syms and all(s.startswith("scip-go gomod ") and len(s.split(" ", 4)) == 5
                         for s in syms)
+
+
+GO_SRC_IFACE = '''\
+package store
+
+// Repo abstracts persistence.
+type Repo interface {
+	// Get fetches one row.
+	Get(id string) (string, error)
+	Put(id, val string) error
+	error // embedded interface — not a method
+}
+
+// Cache is a generic container.
+type Cache[K comparable, V any] struct {
+	m map[K]V
+}
+
+// Lookup reads through the cache.
+func (c *Cache[K, V]) Lookup(k K) V {
+	return c.m[k]
+}
+
+// Map applies f elementwise.
+func Map[T, U any](xs []T, f func(T) U) []U {
+	out := make([]U, len(xs))
+	for i, x := range xs {
+		out[i] = f(x)
+	}
+	return out
+}
+'''
+
+
+def test_parse_go_interfaces_and_generics():
+    recs = parse_go_file("/r/pkg/store/store.go", GO_SRC_IFACE)
+    nodes = {r["id"]: r for r in recs if r["rec"] == "node"}
+    edges = [(r["id"], r["label"], r["dst"]) for r in recs if r["rec"] == "edge"]
+
+    repo = nodes["class:/r/pkg/store/store.go:r/pkg/store/store.Repo"]
+    assert repo["label"] == "Interface"
+    # method set: Get and Put as Method nodes CONTAINed by the interface;
+    # the embedded `error` line is NOT a method
+    method_names = sorted(
+        nodes[d]["name"] for s, t, d in edges
+        if t == "CONTAINS" and s == repo["id"] and nodes[d]["label"] == "Method"
+    )
+    assert method_names == ["Get", "Put"]
+    get = nodes["method:/r/pkg/store/store.go:r/pkg/store/store.Repo.Get"]
+    assert get["signature"].startswith("Get(id string)")
+
+    # generic type: type params recorded in signature, label Class
+    cache = nodes["class:/r/pkg/store/store.go:r/pkg/store/store.Cache"]
+    assert cache["label"] == "Class"
+    assert cache["signature"] == "[K comparable, V any]"
+
+    # generic method: receiver type resolved to Cache (not a type param),
+    # CONTAINed by the receiver type node
+    lookup = nodes["method:/r/pkg/store/store.go:r/pkg/store/store.Cache.Lookup"]
+    assert (cache["id"], "CONTAINS", lookup["id"]) in edges
+
+    # generic function parsed (pre-generics regex missed it entirely)
+    mp = nodes["function:/r/pkg/store/store.go:r/pkg/store/store.Map"]
+    assert mp["signature"].startswith("Map[T, U any](")
+    params = [r for r in recs if r["rec"] == "node" and r["label"] == "Parameter"
+              and r["fqn"].startswith("r/pkg/store/store.Map.")]
+    assert [p["name"] for p in sorted(params, key=lambda p: p["order"])] == ["xs", "f"]
 
 
 def test_parse_non_go_degrades_to_file_node():
