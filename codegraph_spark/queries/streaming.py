@@ -63,11 +63,39 @@ GROUP BY user_id
 """
 
 
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup — records deduped AT THE DOOR as
+    micro-batches arrive (``dropDuplicates`` over a streaming source,
+    append mode), the exactly-once ingest filter of a training-data
+    pipeline. Key = (event_type, value bucket); the drained result must
+    equal batch DISTINCT however the input splits into micro-batches.
+
+    State holds one row per distinct key, sharded by the key shuffle —
+    the 1000-executor layout is the partitioning itself. At 100 TB the
+    unbounded-horizon variant swaps to ``dropDuplicatesWithinWatermark``
+    so state is bounded by the dedup horizon; exact global dedup over
+    history belongs to the batch layer (dedup_exact)."""
+    ev = read_events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "event_type", F.floor(F.col("value")).cast("bigint").alias("value_bucket")
+    )
+    deduped = keyed.dropDuplicates(["event_type", "value_bucket"])
+    return run_available_now(deduped, output_mode="append", state_partitions=8)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT event_type, CAST(FLOOR(value) AS BIGINT) AS value_bucket
+FROM events
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_running_totals": stream_running_totals,
+    "stream_dedup_exact": stream_dedup_exact,
 }
 ORACLES = {
     "stream_hourly_counts": _STREAM_HOURLY_SQL,
     "stream_running_totals": _STREAM_RUNNING_SQL,
+    "stream_dedup_exact": _STREAM_DEDUP_SQL,
 }

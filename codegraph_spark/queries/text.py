@@ -214,6 +214,139 @@ ORDER BY lang
 """
 
 
+# --- text_pii_flag: PII detection + redaction (C4/RefinedWeb-style filter) ----
+# RE2-compatible patterns (DuckDB) that Java regex reads identically:
+# no lookaround, ASCII word boundaries, bounded repetition only.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def text_pii_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the pre-release scrub every corpus
+    runs (emails, phone numbers, IP addresses; the C4/RefinedWeb filter
+    family). Pure regexp column ops: counts per category, a has_pii
+    flag, and the md5 of the redacted text (proves both engines redact
+    the identical spans, not just count them).
+
+    The synthetic corpus carries no organic PII, so the fixture PLANTS
+    deterministic spans derived from doc_id (every 7th doc an email,
+    11th a phone, 13th an IP) — both engines compute the identical
+    augmented column, keeping the detector non-vacuous (the j9 lesson:
+    an all-zero green proves nothing about the regexes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" from 10.1.2.3")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", aug.alias("t"))
+    n_emails = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), 0))
+    n_phones = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), 0))
+    n_ips = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_IP, "<IP>",
+    )
+    return base.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_PII_SQL = rf"""
+WITH base AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' from 10.1.2.3' ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+       len(regexp_extract_all(t, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(t, '{_PII_PHONE}'))
+         + len(regexp_extract_all(t, '{_PII_IP}')) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+FROM base
+"""
+
+
+# --- text_repetition: Gopher-style repetition scoring -------------------------
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter signal (the Gopher/MassiveText family): the
+    most-frequent word bigram's count and its per-mille share of all
+    bigrams. Repetitive machine-generated text scores high and gets
+    dropped before training. Shape: map-side bigram explode → count by
+    (doc, gram) → max per doc — the groupBy keys start with doc_id, so
+    at 100 TB the shuffle partitions by document and never concentrates
+    (no global hot key; gram strings stay inside their doc's
+    partition). Single-word docs carry no bigram signal and are
+    dropped on both sides. Integer outputs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", words.alias("w"), F.size(words).alias("n_words")
+    ).filter(F.col("n_words") >= 2)
+    grams = base.select(
+        "doc_id",
+        "n_words",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, n_words - 2),"
+                " i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "n_words", "gram").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id", "n_words").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.floor(F.max("c") * 1000 / (F.col("n_words") - 1)).alias("top_bigram_pm"),
+    )
+
+
+_REPETITION_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, n_words,
+           unnest(list_transform(range(1, n_words), i -> w[i] || ' ' || w[i + 1])) AS gram
+    FROM base WHERE n_words >= 2
+),
+counts AS (
+    SELECT doc_id, n_words, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+)
+SELECT doc_id, n_words,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       CAST(FLOOR(max(c) * 1000 / CAST(n_words - 1 AS DOUBLE)) AS BIGINT) AS top_bigram_pm
+FROM counts GROUP BY doc_id, n_words
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
@@ -221,9 +354,13 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "sample_stratified": sample_stratified,
     "corpus_mix_summary": corpus_mix_summary,
+    "text_pii_flag": text_pii_flag,
+    "text_repetition": text_repetition,
 }
 
 ORACLES = {
+    "text_pii_flag": _PII_SQL,
+    "text_repetition": _REPETITION_SQL,
     "text_langid": _LANGID_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_token_count": _TOKENS_SQL,
