@@ -61,8 +61,10 @@ def _tuned(fn: QueryFn) -> QueryFn:
 # query is ALSO verified against its DuckDB oracle on every pytest run
 # (tests/test_oracle_parity.py) regardless of window position.
 #: queries whose SEMANTICS changed after their last green record —
-#: treated as never-verified until the next green row lands.
-_REVERIFY: set[str] = {"j9_orphan_parts"}
+#: treated as never-verified until a green row lands in the NEWEST
+#: recorded round (the demand self-expires once that row exists, so a
+#: stale entry here cannot pin a query to the front forever).
+_REVERIFY: set[str] = {"j9_orphan_parts"}  # round 4: restored reference-parity semantics
 
 
 def _last_green_rounds() -> dict[str, int]:
@@ -112,9 +114,14 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         raise ValueError(f"oracles without queries: {missing}")
 
     last_green = _last_green_rounds()
-    order = sorted(
-        queries,
-        key=lambda k: (0 if k in _REVERIFY else last_green.get(k, 0), k),
-    )
+    newest = max(last_green.values(), default=0)
+
+    def tier(k: str) -> int:
+        g = last_green.get(k, 0)
+        if k in _REVERIFY and g < newest:
+            return 0  # semantics changed after that green — re-check
+        return g
+
+    order = sorted(queries, key=lambda k: (tier(k), k))
     queries = {k: queries[k] for k in order}
     return queries, {k: oracles[k] for k in order if k in oracles}
