@@ -60,11 +60,13 @@ def _tuned(fn: QueryFn) -> QueryFn:
 # the union of recorded rounds converges to the full registry. Every
 # query is ALSO verified against its DuckDB oracle on every pytest run
 # (tests/test_oracle_parity.py) regardless of window position.
-#: queries whose SEMANTICS changed after their last green record —
-#: treated as never-verified until a green row lands in the NEWEST
-#: recorded round (the demand self-expires once that row exists, so a
-#: stale entry here cannot pin a query to the front forever).
-_REVERIFY: set[str] = {"j9_orphan_parts"}  # round 4: restored reference-parity semantics
+#: name -> round in which the query's SEMANTICS changed: treated as
+#: never-verified until a green row lands in that round or later (the
+#: demand self-expires once it does, so a stale entry here cannot pin
+#: a query to the front forever).
+_REVERIFY: dict[str, int] = {
+    "j9_orphan_parts": 4,  # round 4: restored reference-parity semantics
+}
 
 
 def _last_green_rounds() -> dict[str, int]:
@@ -114,12 +116,11 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         raise ValueError(f"oracles without queries: {missing}")
 
     last_green = _last_green_rounds()
-    newest = max(last_green.values(), default=0)
 
     def tier(k: str) -> int:
         g = last_green.get(k, 0)
-        if k in _REVERIFY and g < newest:
-            return 0  # semantics changed after that green — re-check
+        if g < _REVERIFY.get(k, 0):
+            return 0  # green predates the semantics change — re-check
         return g
 
     order = sorted(queries, key=lambda k: (tier(k), k))
