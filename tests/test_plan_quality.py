@@ -1,0 +1,87 @@
+"""Plan-quality invariants — the PLANS.md audit claims as enforced
+tests, so a refactor that silently de-optimizes a query (drops a
+pushed filter, turns a broadcast into a shuffle, introduces a
+cartesian product) fails CI instead of surfacing in the next bench.
+
+Checks run on the pre-execution plan string (`explain formatted`) at
+sf0.001 — plan SHAPE, not timings, so they are host-noise-free.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    from codegraph_spark.queries import collect
+
+    queries, _ = collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        queries[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+#: queries whose plans legitimately contain a 1-row (or k-row) unkeyed
+#: join — broadcast nested loop against a scalar aggregate / tiny
+#: centroid set. CartesianProduct proper is still disallowed for them.
+_UNKEYED_JOIN_OK = {
+    "corpus_mix_summary",       # crossJoin(1-row total)
+    "graph_pagerank",           # broadcast dangling-mass row
+    "sim_ivf_label", "sim_ivf_kmeans", "sim_topk_bruteforce",  # broadcast k centroids / queries
+    "dedup_embedding_cosine",
+    "j8_mentions_topk",         # substring θ-join — non-equi BY SEMANTICS,
+                                # small name-dim side broadcast (docs scan in place)
+}
+
+
+def _query_names():
+    from codegraph_spark.queries import collect
+
+    queries, _ = collect()
+    return sorted(queries)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_no_cartesian_product(spark, sf_dir, name):
+    """No registered query may plan a CartesianProduct — unkeyed joins
+    must be broadcast (BroadcastNestedLoopJoin over a 1-row/k-row side
+    is the sanctioned shape and stays O(n) at scale)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in plan — an unkeyed join lost its "
+        f"broadcast side"
+    )
+    if name not in _UNKEYED_JOIN_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin — a join lost "
+            f"its equi-condition (add the query to _UNKEYED_JOIN_OK only "
+            f"if the unkeyed side is a scalar/tiny aggregate)"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_shipping_priority", "p2_point_filter"],
+)
+def test_filters_reach_parquet_scan(spark, sf_dir, name):
+    """Relational queries scan raw parquet — their predicates must be
+    pushed into the scan (PushedFilters non-empty), or at 100 TB the
+    scan reads the whole table to apply a row filter."""
+    plan = _plan(spark, sf_dir, name)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), f"{name}: no pushed filters\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["j1_find_definition", "sim_topk_bruteforce"])
+def test_seed_side_broadcast(spark, sf_dir, name):
+    """Point-lookup / tiny-query-set joins must broadcast the small
+    side — the big table scans in place with zero shuffle."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan, (
+        f"{name}: no broadcast in plan — the seed side is being shuffled"
+    )
