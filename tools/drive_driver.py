@@ -25,10 +25,12 @@ rows = df.collect()
 print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
 assert len(rows) > 0
 
+import os
+
 import duckdb
 
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
 for name in ["region", "nation", "customer", "supplier", "part",
              "orders", "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')")
