@@ -214,6 +214,80 @@ ORDER BY lang
 """
 
 
+# --- corpus_pack_shards: token-budgeted sequence packing ----------------------
+_PACK_BUDGET = 4096   # tokens per training shard
+_PACK_BUCKETS = 32    # prefix-sum parallelism (executor-count-sized at scale)
+
+
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign each document a (shard_id, shard_pos)
+    in a token-budgeted linearization of the corpus, the step that
+    turns a deduped corpus into fixed-size training shards.
+
+    The naive plan is one global cumulative-sum window = a single
+    partition holding the whole corpus. This is the distributed
+    two-level prefix sum instead: docs hash into ``_PACK_BUCKETS``
+    buckets, the running total is a window WITHIN each bucket (fully
+    parallel), bucket offsets come from a tiny per-bucket aggregate
+    (``_PACK_BUCKETS`` rows — the only global window, broadcast back).
+    At 100 TB, bucket count scales with executors and the offset table
+    stays bytes-sized. Hash order (doc_id within bucket) also
+    decorrelates document length from shard position. Integer math end
+    to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(w))
+    totals = local.groupBy("bucket").agg(F.max("local_cum").alias("btotal"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("btotal").over(wb), F.lit(0)).alias("off")
+    )
+    packed = local.join(F.broadcast(offsets), "bucket")
+    start = F.col("off") + F.col("local_cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(off + local_cum - n_tokens) div {_PACK_BUDGET}").alias("shard_id"),
+        (start % _PACK_BUDGET).alias("shard_pos"),
+    )
+
+
+_PACK_SQL = f"""
+WITH base AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           doc_id % {_PACK_BUCKETS} AS bucket
+    FROM documents
+),
+localcum AS (
+    SELECT doc_id, n_tokens, bucket,
+           sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS local_cum
+    FROM base
+),
+offsets AS (
+    SELECT bucket,
+           coalesce(sum(btotal) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM (SELECT bucket, max(local_cum) AS btotal FROM localcum GROUP BY bucket)
+)
+SELECT l.doc_id, l.n_tokens,
+       CAST((o.off + l.local_cum - l.n_tokens) // {_PACK_BUDGET} AS BIGINT) AS shard_id,
+       CAST((o.off + l.local_cum - l.n_tokens) % {_PACK_BUDGET} AS BIGINT) AS shard_pos
+FROM localcum l JOIN offsets o USING (bucket)
+"""
+
+
 # --- text_pii_flag: PII detection + redaction (C4/RefinedWeb-style filter) ----
 # RE2-compatible patterns (DuckDB) that Java regex reads identically:
 # no lookaround, ASCII word boundaries, bounded repetition only.
@@ -356,11 +430,13 @@ QUERIES = {
     "corpus_mix_summary": corpus_mix_summary,
     "text_pii_flag": text_pii_flag,
     "text_repetition": text_repetition,
+    "corpus_pack_shards": corpus_pack_shards,
 }
 
 ORACLES = {
     "text_pii_flag": _PII_SQL,
     "text_repetition": _REPETITION_SQL,
+    "corpus_pack_shards": _PACK_SQL,
     "text_langid": _LANGID_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_token_count": _TOKENS_SQL,
