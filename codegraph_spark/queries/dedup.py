@@ -215,11 +215,10 @@ GROUP BY 1, 2
 
 
 # --- dedup_simhash: 32-bit SimHash fingerprints -------------------------------
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-token 60-bit hash; simhash bit j = majority vote of token
-    bits. 32-bit output. Docs grouped by fingerprint = near-dup clusters
-    (Hamming-0; banding the fingerprint generalizes to Hamming-k)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over any (doc_id, text) frame: per-token
+    60-bit hash; simhash bit j = majority vote of token bits. 32-bit
+    output."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("shingle")
     ).withColumn("h", _shingle_hash_spark())
@@ -238,14 +237,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
-def _simhash_sql() -> str:
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs grouped by fingerprint = near-dup clusters (Hamming-0; the
+    Hamming-k retrieval lives in dedup_simhash_hamming)."""
+    return _simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_core_sql(src: str = "documents") -> str:
+    """The fingerprint pipeline as CTE text over relation ``src``,
+    ending in ``fp(doc_id, simhash)``."""
     votes = ",\n           ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32)
     )
     bits = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32))
-    return f"""
-WITH toks AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS shingle FROM documents
+    return f"""toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS shingle FROM {src}
 ),
 hashed AS (
     SELECT doc_id, {_SHINGLE_HASH_SQL} AS h FROM toks
@@ -254,8 +260,94 @@ votes AS (
     SELECT doc_id,
            {votes}
     FROM hashed GROUP BY doc_id
+),
+fp AS MATERIALIZED (
+    SELECT doc_id, {bits} AS simhash FROM votes
+)"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_core_sql()}\nSELECT doc_id, simhash FROM fp"
+
+
+# --- dedup_simhash_hamming: Hamming-k near-dup retrieval ----------------------
+_HAM_K = 3
+_HAM_BANDS = 4
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash retrieval — near-dup pairs at Hamming
+    distance ≤ 3 over the 32-bit fingerprint (the retrieval half that
+    makes dedup_simhash's fingerprints usable beyond exact-collision).
+
+    Pigeonhole banding: 4 8-bit bands; ≤3 differing bits touch ≤3
+    bands, so every true pair shares at least one band EXACTLY —
+    candidate generation is a per-band equi-join (the same bucket-join
+    scale shape as MinHash LSH; the band value is the shuffle key),
+    then popcount(xor) verifies each candidate. Never pairwise.
+
+    Clones are planted every 40th doc (the dedup_embedding_cosine
+    pattern) so Hamming-0 pairs are guaranteed. Note the synthetic
+    corpus's narrow shared vocabulary makes 32-bit fingerprints DENSE
+    (~2.5% of all pairs fall within radius 3 — that density is a
+    corpus property, deterministic and oracle-matched); a production
+    deployment uses 64-bit fingerprints, where radius-3 balls are
+    sparse, with the identical band-join + popcount-verify plan."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fp = _simhash_fingerprints(base.unionByName(clones))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright(F.col("simhash"), 8 * j)
+                    .bitwiseAND(F.lit(255)).alias("val"),
+                )
+                for j in range(_HAM_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAM_K)
+        .distinct()
+    )
+
+
+def _simhash_hamming_sql() -> str:
+    docs = """docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+)"""
+    return f"""WITH {docs},
+{_simhash_core_sql("docs")},
+bands AS MATERIALIZED (
+    SELECT doc_id, simhash, t.j AS band, (simhash >> (8 * t.j)) & 255 AS val
+    FROM fp, range(0, {_HAM_BANDS}) t(j)
 )
-SELECT doc_id, {bits} AS simhash FROM votes
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAM_K}
 """
 
 
@@ -451,12 +543,14 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_hamming": dedup_simhash_hamming,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
     "text_contamination": text_contamination,
 }
 
 ORACLES = {
+    "dedup_simhash_hamming": _simhash_hamming_sql(),
     "dedup_exact": _EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
