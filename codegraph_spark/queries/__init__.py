@@ -22,11 +22,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [
     "codegraph_spark.queries.relational",
     "codegraph_spark.queries.graph",
+    "codegraph_spark.queries.graph_analytics",
     "codegraph_spark.queries.traversals",
     "codegraph_spark.queries.docs",
     "codegraph_spark.queries.dedup",
     "codegraph_spark.queries.similarity",
     "codegraph_spark.queries.text",
+    "codegraph_spark.queries.retrieval",
     "codegraph_spark.queries.events",
     "codegraph_spark.queries.multimodal",
     "codegraph_spark.queries.streaming",

@@ -1,0 +1,184 @@
+"""Graph-analytics extensions beyond the reference's fixed Cypher
+library: triangle counting and degree-distribution profiling over the
+recast property graph.
+
+The reference exposes PageRank-free, pattern-only analytics
+(pkg/neo4j/query.go); SURVEY §2.8 marks whole-graph analytics as an
+extension surface. These two operators are the standard first pair of
+whole-graph metrics a code-intelligence platform layers on a CPG
+(community density via triangles, hub detection via degree profile).
+
+Scale notes (100 TB stance):
+- Triangle counting uses the degree-ordered orientation (node-iterator++
+  of Schank & Wagner): every undirected edge is oriented from the
+  endpoint with smaller (degree, id) to the larger, which bounds the
+  wedge join by sum(out_deg^2) <= O(m^1.5) regardless of hub skew —
+  the textbook MapReduce-era bound, expressed here as two shuffle-free
+  broadcast-degree joins + one equi-join.
+- The co-occurrence edge list itself is support-thresholded (>= 2
+  shared orders) before any pairwise work, the same df-cutoff escape
+  hatch the dedup shingle pipeline documents: hot parts cannot create
+  a quadratic pair explosion because the pair GROUP BY aggregates
+  map-side first.
+- Degree profiling is a two-level aggregation (node -> degree,
+  degree -> count): both stages combine map-side; output is bounded by
+  the number of distinct degrees, not nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codegraph_spark.oracle import with_recast
+from codegraph_spark.sources.tables import load_table
+
+_SUPPORT = 2  # minimum shared orders for a co-occurrence edge
+
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-occurrence edges (p1 < p2) with support >=
+    ``_SUPPORT`` shared orders. One self-equi-join on the order key +
+    one map-side-combining GROUP BY — no pair survives ungrouped."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _SUPPORT)
+        .select("p1", "p2")
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the support-thresholded part
+    co-occurrence graph: top-15 parts by number of triangles they sit
+    in (ties broken by part id), plus the count.
+
+    Degree-ordered orientation: each undirected edge {u, v} is stored
+    once as (lo, hi) by (degree, id); wedges (lo -> m1, lo -> m2) are
+    closed by probing the oriented edge (m1, m2). Every triangle is
+    found exactly once, then credited to all three corners.
+    """
+    edges = _cooccurrence_edges(spark, sf_dir)
+
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionByName(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient by (degree, id): broadcast the degree table (|V| rows, tiny
+    # relative to edges) onto both endpoints, then order endpoints.
+    bdeg = F.broadcast(deg)
+    e = (
+        edges.join(bdeg.withColumnRenamed("node", "p1").withColumnRenamed("deg", "d1"), "p1")
+        .join(bdeg.withColumnRenamed("node", "p2").withColumnRenamed("deg", "d2"), "p2")
+        .select(
+            F.when((F.col("d1") < F.col("d2")) | ((F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))), F.col("p1"))
+            .otherwise(F.col("p2"))
+            .alias("lo"),
+            F.when((F.col("d1") < F.col("d2")) | ((F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))), F.col("p2"))
+            .otherwise(F.col("p1"))
+            .alias("hi"),
+        )
+    )
+    w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("m1"))
+    w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("m2"))
+    wedges = w1.join(w2, "a").filter(F.col("m1") < F.col("m2"))
+    closing = e.select(
+        F.least("lo", "hi").alias("m1"), F.greatest("lo", "hi").alias("m2")
+    ).distinct()
+    tris = wedges.join(closing, ["m1", "m2"]).select(
+        F.col("a").alias("x"), F.col("m1").alias("y"), F.col("m2").alias("z")
+    )
+    per_node = (
+        tris.select(F.col("x").alias("part"))
+        .unionByName(tris.select(F.col("y").alias("part")))
+        .unionByName(tris.select(F.col("z").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node.orderBy(F.desc("n_triangles"), "part").limit(15)
+
+
+# Orientation-independent oracle: enumerate each triangle once via the
+# (p1 < p2) canonical edges, then credit all three corners. Identical
+# result set to the degree-oriented Spark plan (orientation only changes
+# the JOIN order, not which triangles exist).
+_TRIANGLE_SQL = f"""
+WITH pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_SUPPORT}
+),
+tris AS (
+    SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+    JOIN pairs e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+),
+corners AS (
+    SELECT x AS part FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+)
+SELECT part, count(*) AS n_triangles
+FROM corners
+GROUP BY part
+ORDER BY n_triangles DESC, part
+LIMIT 15
+"""
+
+
+def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the recast property graph, per edge type:
+    (type, out_degree, n_nodes) — the hub/skew profile that sizes every
+    downstream traversal. Two map-side-combining aggregations; output
+    is O(#distinct degrees), never O(#nodes)."""
+    from codegraph_spark.graph import PropertyGraph
+
+    g = PropertyGraph.from_tpch_recast(spark, sf_dir)
+    per_node = g.edges.groupBy("type", F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        per_node.groupBy("type", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("type", "degree")
+    )
+
+
+_DEGREE_SQL = with_recast("""
+SELECT type, degree, count(*) AS n_nodes
+FROM (
+    SELECT type, src AS node, count(*) AS degree
+    FROM gedges
+    GROUP BY type, src
+)
+GROUP BY type, degree
+ORDER BY type, degree
+""")
+
+
+QUERIES = {
+    "graph_triangle_count": graph_triangle_count,
+    "graph_degree_profile": graph_degree_profile,
+}
+
+ORACLES = {
+    "graph_triangle_count": _TRIANGLE_SQL,
+    "graph_degree_profile": _DEGREE_SQL,
+}
