@@ -29,6 +29,7 @@ _MODULES = [
     "codegraph_spark.queries.similarity",
     "codegraph_spark.queries.text",
     "codegraph_spark.queries.retrieval",
+    "codegraph_spark.queries.layout",
     "codegraph_spark.queries.events",
     "codegraph_spark.queries.multimodal",
     "codegraph_spark.queries.streaming",

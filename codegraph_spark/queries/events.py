@@ -142,8 +142,91 @@ GROUP BY event_type
 """
 
 
+# --- ev_funnel: ordered-step conversion funnel -------------------------------
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    converts at step k only with an event of that type STRICTLY AFTER
+    their step-(k-1) time (first-touch semantics: the earliest
+    qualifying event defines each step time).
+
+    Scale shape: each stage filters events to ONE type before any
+    shuffle (the per-type slice is a fraction of the corpus), joins the
+    previous stage's per-user step time on user_id, and re-aggregates —
+    stage cost tracks the surviving cohort, which only shrinks. All
+    stages shuffle on the same user_id key, so a pre-partitioned /
+    bucketed events table co-locates every stage. The output is
+    3 rows of integer counts + per-mille conversion (integer math)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_prev"))
+    )
+    stages = [s1]
+    for step in _FUNNEL_STEPS[1:]:
+        prev = stages[-1]
+        stages.append(
+            ev.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+    counts = [s.agg(F.count(F.lit(1)).alias("n_users")) for s in stages]
+    out = None
+    for i, (step, c) in enumerate(zip(_FUNNEL_STEPS, counts)):
+        row = c.select(
+            F.lit(i + 1).alias("step_no"),
+            F.lit(step).alias("step"),
+            F.col("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    # conversion vs the previous step, per-mille, integer floor division
+    w = Window.orderBy("step_no")
+    return out.select(
+        "step_no", "step", "n_users",
+        F.floor(
+            F.col("n_users") * 1000
+            / F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
+        ).cast("bigint").alias("conv_pm"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t_prev FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t_prev
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t_prev
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t_prev
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t_prev
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT 1 AS step_no, 'view' AS step, count(*) AS n_users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT step_no, step, n_users,
+       CAST(FLOOR(n_users * 1000 / CAST(COALESCE(
+           lag(n_users) OVER (ORDER BY step_no), n_users) AS DOUBLE)) AS BIGINT) AS conv_pm
+FROM counts
+"""
+
+
 QUERIES = {
     "ev_hourly_agg": ev_hourly_agg,
+    "ev_funnel": ev_funnel,
     "ev_sessionize": ev_sessionize,
     "ev_json_props": ev_json_props,
     "ev_top3_per_type": ev_top3_per_type,
@@ -152,6 +235,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_hourly_agg": _HOURLY_SQL,
+    "ev_funnel": _FUNNEL_SQL,
     "ev_sessionize": _SESSIONIZE_SQL,
     "ev_json_props": _JSON_SQL,
     "ev_top3_per_type": _TOP3_SQL,

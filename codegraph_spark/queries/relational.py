@@ -263,8 +263,50 @@ WHERE rn = 1
 """
 
 
+# --- join_bloom_semi: bloom-prefiltered semi-join reduction -------------------
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems whose order is urgent AND expensive, rolled up per
+    return flag — served through the bloom semi-join reduction
+    (operators/bloomjoin.py): the fact table is prefiltered by a 2 KiB
+    broadcast bitmap of the ~14%-selective order-key set BEFORE the
+    exact semi-join shuffle, so at scale the shuffle moves the
+    surviving fraction, not the whole fact table. The exact join then
+    removes bloom false positives, making the result identical to a
+    plain EXISTS (the oracle)."""
+    from codegraph_spark.operators.bloomjoin import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    hit = bloom_semi_join(li, "l_orderkey", orders, "o_orderkey")
+    return (
+        hit.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BLOOM_SEMI_SQL = """
+SELECT l_returnflag, count(*) AS n_items,
+       ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_orderkey = l.l_orderkey
+      AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "join_bloom_semi": join_bloom_semi,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
     "p2_point_filter": p2_point_filter,
@@ -277,6 +319,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "join_bloom_semi": _BLOOM_SEMI_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_supplier_volume": _Q5_SQL,
     "p2_point_filter": _P2_SQL,
