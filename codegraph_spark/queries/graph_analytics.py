@@ -69,11 +69,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed by probing the oriented edge (m1, m2). Every triangle is
     found exactly once, then credited to all three corners.
     """
-    edges = _cooccurrence_edges(spark, sf_dir)
+    # The edge list feeds degree counting, orientation, and the closing
+    # probe — persist it so the lineitem self-join runs ONCE (without
+    # this, every reference re-expands the whole build subtree: the
+    # unpersisted plan scanned parquet 180x at sf0.001).
+    edges = _cooccurrence_edges(spark, sf_dir).persist()
 
     deg = (
-        edges.select(F.col("p1").alias("node"))
-        .unionByName(edges.select(F.col("p2").alias("node")))
+        edges.select(F.explode(F.array("p1", "p2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -91,20 +94,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("p1"))
             .alias("hi"),
         )
-    )
+    ).persist()  # referenced by both wedge sides and the closing probe
     w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("m1"))
     w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("m2"))
     wedges = w1.join(w2, "a").filter(F.col("m1") < F.col("m2"))
+    # orientation maps each undirected edge to exactly one (lo, hi), so
+    # the (least, greatest) closing key set is already distinct
     closing = e.select(
         F.least("lo", "hi").alias("m1"), F.greatest("lo", "hi").alias("m2")
-    ).distinct()
+    )
     tris = wedges.join(closing, ["m1", "m2"]).select(
         F.col("a").alias("x"), F.col("m1").alias("y"), F.col("m2").alias("z")
     )
     per_node = (
-        tris.select(F.col("x").alias("part"))
-        .unionByName(tris.select(F.col("y").alias("part")))
-        .unionByName(tris.select(F.col("z").alias("part")))
+        tris.select(F.explode(F.array("x", "y", "z")).alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
