@@ -142,6 +142,115 @@ GROUP BY event_type
 """
 
 
+# --- ev_asof_join: most-recent-prior match (as-of / point-in-time join) -------
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view
+    at-or-before the purchase time (ties on ts broken toward the
+    highest event_id, views sorting before purchases at equal ts).
+
+    Spark has no native as-of join; the naive plan is a per-key
+    correlated top-1 (quadratic on hot users). This is the distributed
+    union-and-carry pattern instead: tag both streams, union, ONE
+    window per user ordered by (ts, tag, event_id) carrying the last
+    view forward (``last(..., ignoreNulls)``), then keep the purchase
+    rows. One shuffle on user_id total, row-linear, no Python in the
+    hot path — the same shape at any scale. Gap is integer microsecond
+    arithmetic (no float epoch)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id", "user_id", "ts",
+            F.when(F.col("event_type") == "view", 0).otherwise(1).alias("tag"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "event_id", "user_id", "ts", "tag",
+        F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w).alias("view_event_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w).alias("view_ts"),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            "view_event_id",
+            # ts is TIMESTAMP_NTZ; cast for unix_micros (session is
+            # pinned UTC, and a difference cancels any zone anyway)
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("view_ts").cast("timestamp"))
+                )
+                / 1_000_000
+            ).cast("bigint").alias("gap_s"),
+        )
+    )
+
+
+# Oracle: correlated top-1 — picks max (ts, event_id) among views at or
+# before the purchase, exactly what the carry-forward window selects.
+_ASOF_SQL = """
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       v.event_id AS view_event_id,
+       CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS gap_s
+FROM events p
+LEFT JOIN LATERAL (
+    SELECT e.event_id, e.ts FROM events e
+    WHERE e.user_id = p.user_id AND e.event_type = 'view' AND e.ts <= p.ts
+    ORDER BY e.ts DESC, e.event_id DESC
+    LIMIT 1
+) v ON TRUE
+WHERE p.event_type = 'purchase'
+"""
+
+
+# --- ev_range_join_tiers: band/range join against a tier dimension ------------
+_TIERS = [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e18, "high")]
+
+
+def ev_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: classify each event's value into a tier
+    [lo, hi) from a tiny dimension, then roll up per (event_type,
+    tier). The dimension is broadcast so the range predicate evaluates
+    at the scan (a shuffle range-join would be a scale bug for a
+    bounded tier table); events with value outside every band drop out
+    (inner join semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, ["lo", "hi", "tier"])
+    joined = ev.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("event_type", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "tier")
+    )
+
+
+_RANGE_SQL = """
+SELECT event_type, tier, count(*) AS n,
+       ROUND(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events e
+JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'),
+             (100.0, 1e18, 'high')) AS t(lo, hi, tier)
+  ON e.value >= t.lo AND e.value < t.hi
+GROUP BY event_type, tier
+ORDER BY event_type, tier
+"""
+
+
 # --- ev_funnel: ordered-step conversion funnel -------------------------------
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
@@ -227,6 +336,8 @@ FROM counts
 QUERIES = {
     "ev_hourly_agg": ev_hourly_agg,
     "ev_funnel": ev_funnel,
+    "ev_asof_join": ev_asof_join,
+    "ev_range_join_tiers": ev_range_join_tiers,
     "ev_sessionize": ev_sessionize,
     "ev_json_props": ev_json_props,
     "ev_top3_per_type": ev_top3_per_type,
@@ -236,6 +347,8 @@ QUERIES = {
 ORACLES = {
     "ev_hourly_agg": _HOURLY_SQL,
     "ev_funnel": _FUNNEL_SQL,
+    "ev_asof_join": _ASOF_SQL,
+    "ev_range_join_tiers": _RANGE_SQL,
     "ev_sessionize": _SESSIONIZE_SQL,
     "ev_json_props": _JSON_SQL,
     "ev_top3_per_type": _TOP3_SQL,
