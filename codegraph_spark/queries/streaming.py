@@ -89,13 +89,68 @@ FROM events
 """
 
 
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversion funnel (§2.8 custom stateful operator #2):
+    per-user view→click→purchase state machine maintained across
+    micro-batches (streaming/incremental.streaming_funnel), drained
+    availableNow; the furthest-reached step per user (monotone within a
+    drain — take the max) rolls up to the same 3-row step counts as the
+    batch funnel oracle (ev_funnel's CTE chain sans conversion
+    column)."""
+    from codegraph_spark.streaming.incremental import streaming_funnel
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        streaming_funnel(ev, ("view", "click", "purchase")),
+        output_mode="update",
+        state_partitions=8,
+    )
+    per_user = out.groupBy("user_id").agg(F.max("reached").alias("reached"))
+    agg = per_user.agg(
+        F.sum((F.col("reached") >= 1).cast("long")).alias("n1"),
+        F.sum((F.col("reached") >= 2).cast("long")).alias("n2"),
+        F.sum((F.col("reached") >= 3).cast("long")).alias("n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3)"
+            " AS (step_no, step, n_users)"
+        )
+    )
+
+
+_STREAM_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t_prev FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t_prev
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t_prev
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t_prev
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t_prev
+    GROUP BY e.user_id
+)
+SELECT 1 AS step_no, 'view' AS step, count(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
+    "stream_funnel": stream_funnel,
     "stream_running_totals": stream_running_totals,
     "stream_dedup_exact": stream_dedup_exact,
 }
 ORACLES = {
     "stream_hourly_counts": _STREAM_HOURLY_SQL,
+    "stream_funnel": _STREAM_FUNNEL_SQL,
     "stream_running_totals": _STREAM_RUNNING_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,
 }

@@ -151,6 +151,70 @@ def incremental_graph_ingest(
     q.awaitTermination()
 
 
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+FUNNEL_OUT_SCHEMA = "user_id long, reached integer"
+
+
+def streaming_funnel(events: DataFrame, steps: tuple[str, str, str]) -> DataFrame:
+    """Per-user ordered-funnel state machine across micro-batches
+    (``applyInPandasWithState``): state = the three step times
+    (first-touch, strictly-after), output = the furthest step reached.
+
+    Within a drain the update is exact (each batch is processed in
+    event-time order against the carried state); across batches a
+    late-arriving earlier step event can lower an earlier step time
+    without resurrecting already-seen later-step events — the standard
+    buffering caveat of streaming funnels (the batch twin, ev_funnel,
+    is the replay-exact layer). State is 3 longs per user, sharded by
+    the user_id shuffle."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    NONE = -1
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        t1, t2, t3 = state.get if state.exists else (NONE, NONE, NONE)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_type"])
+        views = batch.loc[batch["event_type"] == steps[0], "ts_us"]
+        if len(views):
+            m = int(views.min())
+            t1 = m if t1 == NONE else min(t1, m)
+        if t1 != NONE:
+            clicks = batch.loc[
+                (batch["event_type"] == steps[1]) & (batch["ts_us"] > t1), "ts_us"
+            ]
+            if len(clicks):
+                m = int(clicks.min())
+                t2 = m if t2 == NONE else min(t2, m)
+        if t2 != NONE:
+            buys = batch.loc[
+                (batch["event_type"] == steps[2]) & (batch["ts_us"] > t2), "ts_us"
+            ]
+            if len(buys):
+                m = int(buys.min())
+                t3 = m if t3 == NONE else min(t3, m)
+        state.update((t1, t2, t3))
+        reached = 3 if t3 != NONE else 2 if t2 != NONE else 1 if t1 != NONE else 0
+        yield pd.DataFrame({"user_id": [key[0]], "reached": [reached]})
+
+    keyed = events.filter(F.col("event_type").isin(*steps)).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 STATE_SCHEMA = "n long, total double"
 RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
 
