@@ -251,6 +251,87 @@ ORDER BY event_type, tier
 """
 
 
+# --- ev_rollup: hierarchical grouping-sets aggregate --------------------------
+def ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (event_type, value tier): per-(type, tier) counts
+    plus per-type subtotals plus the grand total in one pass —
+    Catalyst expands the grouping sets into a single shuffle (each
+    input row fans out to its grouping combinations map-side), vs the
+    naive three separate aggregations. grouping_id() disambiguates the
+    subtotal rows; NULL group values render as '(all)' so the gate
+    hash is explicit about which NULL is a subtotal."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = F.when(F.col("value") < 10, "low").when(F.col("value") < 100, "mid").otherwise("high")
+    return (
+        ev.select("event_type", tier.alias("tier"), "value")
+        .rollup("event_type", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("tier", F.lit("(all)")).alias("tier"),
+            "n", "total_value", "gid",
+        )
+        .orderBy("gid", "event_type", "tier")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(tier, '(all)') AS tier,
+       count(*) AS n,
+       ROUND(CAST(sum(value) AS DOUBLE), 2) AS total_value,
+       CAST(GROUPING(event_type) * 2 + GROUPING(tier) AS BIGINT) AS gid
+FROM (
+    SELECT event_type,
+           CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid' ELSE 'high' END AS tier,
+           value
+    FROM events
+)
+GROUP BY ROLLUP (event_type, tier)
+ORDER BY gid, event_type, tier
+"""
+
+
+# --- ev_pivot: wide per-user activity matrix ----------------------------------
+_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT event_type into per-type count columns, one row per user
+    bucket (user_id % 100) — the feature-matrix shape. The pivot value
+    list is EXPLICIT (the five known types): with it, Catalyst compiles
+    straight to one aggregation with conditional counters (exactly the
+    oracle's CASE WHEN program); without it, Spark must first run a
+    distinct-values job. Unlisted types would be dropped by design."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select((F.col("user_id") % 100).alias("user_bucket"), "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+        .orderBy("user_bucket")
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id % 100 AS user_bucket,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # --- ev_funnel: ordered-step conversion funnel -------------------------------
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
@@ -338,6 +419,8 @@ QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_asof_join": ev_asof_join,
     "ev_range_join_tiers": ev_range_join_tiers,
+    "ev_rollup": ev_rollup,
+    "ev_pivot": ev_pivot,
     "ev_sessionize": ev_sessionize,
     "ev_json_props": ev_json_props,
     "ev_top3_per_type": ev_top3_per_type,
@@ -349,6 +432,8 @@ ORACLES = {
     "ev_funnel": _FUNNEL_SQL,
     "ev_asof_join": _ASOF_SQL,
     "ev_range_join_tiers": _RANGE_SQL,
+    "ev_rollup": _ROLLUP_SQL,
+    "ev_pivot": _PIVOT_SQL,
     "ev_sessionize": _SESSIONIZE_SQL,
     "ev_json_props": _JSON_SQL,
     "ev_top3_per_type": _TOP3_SQL,

@@ -263,6 +263,56 @@ WHERE rn = 1
 """
 
 
+# --- o7_moving_avg: frame-window running statistics ---------------------------
+def o7_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 3-order moving average of order value (ROWS 2
+    PRECEDING frame, ordered by date with orderkey tiebreak) — the
+    sliding-frame window surface. Partitioned by customer, so the
+    window never concentrates data (a globally-ordered frame would be
+    the single-partition scale bug). Averages divide by the actual
+    frame size at the partition head, matching SQL AVG frame
+    semantics. The frame aggregates integer CENTS, not doubles:
+    engines implement sliding frames differently (recompute vs
+    subtract-on-evict running sums), so a float frame-sum is not
+    bit-stable across them — an integer frame-sum is, and one final
+    division gives the identical double everywhere."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select("o_orderkey", "o_custkey", "o_orderdate", cents.alias("cents"))
+    # floor-of-cents, not ROUND: a half-cent average (x.xx5) rounds
+    # differently across engines (Spark re-decimalizes the double via
+    # shortest-repr BigDecimal, DuckDB rounds the raw double) — floor
+    # has no boundary ambiguity on the identical quotient double.
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.floor(F.sum("cents").over(w) / F.count(F.lit(1)).over(w)) / 100.0
+        ).alias("mavg_price"),
+    )
+
+
+_O7_SQL = """
+SELECT o_orderkey, o_custkey,
+       FLOOR(CAST(sum(cents) OVER w AS DOUBLE)
+             / (count(*) OVER w)) / 100.0 AS mavg_price
+FROM (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- join_bloom_semi: bloom-prefiltered semi-join reduction -------------------
 def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineitems whose order is urgent AND expensive, rolled up per
@@ -312,6 +362,7 @@ QUERIES = {
     "p2_point_filter": p2_point_filter,
     "p4_not_null_filter": p4_not_null_filter,
     "o6_top5_orders_per_customer": o6_top5_orders_per_customer,
+    "o7_moving_avg": o7_moving_avg,
     "a3_count_distinct_multi": a3_count_distinct_multi,
     "a6_stats_summary": a6_stats_summary,
     "a8_first_event_per_user": a8_first_event_per_user,
@@ -325,6 +376,7 @@ ORACLES = {
     "p2_point_filter": _P2_SQL,
     "p4_not_null_filter": _P4_SQL,
     "o6_top5_orders_per_customer": _O6_SQL,
+    "o7_moving_avg": _O7_SQL,
     "a3_count_distinct_multi": _A3_SQL,
     "a6_stats_summary": _A6_SQL,
     "a8_first_event_per_user": _A8_SQL,
