@@ -176,12 +176,93 @@ ORDER BY type, degree
 """)
 
 
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link scoring over the co-occurrence graph
+    (the classic link-prediction / related-items feature): for each
+    existing edge, |N(u) ∩ N(v)| / |N(u) ∪ N(v)| in per-mille integer
+    math; top-20 by score with (p1, p2) tiebreak.
+
+    Common neighbors are counted by joining the symmetric adjacency
+    list on both endpoints — the same wedge-shuffle shape as triangle
+    counting, bounded by the support threshold; degrees arrive via two
+    broadcast joins of the tiny node-degree table. Integer per-mille
+    avoids float division entirely."""
+    edges = _cooccurrence_edges(spark, sf_dir).persist()
+    # symmetric adjacency: (node, neighbor) both directions
+    adj = edges.select(
+        F.col("p1").alias("node"), F.col("p2").alias("nbr")
+    ).unionByName(edges.select(F.col("p2").alias("node"), F.col("p1").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    # common neighbors per edge: wedge w adjacent to both endpoints
+    a1 = adj.select(F.col("node").alias("p1"), F.col("nbr").alias("w"))
+    a2 = adj.select(F.col("node").alias("p2"), F.col("nbr").alias("w"))
+    common = (
+        edges.join(a1, "p1")
+        .join(a2, ["p2", "w"])
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    bdeg = F.broadcast(deg)
+    scored = (
+        edges.join(common, ["p1", "p2"], "left")
+        .na.fill(0, ["n_common"])
+        .join(bdeg.withColumnRenamed("node", "p1").withColumnRenamed("deg", "d1"), "p1")
+        .join(bdeg.withColumnRenamed("node", "p2").withColumnRenamed("deg", "d2"), "p2")
+        .select(
+            "p1", "p2", "n_common",
+            F.floor(
+                F.col("n_common") * 1000
+                / (F.col("d1") + F.col("d2") - F.col("n_common"))
+            ).cast("bigint").alias("jaccard_pm"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard_pm"), "p1", "p2").limit(20)
+
+
+_JACCARD_SQL = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_SUPPORT}
+),
+adj AS MATERIALIZED (
+    SELECT p1 AS node, p2 AS nbr FROM pairs
+    UNION ALL
+    SELECT p2, p1 FROM pairs
+),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+common AS (
+    SELECT e.p1, e.p2, count(*) AS n_common
+    FROM pairs e
+    JOIN adj x ON x.node = e.p1
+    JOIN adj y ON y.node = e.p2 AND y.nbr = x.nbr
+    GROUP BY e.p1, e.p2
+)
+SELECT e.p1, e.p2, COALESCE(c.n_common, 0) AS n_common,
+       CAST(FLOOR(COALESCE(c.n_common, 0) * 1000
+            / CAST(d1.deg + d2.deg - COALESCE(c.n_common, 0) AS DOUBLE)) AS BIGINT)
+           AS jaccard_pm
+FROM pairs e
+LEFT JOIN common c ON c.p1 = e.p1 AND c.p2 = e.p2
+JOIN deg d1 ON d1.node = e.p1
+JOIN deg d2 ON d2.node = e.p2
+ORDER BY jaccard_pm DESC, e.p1, e.p2
+LIMIT 20
+"""
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_profile": graph_degree_profile,
+    "graph_jaccard_links": graph_jaccard_links,
 }
 
 ORACLES = {
     "graph_triangle_count": _TRIANGLE_SQL,
     "graph_degree_profile": _DEGREE_SQL,
+    "graph_jaccard_links": _JACCARD_SQL,
 }

@@ -421,8 +421,77 @@ FROM counts GROUP BY doc_id, n_words
 """
 
 
+# --- corpus_filter_funnel: pipeline yield report ------------------------------
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The yield report of a chained corpus-filter pipeline: how many
+    documents survive each successive filter (language keep-list →
+    minimum length → vocabulary-diversity floor → length cap at 450 chars), with
+    cumulative per-mille yield. One scan, one conditional aggregation:
+    each stage is a conjunction of the previous stages, so the five
+    counts are five conditional sums over the same pass — no repeated
+    scans, no shuffles beyond the final 1-row agg. Integer math only."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    vocab_ratio_pm = F.size(F.array_distinct(words)) * 1000 / n_words
+    c1 = F.col("lang").isin("en", "es", "de", "fr")
+    c2 = c1 & (n_words >= 30)
+    c3 = c2 & (vocab_ratio_pm >= 300)
+    c4 = c3 & (F.col("n_chars") <= 450)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(c1.cast("long")).alias("n1"),
+        F.sum(c2.cast("long")).alias("n2"),
+        F.sum(c3.cast("long")).alias("n3"),
+        F.sum(c4.cast("long")).alias("n4"),
+    )
+    out = agg.select(
+        F.expr(
+            "stack(5, 0, 'total', n0, 1, 'lang_keep', n1, 2, 'min_len', n2,"
+            " 3, 'vocab_floor', n3, 4, 'len_cap', n4) AS (stage_no, stage, n_docs)"
+        ),
+        F.col("n0"),
+    )
+    return out.select(
+        "stage_no", "stage", "n_docs",
+        F.floor(F.col("n_docs") * 1000 / F.col("n0")).cast("bigint").alias("yield_pm"),
+    )
+
+
+_FILTER_FUNNEL_SQL = """
+WITH d AS (
+    SELECT lang, n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) * 1000
+               / len(string_split(text, ' ')) AS vocab_ratio_pm
+    FROM documents
+),
+agg AS (
+    SELECT count(*) AS n0,
+           CAST(sum(CASE WHEN lang IN ('en','es','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN lang IN ('en','es','de','fr') AND n_words >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN lang IN ('en','es','de','fr') AND n_words >= 30
+                          AND vocab_ratio_pm >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(sum(CASE WHEN lang IN ('en','es','de','fr') AND n_words >= 30
+                          AND vocab_ratio_pm >= 300 AND n_chars <= 450 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+    FROM d
+),
+stages AS (
+    SELECT 0 AS stage_no, 'total' AS stage, n0 AS n_docs, n0 FROM agg
+    UNION ALL SELECT 1, 'lang_keep', n1, n0 FROM agg
+    UNION ALL SELECT 2, 'min_len', n2, n0 FROM agg
+    UNION ALL SELECT 3, 'vocab_floor', n3, n0 FROM agg
+    UNION ALL SELECT 4, 'len_cap', n4, n0 FROM agg
+)
+SELECT stage_no, stage, n_docs,
+       CAST(FLOOR(n_docs * 1000 / CAST(n0 AS DOUBLE)) AS BIGINT) AS yield_pm
+FROM stages
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
+    "corpus_filter_funnel": corpus_filter_funnel,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -434,6 +503,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_filter_funnel": _FILTER_FUNNEL_SQL,
     "text_pii_flag": _PII_SQL,
     "text_repetition": _REPETITION_SQL,
     "corpus_pack_shards": _PACK_SQL,

@@ -97,3 +97,38 @@ def test_vocab_top_df_consistency(spark, sf_dir):
     assert all(r.doc_freq <= r.coll_freq and r.doc_freq <= n_docs for r in rows)
     keys = [(-r.doc_freq, r.term) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_jaccard_links_match_brute_force(spark, sf_dir):
+    from codegraph_spark.queries.graph_analytics import (
+        _cooccurrence_edges,
+        graph_jaccard_links,
+    )
+
+    edges = [(r.p1, r.p2) for r in _cooccurrence_edges(spark, sf_dir).collect()]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = []
+    for u, v in edges:
+        common = len(adj[u] & adj[v])
+        union = len(adj[u]) + len(adj[v]) - common
+        expected.append((u, v, common, int(common * 1000 / union)))
+    expected.sort(key=lambda t: (-t[3], t[0], t[1]))
+
+    got = [
+        (r.p1, r.p2, r.n_common, r.jaccard_pm)
+        for r in graph_jaccard_links(spark, sf_dir).collect()
+    ]
+    assert got == expected[:20]
+
+
+def test_filter_funnel_monotone(spark, sf_dir):
+    from codegraph_spark.queries.text import corpus_filter_funnel
+
+    rows = sorted(corpus_filter_funnel(spark, sf_dir).collect(), key=lambda r: r.stage_no)
+    ns = [r.n_docs for r in rows]
+    assert ns == sorted(ns, reverse=True), "each filter stage only removes docs"
+    assert rows[0].yield_pm == 1000
+    assert ns[-1] > 0, "pipeline must not be vacuously empty"
