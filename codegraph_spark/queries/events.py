@@ -181,16 +181,23 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("purchase_event_id"),
             "user_id",
-            "view_event_id",
+            # unmatched purchases keep left-join semantics but emit -1
+            # sentinels: NULLs in an integer column make pandas/DuckDB
+            # render the whole column float64, which is exactly the
+            # dtype-mismatch class the gate hashes red.
+            F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
             # ts is TIMESTAMP_NTZ; cast for unix_micros (session is
             # pinned UTC, and a difference cancels any zone anyway)
-            F.floor(
-                (
-                    F.unix_micros(F.col("ts").cast("timestamp"))
-                    - F.unix_micros(F.col("view_ts").cast("timestamp"))
-                )
-                / 1_000_000
-            ).cast("bigint").alias("gap_s"),
+            F.coalesce(
+                F.floor(
+                    (
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        - F.unix_micros(F.col("view_ts").cast("timestamp"))
+                    )
+                    / 1_000_000
+                ).cast("bigint"),
+                F.lit(-1).cast("bigint"),
+            ).alias("gap_s"),
         )
     )
 
@@ -199,8 +206,8 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # before the purchase, exactly what the carry-forward window selects.
 _ASOF_SQL = """
 SELECT p.event_id AS purchase_event_id, p.user_id,
-       v.event_id AS view_event_id,
-       CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS gap_s
+       CAST(COALESCE(v.event_id, -1) AS BIGINT) AS view_event_id,
+       CAST(COALESCE((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000, -1) AS BIGINT) AS gap_s
 FROM events p
 LEFT JOIN LATERAL (
     SELECT e.event_id, e.ts FROM events e

@@ -27,7 +27,7 @@ def test_asof_join_matches_per_user_scan(spark, sf_dir):
     expected = {}
     for p in purchases:
         cand = [(ts, eid) for ts, eid in views[p.user_id] if ts <= p.ts]
-        expected[p.event_id] = max(cand)[1] if cand else None
+        expected[p.event_id] = max(cand)[1] if cand else -1  # -1 = no-match sentinel
 
     got = {
         r.purchase_event_id: r.view_event_id
@@ -40,8 +40,8 @@ def test_asof_gap_nonnegative_and_null_consistent(spark, sf_dir):
     from codegraph_spark.queries.events import ev_asof_join
 
     for r in ev_asof_join(spark, sf_dir).collect():
-        if r.view_event_id is None:
-            assert r.gap_s is None
+        if r.view_event_id == -1:
+            assert r.gap_s == -1
         else:
             assert r.gap_s >= 0
 
