@@ -313,6 +313,33 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+# --- p7_set_ops: INTERSECT / EXCEPT surface -----------------------------------
+def p7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over (brand, type) assortments: pairs offered in
+    BOTH small (<10) and large (>40) sizes, minus pairs that ever sell
+    above 980 — INTERSECT then EXCEPT, each compiled by Catalyst to a
+    distinct-aggregated join (left-semi / left-anti) on the pair key:
+    the same one-shuffle-per-op shape as any keyed join, no quadratic
+    comparison. All three inputs prune to two columns at the scan."""
+    part = load_table(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") < 10).select("p_brand", "p_type").distinct()
+    large = part.filter(F.col("p_size") > 40).select("p_brand", "p_type").distinct()
+    pricey = (
+        part.filter(F.col("p_retailprice") > 980).select("p_brand", "p_type").distinct()
+    )
+    return small.intersect(large).exceptAll(pricey).orderBy("p_brand", "p_type")
+
+
+_P7_SQL = """
+(SELECT DISTINCT p_brand, p_type FROM part WHERE p_size < 10
+ INTERSECT
+ SELECT DISTINCT p_brand, p_type FROM part WHERE p_size > 40)
+EXCEPT
+SELECT DISTINCT p_brand, p_type FROM part WHERE p_retailprice > 980
+ORDER BY p_brand, p_type
+"""
+
+
 # --- join_bloom_semi: bloom-prefiltered semi-join reduction -------------------
 def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineitems whose order is urgent AND expensive, rolled up per
@@ -361,6 +388,7 @@ QUERIES = {
     "q5_supplier_volume": q5_supplier_volume,
     "p2_point_filter": p2_point_filter,
     "p4_not_null_filter": p4_not_null_filter,
+    "p7_set_ops": p7_set_ops,
     "o6_top5_orders_per_customer": o6_top5_orders_per_customer,
     "o7_moving_avg": o7_moving_avg,
     "a3_count_distinct_multi": a3_count_distinct_multi,
@@ -375,6 +403,7 @@ ORACLES = {
     "q5_supplier_volume": _Q5_SQL,
     "p2_point_filter": _P2_SQL,
     "p4_not_null_filter": _P4_SQL,
+    "p7_set_ops": _P7_SQL,
     "o6_top5_orders_per_customer": _O6_SQL,
     "o7_moving_avg": _O7_SQL,
     "a3_count_distinct_multi": _A3_SQL,

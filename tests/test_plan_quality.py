@@ -36,6 +36,11 @@ _UNKEYED_JOIN_OK = {
     "dedup_embedding_cosine",
     "j8_mentions_topk",         # substring θ-join — non-equi BY SEMANTICS,
                                 # small name-dim side broadcast (docs scan in place)
+    "join_bloom_semi",          # crossJoin(1-row bloom bitmap)
+    "text_bm25_search",         # crossJoin(1-row corpus stats)
+    "ev_range_join_tiers",      # band join against broadcast 3-row tier dim
+    "stream_funnel",            # memory-sink table; tiny final stack/agg
+    "corpus_filter_funnel",     # 1-row conditional-sum aggregate + stack
 }
 
 
