@@ -317,7 +317,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 def p7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations over (brand, type) assortments: pairs offered in
     BOTH small (<10) and large (>40) sizes, minus pairs that ever sell
-    above 980 — INTERSECT then EXCEPT, each compiled by Catalyst to a
+    above 998 — INTERSECT then EXCEPT, each compiled by Catalyst to a
     distinct-aggregated join (left-semi / left-anti) on the pair key:
     the same one-shuffle-per-op shape as any keyed join, no quadratic
     comparison. All three inputs prune to two columns at the scan."""
@@ -325,7 +325,7 @@ def p7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = part.filter(F.col("p_size") < 10).select("p_brand", "p_type").distinct()
     large = part.filter(F.col("p_size") > 40).select("p_brand", "p_type").distinct()
     pricey = (
-        part.filter(F.col("p_retailprice") > 980).select("p_brand", "p_type").distinct()
+        part.filter(F.col("p_retailprice") > 998).select("p_brand", "p_type").distinct()
     )
     return small.intersect(large).exceptAll(pricey).orderBy("p_brand", "p_type")
 
@@ -335,7 +335,7 @@ _P7_SQL = """
  INTERSECT
  SELECT DISTINCT p_brand, p_type FROM part WHERE p_size > 40)
 EXCEPT
-SELECT DISTINCT p_brand, p_type FROM part WHERE p_retailprice > 980
+SELECT DISTINCT p_brand, p_type FROM part WHERE p_retailprice > 998
 ORDER BY p_brand, p_type
 """
 
