@@ -538,8 +538,67 @@ HAVING count(*) >= 3
 """
 
 
+# --- dedup_edit_distance: bounded-Levenshtein near-dup verify -----------------
+_LEV_PREFIX = 60   # verify on a fixed prefix: edit distance is O(len²)
+_LEV_MAX = 8       # near-dup threshold on the prefix
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection — the fuzzy-match family member
+    the hash-based detectors (exact/minhash/simhash) can't express:
+    pairs whose 60-char prefixes are within Levenshtein ≤ 8.
+
+    Levenshtein is O(len²) per comparison and unbucketable by hashing,
+    so candidates are first confined to (lang, length-bucket) blocks —
+    near-dups can't differ by more than the threshold in length, so a
+    25-char bucket with the threshold ≪ 25 has no cross-bucket escapes
+    for same-length-class dups (the documented miss: a pair straddling
+    a bucket boundary; production runs both ⌊len/25⌋ and ⌊len/25+13⌋
+    offsets). The expensive verify runs only inside blocks, and only
+    on the fixed prefix — never the full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 25).cast("bigint").alias("lb"),
+        F.substring("text", 1, _LEV_PREFIX).alias("pfx"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("lev"),
+        )
+        .filter(F.col("lev") <= _LEV_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_LEV_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars // 25 AS lb, substr(text, 1, {_LEV_PREFIX}) AS pfx
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.pfx, b.pfx) AS lev
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_edit_distance": dedup_edit_distance,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -550,6 +609,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_edit_distance": _LEV_SQL,
     "dedup_simhash_hamming": _simhash_hamming_sql(),
     "dedup_exact": _EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_SQL,

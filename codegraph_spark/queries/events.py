@@ -258,6 +258,47 @@ ORDER BY event_type, tier
 """
 
 
+# --- ev_outliers: quantile-threshold anomaly detection ------------------------
+def ev_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type tail anomalies: events above their type's p99. The
+    thresholds are a 5-row aggregate broadcast back onto the stream —
+    the scan-side filter shape (never a sort of the full table); both
+    engines compare against the 1e-4-rounded threshold so the
+    membership boundary is on a shared grid, not a last-ULP
+    interpolation difference. Exact percentile for the gate;
+    approx_percentile (t-digest) is the 100 TB swap, as in
+    ev_value_quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .groupBy("event_type", "p99")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_OUTLIERS_SQL = """
+WITH thr AS (
+    SELECT event_type,
+           ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, t.p99, count(*) AS n_outliers,
+       ROUND(CAST(max(e.value) AS DOUBLE), 2) AS max_value
+FROM events e JOIN thr t ON e.event_type = t.event_type
+WHERE e.value > t.p99
+GROUP BY e.event_type, t.p99
+ORDER BY e.event_type
+"""
+
+
 # --- ev_rollup: hierarchical grouping-sets aggregate --------------------------
 def ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (event_type, value tier): per-(type, tier) counts
@@ -428,6 +469,7 @@ QUERIES = {
     "ev_range_join_tiers": ev_range_join_tiers,
     "ev_rollup": ev_rollup,
     "ev_pivot": ev_pivot,
+    "ev_outliers": ev_outliers,
     "ev_sessionize": ev_sessionize,
     "ev_json_props": ev_json_props,
     "ev_top3_per_type": ev_top3_per_type,
@@ -441,6 +483,7 @@ ORACLES = {
     "ev_range_join_tiers": _RANGE_SQL,
     "ev_rollup": _ROLLUP_SQL,
     "ev_pivot": _PIVOT_SQL,
+    "ev_outliers": _OUTLIERS_SQL,
     "ev_sessionize": _SESSIONIZE_SQL,
     "ev_json_props": _JSON_SQL,
     "ev_top3_per_type": _TOP3_SQL,
