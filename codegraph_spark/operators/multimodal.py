@@ -66,17 +66,27 @@ def _ascii_nonempty(docs: DataFrame) -> DataFrame:
     ).drop("_ascii_ck")
 
 
-def encode_documents_as_images(docs: DataFrame) -> DataFrame:
+def encode_documents_as_images(
+    docs: DataFrame, fixed_dims: "tuple[int, int] | None" = None
+) -> DataFrame:
     """Derive a deterministic ``raw-gray-v1`` image per document.
 
     width = 16 + doc_id % 48, height = 16 + doc_id % 32; pixels = the
     document text (non-empty ASCII — see :func:`_ascii_nonempty`)
     repeated to fill width*height bytes. Built entirely JVM-side
     (hex-packed header + ``encode``), no UDF.
+
+    ``fixed_dims=(w, h)`` overrides the per-doc dims — the canonical
+    frame a perceptual-hash pipeline normalizes to (identical content
+    must yield identical payloads regardless of doc_id).
     """
     docs = _ascii_nonempty(docs)
-    w = (F.lit(16) + F.col("doc_id") % 48).cast("int")
-    h = (F.lit(16) + F.col("doc_id") % 32).cast("int")
+    if fixed_dims is not None:
+        w = F.lit(int(fixed_dims[0])).cast("int")
+        h = F.lit(int(fixed_dims[1])).cast("int")
+    else:
+        w = (F.lit(16) + F.col("doc_id") % 48).cast("int")
+        h = (F.lit(16) + F.col("doc_id") % 32).cast("int")
     n = (w * h).cast("int")
     reps = F.ceil(n / F.length("text")).cast("int") + F.lit(1)
     body = F.substring(F.repeat(F.col("text"), reps), 1, n)
@@ -222,6 +232,49 @@ def encode_documents_as_audio(docs: DataFrame, sample_rate: int = 16000) -> Data
         F.lit(sample_rate).alias("sample_rate"),
         n.alias("n_samples"),
         (n + F.lit(8)).alias("n_bytes"),
+    )
+
+
+DHASH_SCHEMA = "doc_id long, dhash long"
+_DHASH_GRID = 8  # 8x8 block grid -> 8 rows x 7 adjacent-column bits = 56 bits
+
+
+def dhash_codes(images: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: block-reduce the
+    pixel grid to 8x8 cells, set bit (cy*7+cx) when cell (cy, cx) is
+    brighter than its right neighbor. Brightness compares as the exact
+    cross-multiplied integer inequality s1*n2 > s2*n1 (cells may hold
+    unequal pixel counts when dims aren't multiples of 8), so the hash
+    is bit-identical everywhere — no float means. 56 bits keeps every
+    shift inside signed int64 on both engines."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        g = _DHASH_GRID
+        for pdf in it:
+            rows = []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                width, height, body = _decode_payload(payload, codec)
+                img = body.astype(np.int64).reshape(height, width)
+                cx = (np.arange(width) * g) // width
+                cy = (np.arange(height) * g) // height
+                s = np.zeros((g, g), dtype=np.int64)
+                n = np.zeros((g, g), dtype=np.int64)
+                np.add.at(s, (cy.repeat(width), np.tile(cx, height)), img.ravel())
+                np.add.at(n, (cy.repeat(width), np.tile(cx, height)), 1)
+                h = 0
+                for r in range(g):
+                    for c in range(g - 1):
+                        if s[r, c] * n[r, c + 1] > s[r, c + 1] * n[r, c]:
+                            h += 1 << (r * (g - 1) + c)
+                rows.append((doc_id, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return images.select("doc_id", "payload", "codec").mapInPandas(
+        batches, schema=DHASH_SCHEMA
     )
 
 

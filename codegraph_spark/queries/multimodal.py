@@ -157,8 +157,67 @@ GROUP BY 1, 2
 """
 
 
+# --- mm_dhash: perceptual image fingerprint -----------------------------------
+_DHASH_W, _DHASH_H = 32, 24  # canonical frame all images normalize to
+
+
+def mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprinting of the image modality: every document
+    renders into the canonical 32x24 frame (identical content ⇒
+    identical payload regardless of id), and the Arrow dHash kernel
+    (operators/multimodal.dhash_codes) reduces each to a 56-bit
+    difference hash — the key the image-side dedup then groups or
+    Hamming-bands on, exactly as dedup_simhash / dedup_simhash_hamming
+    do for text. The oracle recomputes the whole chain (render → 8x8
+    block sums → cross-multiplied brightness bits) analytically from
+    the text, so a hash match proves the binary kernel bit-for-bit on
+    every document."""
+    from codegraph_spark.operators.multimodal import dhash_codes
+
+    imgs = encode_documents_as_images(
+        load_table(spark, sf_dir, "documents"), fixed_dims=(_DHASH_W, _DHASH_H)
+    )
+    return dhash_codes(imgs).orderBy("doc_id")
+
+
+_MM_DHASH_SQL = f"""
+WITH imgs AS (
+    SELECT doc_id,
+           substr(repeat(text, CAST(ceil({_DHASH_W * _DHASH_H}
+                                      / CAST(length(text) AS DOUBLE)) AS INT) + 1),
+                  1, {_DHASH_W * _DHASH_H}) AS body
+    FROM documents
+),
+px AS (
+    SELECT doc_id,
+           unnest(list_transform(string_split(body, ''), x -> ascii(x))) AS b,
+           unnest(range(0, {_DHASH_W * _DHASH_H})) AS i
+    FROM imgs
+),
+cells AS (
+    SELECT doc_id,
+           ((i // {_DHASH_W}) * 8) // {_DHASH_H} AS cy,
+           ((i % {_DHASH_W}) * 8) // {_DHASH_W} AS cx,
+           CAST(sum(b) AS BIGINT) AS s, count(*) AS n
+    FROM px
+    GROUP BY 1, 2, 3
+),
+hashes AS (
+    SELECT c1.doc_id,
+           CAST(sum(CASE WHEN c1.s * c2.n > c2.s * c1.n
+                         THEN (CAST(1 AS BIGINT) << (c1.cy * 7 + c1.cx))
+                         ELSE 0 END) AS BIGINT) AS dhash
+    FROM cells c1
+    JOIN cells c2 ON c2.doc_id = c1.doc_id AND c2.cy = c1.cy AND c2.cx = c1.cx + 1
+    GROUP BY c1.doc_id
+)
+SELECT doc_id, dhash FROM hashes ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_image_meta": mm_image_meta,
+    "mm_dhash": mm_dhash,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_energy": mm_audio_energy,
@@ -166,6 +225,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_image_meta": _MM_META_SQL,
+    "mm_dhash": _MM_DHASH_SQL,
     "mm_resize": _MM_RESIZE_SQL,
     "mm_frame_sample": _MM_FRAME_SQL,
     "mm_audio_energy": _MM_AUDIO_SQL,

@@ -136,3 +136,28 @@ def test_non_ascii_fails_fast(spark):
     docs = spark.createDataFrame([(0, "héllo")], "doc_id long, text string")
     with pytest.raises(SparkRuntimeException):
         encode_documents_as_images(docs).collect()
+
+
+def test_dhash_canonical_frame_is_content_keyed(spark):
+    """Identical text under different doc_ids must produce the same
+    dHash (the canonical 32x24 frame removes id-dependent dims), and a
+    different text a different one."""
+    from pyspark.sql import functions as F
+
+    from codegraph_spark.operators.multimodal import (
+        dhash_codes,
+        encode_documents_as_images,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "an entirely different document body with other words"),
+        ],
+        ["doc_id", "text"],
+    )
+    imgs = encode_documents_as_images(docs, fixed_dims=(32, 24))
+    got = {r.doc_id: r.dhash for r in dhash_codes(imgs).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
