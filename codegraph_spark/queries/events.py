@@ -258,6 +258,110 @@ ORDER BY event_type, tier
 """
 
 
+# --- ev_retention: signup-cohort retention matrix -----------------------------
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted by
+    how many are active again k days later (k = 1..7). Two
+    aggregations and one join, all keyed on user_id/cohort — the
+    classic product-analytics matrix, shuffle-bounded by distinct
+    (user, day) pairs, never raw events. Day arithmetic is integer
+    (epoch days), output is integer counts + per-mille retention."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day")
+    )
+    user_days = ev.distinct()
+    first_day = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = user_days.join(first_day, "user_id").select(
+        "user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("k")
+    )
+    cohort_size = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    ret = (
+        joined.filter((F.col("k") >= 1) & (F.col("k") <= 7))
+        .groupBy("cohort_day", "k")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(cohort_size, "cohort_day")
+        .select(
+            "cohort_day", "k", "n_active", "n_users",
+            F.floor(F.col("n_active") * 1000 / F.col("n_users"))
+            .cast("bigint").alias("retained_pm"),
+        )
+        .orderBy("cohort_day", "k")
+    )
+
+
+_RETENTION_SQL = """
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+    FROM events
+),
+first_day AS (
+    SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY user_id
+),
+cohort_size AS (
+    SELECT cohort_day, count(*) AS n_users FROM first_day GROUP BY cohort_day
+),
+ret AS (
+    SELECT f.cohort_day, u.day - f.cohort_day AS k,
+           count(DISTINCT u.user_id) AS n_active
+    FROM user_days u JOIN first_day f USING (user_id)
+    WHERE u.day - f.cohort_day BETWEEN 1 AND 7
+    GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.k, r.n_active, c.n_users,
+       CAST(FLOOR(r.n_active * 1000 / CAST(c.n_users AS DOUBLE)) AS BIGINT) AS retained_pm
+FROM ret r JOIN cohort_size c USING (cohort_day)
+ORDER BY cohort_day, k
+"""
+
+
+# --- ev_hourly_dense: time-series gap filling ---------------------------------
+def ev_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series for one event type: the calendar spine
+    (sequence over the min..max hour range — generated, not scanned)
+    left-joins the sparse hourly counts so missing hours surface as
+    explicit zeros. The spine generation is O(#hours) on one row then
+    exploded — never a shuffle of the fact table; the join key is the
+    hour bucket both sides."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hours = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    sparse = hours.groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
+    bounds = hours.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    return (
+        spine.join(sparse, "hour", "left")
+        .na.fill(0, ["n"])
+        .select(F.col("hour").cast("string").alias("hour"), "n")
+        .orderBy("hour")
+    )
+
+
+_DENSE_SQL = """
+WITH sparse AS (
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM sparse),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+)
+SELECT CAST(s.hour AS VARCHAR) AS hour, COALESCE(p.n, 0) AS n
+FROM spine s LEFT JOIN sparse p ON p.hour = s.hour
+ORDER BY hour
+"""
+
+
 # --- ev_outliers: quantile-threshold anomaly detection ------------------------
 def ev_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type tail anomalies: events above their type's p99. The
@@ -470,6 +574,8 @@ QUERIES = {
     "ev_rollup": ev_rollup,
     "ev_pivot": ev_pivot,
     "ev_outliers": ev_outliers,
+    "ev_retention": ev_retention,
+    "ev_hourly_dense": ev_hourly_dense,
     "ev_sessionize": ev_sessionize,
     "ev_json_props": ev_json_props,
     "ev_top3_per_type": ev_top3_per_type,
@@ -484,6 +590,8 @@ ORACLES = {
     "ev_rollup": _ROLLUP_SQL,
     "ev_pivot": _PIVOT_SQL,
     "ev_outliers": _OUTLIERS_SQL,
+    "ev_retention": _RETENTION_SQL,
+    "ev_hourly_dense": _DENSE_SQL,
     "ev_sessionize": _SESSIONIZE_SQL,
     "ev_json_props": _JSON_SQL,
     "ev_top3_per_type": _TOP3_SQL,

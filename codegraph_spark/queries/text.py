@@ -176,6 +176,44 @@ SELECT doc_id, lang, bucket, rate_pm FROM (
 """
 
 
+# --- corpus_split: deterministic train/val/test assignment --------------------
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment (980/10/10 per-mille) by md5 hash of
+    the doc id — the split every training run pins: shuffle-free (a
+    pure map over the scan), reproducible across engines and reruns,
+    and stable under corpus growth (a document's split never changes
+    when other documents arrive, unlike row-number slicing). Output is
+    the per-(split, lang) census the run manifest records."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000
+    )
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_SQL = """
+SELECT CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM (
+    SELECT lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+    FROM documents
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # --- corpus_mix_summary: per-language corpus statistics rollup ----------------
 def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixing table a training run consumes: per-language doc and
@@ -496,6 +534,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "sample_stratified": sample_stratified,
+    "corpus_split": corpus_split,
     "corpus_mix_summary": corpus_mix_summary,
     "text_pii_flag": text_pii_flag,
     "text_repetition": text_repetition,
@@ -504,6 +543,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_filter_funnel": _FILTER_FUNNEL_SQL,
+    "corpus_split": _SPLIT_SQL,
     "text_pii_flag": _PII_SQL,
     "text_repetition": _REPETITION_SQL,
     "corpus_pack_shards": _PACK_SQL,
