@@ -413,6 +413,38 @@ def parse_go_file(path: str, source: str) -> list[dict]:
             continue
         i += 1
 
+    # closures (func literals): the nesting level the reference's
+    # ast.Walk visitor sees (indexer.go:176-193) but its declaration
+    # loop does not descend to. Two anchor forms:
+    #   - named:     `x := func(...)` / `x = func(...)` -> name = x
+    #   - anonymous: argument-position / IIFE literals whose body opens
+    #     on the same line (the WalkDir-callback shape) -> synthetic
+    #     name func@<line>, so the record is stable and join-able
+    _NAMED_CLOSURE_RE = re.compile(r"^\s*(?P<name>\w+)\s*:?=\s*func\s*[(\[]")
+    _ANON_CLOSURE_RE = re.compile(r"\bfunc\s*\([^)]*\)[^{]*\{")
+    for fid, bi, bj in bodies:
+        parent_fqn = fid.split(":", 2)[2]
+        corder = 0
+        for k in range(bi + 1, bj):
+            cm = _NAMED_CLOSURE_RE.match(clean[k])
+            if cm and cm.group("name") not in _GO_KEYWORDS:
+                cname = cm.group("name")
+            elif _ANON_CLOSURE_RE.search(clean[k]) and not _FUNC_RE.match(clean[k]):
+                cname = f"func@{k + 1}"
+            else:
+                continue
+            ck = _body_end(clean, k) if "{" in clean[k] else k
+            cfqn = f"{parent_fqn}.{cname}"
+            cid = f"closure:{path}:{cfqn}:{k + 1}"
+            cbody = "\n".join(clean[k:ck + 1])
+            node(cid, "Function", name=cname, fqn=cfqn,
+                 signature=raw[k].strip().split("{", 1)[0].strip(),
+                 is_exported=False, is_async=False,
+                 complexity=1 + len(_BRANCH_RE.findall(cbody)),
+                 **span_props(k, ck))
+            edge(fid, "CONTAINS", cid, order=corder)
+            corder += 1
+
     # best-effort same-file CALLS (reference TODO, indexer.go:300);
     # bare-name calls that do NOT resolve locally are emitted as
     # 'callcand' records — in Go a bare name can live in any file of

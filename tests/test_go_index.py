@@ -59,6 +59,11 @@ def test_dogfood_thresholds(ref_graph):
     assert by_type.get("DEFINES", 0) >= 100
     assert by_type.get("CALLS", 0) >= 1
 
+    # named closures (`x := func(...)`) nest under their enclosing
+    # function — the reference codebase uses them in its handlers
+    closures = nodes.filter(F.col("id").startswith("closure:"))
+    assert closures.count() >= 1
+
 
 def test_dogfood_no_test_files(ref_graph):
     """The walk drops *_test.go exactly as indexer.go:58-60 does."""
