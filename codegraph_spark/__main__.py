@@ -95,6 +95,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--limit", type=int, default=100,
                     help="max rows printed (0 = unlimited)")
 
+    dr = sub.add_parser(
+        "doctor", help="lint a registered query's physical plan for scale smells"
+    )
+    dr.add_argument("query", help="a name from the query registry")
+
     srv = sub.add_parser("serve", help="long-running servers").add_subparsers(
         dest="what", required=True
     )
@@ -151,6 +156,23 @@ def main(argv: list[str] | None = None) -> None:
                 df = df.limit(args.limit)
             out = {"columns": df.columns,
                    "rows": [list(r) for r in df.collect()]}
+        elif args.cmd == "doctor":
+            from codegraph_spark.doctor import diagnose
+            from codegraph_spark.queries import collect
+
+            queries, _ = collect()
+            if args.query not in queries:
+                raise SystemExit(f"unknown query {args.query!r}")
+            if not args.sf_dir:
+                raise SystemExit("doctor needs --sf-dir DIR")
+            findings = diagnose(queries[args.query](spark, args.sf_dir))
+            out = {
+                "query": args.query,
+                "findings": [
+                    {"severity": f.severity, "check": f.check, "detail": f.detail}
+                    for f in findings
+                ],
+            }
         elif args.cmd == "schema":
             from codegraph_spark.schema import SchemaManager, database_info
 

@@ -1,0 +1,103 @@
+"""Plan doctor — static scale-smell linting of a DataFrame's physical
+plan.
+
+The same heuristics tests/test_plan_quality.py enforces on the
+registered queries, packaged for ad-hoc use on ANY DataFrame (CLI:
+``python -m codegraph_spark doctor <query-name>``): a user extending
+the engine gets the 100 TB review checklist as a tool, not a code
+review. Checks are string-level over ``explain('formatted')`` output —
+the same surface a human plan review reads.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class Finding:
+    severity: str  # "error" | "warn" | "info"
+    check: str
+    detail: str
+
+    def __str__(self) -> str:  # pragma: no cover - formatting
+        return f"[{self.severity}] {self.check}: {self.detail}"
+
+
+def plan_text(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def diagnose(df: DataFrame, *, unkeyed_join_ok: bool = False) -> list[Finding]:
+    """Lint a DataFrame's physical plan for scale smells. Returns
+    findings ordered errors-first; empty list = clean."""
+    plan = plan_text(df)
+    out: list[Finding] = []
+
+    if "CartesianProduct" in plan:
+        out.append(Finding(
+            "error", "cartesian-product",
+            "plan contains CartesianProduct — an unkeyed join with no "
+            "broadcastable side; O(n*m) at any scale",
+        ))
+    if not unkeyed_join_ok and "BroadcastNestedLoopJoin" in plan:
+        out.append(Finding(
+            "warn", "unkeyed-broadcast-join",
+            "BroadcastNestedLoopJoin present — fine against a 1-row/k-row "
+            "aggregate, a scale bug if the broadcast side grows with data",
+        ))
+    if "BatchEvalPython" in plan:
+        out.append(Finding(
+            "error", "row-python-udf",
+            "row-at-a-time Python UDF in the plan — 10-100x slower than "
+            "Arrow; use built-in functions or a Pandas UDF",
+        ))
+
+    # global windows/sorts funnel through one task; the reliable tell
+    # in a formatted plan is the SinglePartition exchange feeding them
+    # `explain("formatted")` spells it `Arguments: SinglePartition, ...`
+    if "SinglePartition" in plan:
+        out.append(Finding(
+            "warn", "single-partition-exchange",
+            "Exchange SinglePartition — a global window/sort/limit is "
+            "funneling all rows through one task; acceptable only on "
+            "already-tiny intermediates",
+        ))
+
+    # scans that read every column
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = m.group(1).count(",") + 1 if m.group(1) else 0
+        if ncols >= 12:
+            out.append(Finding(
+                "warn", "wide-scan",
+                f"a parquet scan reads {ncols} columns — check column "
+                f"pruning (project only what downstream needs)",
+            ))
+            break
+
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    if n_shuffles >= 8:
+        out.append(Finding(
+            "info", "many-shuffles",
+            f"{n_shuffles} hash-partition exchanges — look for reusable "
+            f"partitioning (bucketing / repartition once, reuse across ops)",
+        ))
+
+    order = {"error": 0, "warn": 1, "info": 2}
+    out.sort(key=lambda f: order[f.severity])
+    return out
+
+
+def doctor_report(df: DataFrame, **kw) -> str:
+    findings = diagnose(df, **kw)
+    if not findings:
+        return "plan: clean (no scale smells found)"
+    return "\n".join(str(f) for f in findings)
