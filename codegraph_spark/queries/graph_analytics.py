@@ -255,14 +255,118 @@ LIMIT 20
 """
 
 
+_LPA_ITERS = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-occurrence graph: each node starts as its own label; every
+    round it adopts the most frequent label among its neighbors AND
+    itself (ties to the smallest label — fully deterministic, unlike
+    textbook random-order LPA). Fixed ``_LPA_ITERS`` rounds, so the
+    whole computation is mechanically unrollable and the oracle is
+    generated chained CTEs (one neighbor-mode round each), exactly the
+    _pagerank_sql() technique.
+
+    Scale shape per round: one equi-join of the (static, persisted)
+    symmetric adjacency against the label table, one
+    map-side-combining count, one per-node top-1 window partitioned by
+    node — all shuffles on the node key, reusable across rounds.
+    Output is the community-size profile (top-15 by size)."""
+    from pyspark.sql import Window
+
+    edges = _cooccurrence_edges(spark, sf_dir).persist()
+    adj = edges.select(
+        F.col("p1").alias("node"), F.col("p2").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("p2").alias("node"), F.col("p1").alias("nbr"))
+    ).persist()
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
+    for _ in range(_LPA_ITERS):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        self_labels = labels.select("node", "label")
+        votes = (
+            nbr_labels.unionByName(self_labels)
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # persist every round: the label table is referenced twice next
+        # round (neighbor join + self votes) — unpersisted, the lineage
+        # re-expands 2^iters
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        ).persist()
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(15)
+        .select(F.col("label").alias("community"), "n_members")
+    )
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    """Generated unrolled oracle for :func:`graph_label_propagation`."""
+    parts = [
+        f"""pairs AS MATERIALIZED (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_SUPPORT}
+)""",
+        """adj AS MATERIALIZED (
+    SELECT p1 AS node, p2 AS nbr FROM pairs
+    UNION ALL SELECT p2, p1 FROM pairs
+)""",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM adj)",
+    ]
+    for i in range(iters):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        parts.append(f"""{cur} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM (
+            SELECT node, label, count(*) AS cnt FROM (
+                SELECT a.node, p.label FROM adj a
+                JOIN {prev} p ON p.node = a.nbr
+                UNION ALL
+                SELECT node, label FROM {prev}
+            ) GROUP BY node, label
+        )
+    ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT label AS community, count(*) AS n_members
+FROM l{iters}
+GROUP BY label
+ORDER BY n_members DESC, label
+LIMIT 15
+"""
+    )
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_profile": graph_degree_profile,
     "graph_jaccard_links": graph_jaccard_links,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 ORACLES = {
     "graph_triangle_count": _TRIANGLE_SQL,
     "graph_degree_profile": _DEGREE_SQL,
     "graph_jaccard_links": _JACCARD_SQL,
+    "graph_label_propagation": _lpa_sql(),
 }

@@ -132,3 +132,35 @@ def test_filter_funnel_monotone(spark, sf_dir):
     assert ns == sorted(ns, reverse=True), "each filter stage only removes docs"
     assert rows[0].yield_pm == 1000
     assert ns[-1] > 0, "pipeline must not be vacuously empty"
+
+
+def test_label_propagation_matches_reference_impl(spark, sf_dir):
+    """Pure-Python synchronous min-tie LPA over the same edges must
+    produce the same community-size profile."""
+    from collections import Counter, defaultdict
+
+    from codegraph_spark.queries.graph_analytics import (
+        _LPA_ITERS,
+        _cooccurrence_edges,
+        graph_label_propagation,
+    )
+
+    edges = [(r.p1, r.p2) for r in _cooccurrence_edges(spark, sf_dir).collect()]
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    labels = {n: n for n in adj}
+    for _ in range(_LPA_ITERS):
+        new = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            votes[labels[n]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    sizes = Counter(labels.values())
+    expected = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    got = [(r.community, r.n_members) for r in graph_label_propagation(spark, sf_dir).collect()]
+    assert got == expected
