@@ -172,12 +172,55 @@ LIMIT 50
 """
 
 
+def vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration of tokenizer training: count every
+    adjacent character pair across all token occurrences and rank the
+    top-20 merge candidates. The pair enumeration happens INSIDE the
+    row (transform over an index sequence — no per-character explode
+    before the aggregation's map-side combine), so the shuffle carries
+    (pair, partial count), never raw characters. Iterating this
+    operator with a merge-and-recount loop is BPE training; one round
+    is the gate-checkable unit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).filter(F.length("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+_BPE_SQL = """
+SELECT pair, count(*) AS n
+FROM (
+    SELECT unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS pair
+    FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+    )
+    WHERE length(t) >= 2
+)
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
 QUERIES = {
     "text_bm25_search": text_bm25_search,
     "vocab_top_df": vocab_top_df,
+    "vocab_bpe_pairs": vocab_bpe_pairs,
 }
 
 ORACLES = {
     "text_bm25_search": _BM25_SQL,
     "vocab_top_df": _VOCAB_SQL,
+    "vocab_bpe_pairs": _BPE_SQL,
 }
