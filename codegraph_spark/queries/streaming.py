@@ -142,15 +142,37 @@ UNION ALL SELECT 3, 'purchase', count(*) FROM s3
 """
 
 
+def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join (§2.8 custom stateful operator #3):
+    purchases enriched with the most recent prior view via a
+    2-longs-per-user state machine (streaming/incremental
+    .streaming_asof), drained availableNow; hash-matches the batch
+    lateral-join oracle shared with ev_asof_join."""
+    from codegraph_spark.streaming.incremental import streaming_asof
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        streaming_asof(ev), output_mode="append", state_partitions=8
+    )
+
+
+def _asof_oracle() -> str:
+    from codegraph_spark.queries.events import _ASOF_SQL
+
+    return _ASOF_SQL
+
+
 QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "stream_funnel": stream_funnel,
+    "stream_asof": stream_asof,
     "stream_running_totals": stream_running_totals,
     "stream_dedup_exact": stream_dedup_exact,
 }
 ORACLES = {
     "stream_hourly_counts": _STREAM_HOURLY_SQL,
     "stream_funnel": _STREAM_FUNNEL_SQL,
+    "stream_asof": _asof_oracle(),
     "stream_running_totals": _STREAM_RUNNING_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,
 }

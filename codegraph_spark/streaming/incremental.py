@@ -215,6 +215,77 @@ def streaming_funnel(events: DataFrame, steps: tuple[str, str, str]) -> DataFram
     )
 
 
+ASOF_STATE_SCHEMA = "view_id long, view_ts_us long"
+ASOF_OUT_SCHEMA = "purchase_event_id long, user_id long, view_event_id long, gap_s long"
+
+
+def streaming_asof(events: DataFrame) -> DataFrame:
+    """Streaming as-of join: each purchase is enriched with the user's
+    most recent view at-or-before it, across micro-batches — the
+    state-carried alternative to a stream-stream interval join (whose
+    state holds a time-bounded BUFFER of the left stream; this holds
+    exactly 2 longs per user). In-batch matching is vectorized pandas
+    (sort + forward-fill), state seeds the fill across batches; late
+    views older than the carried one are superseded, the same caveat
+    every as-of stream has (ev_asof_join is the replay-exact batch
+    twin). Semantics and sentinels mirror ev_asof_join exactly, so the
+    drained result hash-matches the batch lateral oracle."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    NONE = -1
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        v_id, v_ts = state.get if state.exists else (NONE, NONE)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "tag", "event_id"], ignore_index=True)
+        is_view = batch["tag"] == 0
+        # forward-fill the latest view (id, ts) over the sorted frame,
+        # seeded with the carried state
+        vid = batch["event_id"].where(is_view).astype("float64")
+        vts = batch["ts_us"].where(is_view).astype("float64")
+        vid = vid.ffill().fillna(float(v_id))
+        vts = vts.ffill().fillna(float(v_ts))
+        purch = batch[~is_view]
+        if len(purch):
+            matched_id = vid[~is_view].astype("int64")
+            matched_ts = vts[~is_view].astype("int64")
+            gap = (purch["ts_us"].to_numpy() - matched_ts.to_numpy()) // 1_000_000
+            out = pd.DataFrame(
+                {
+                    "purchase_event_id": purch["event_id"].to_numpy(),
+                    "user_id": key[0],
+                    "view_event_id": matched_id.to_numpy(),
+                    "gap_s": gap,
+                }
+            )
+            none_rows = out["view_event_id"] == NONE
+            out.loc[none_rows, "gap_s"] = NONE
+            yield out
+        if is_view.any():
+            last = batch[is_view].iloc[-1]
+            state.update((int(last["event_id"]), int(last["ts_us"])))
+        else:
+            state.update((int(v_id), int(v_ts)))
+
+    keyed = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("tag"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 STATE_SCHEMA = "n long, total double"
 RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
 

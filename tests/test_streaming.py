@@ -92,3 +92,42 @@ def test_running_user_totals_stateful(spark, tmp_path):
     assert last[1] == (3, 6.0)
     assert last[2] == (1, 5.0)
     assert last[3] == (1, 7.0)
+
+
+def test_streaming_asof_carries_state_across_batches(spark, tmp_path):
+    """A view in batch 1 must match a purchase in batch 2 (state carry),
+    and an in-batch view must win over the carried one."""
+    import datetime as dt
+
+    from codegraph_spark.streaming.incremental import (
+        run_available_now,
+        streaming_asof,
+    )
+
+    src = str(tmp_path / "asof")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    # batch 1: user 1 views; user 2 purchases with no prior view
+    spark.createDataFrame(
+        [(10, 1, "view", t(1)), (20, 2, "purchase", t(2))], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    # batch 2: user 1 purchases (matches carried view 10), then views
+    # again (id 12) and purchases again (matches 12, not 10)
+    spark.createDataFrame(
+        [(11, 1, "purchase", t(10)), (12, 1, "view", t(11)),
+         (13, 1, "purchase", t(12))],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    out = {r.purchase_event_id: (r.view_event_id, r.gap_s)
+           for r in run_available_now(streaming_asof(stream),
+                                      output_mode="append").collect()}
+    assert out[20] == (-1, -1)      # no prior view anywhere
+    assert out[11] == (10, 9)       # carried from batch 1
+    assert out[13] == (12, 1)       # in-batch view supersedes carry
