@@ -424,7 +424,61 @@ FROM (
     return "WITH " + ",\n".join(parts) + tail
 
 
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: per-label min/max/mean SQUARED norm of
+    the milli-quantized vectors plus the count outside a healthy band —
+    the check that catches unnormalized or degenerate vectors before
+    they poison cosine retrieval. Squared norms stay in exact int64
+    (sqrt would be irrational and engine-divergent); the mean is a
+    floor over integer sums. One scan, one map-side-combining agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000).cast("long"),
+    )
+    sq = F.aggregate(
+        F.transform(q, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = emb.select("label", sq.alias("sq_norm"))
+    healthy_lo, healthy_hi = 500_000, 2_000_000  # milli^2 band around unit norm
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("sq_norm").alias("min_sq"),
+            F.max("sq_norm").alias("max_sq"),
+            F.floor(F.sum("sq_norm") / F.count(F.lit(1))).cast("bigint").alias("mean_sq"),
+            F.sum(
+                ((F.col("sq_norm") < healthy_lo) | (F.col("sq_norm") > healthy_hi))
+                .cast("long")
+            ).alias("n_out_of_band"),
+        )
+        .orderBy("label")
+    )
+
+
+_NORM_SQL = """
+SELECT label, count(*) AS n_vecs,
+       min(sq) AS min_sq, max(sq) AS max_sq,
+       CAST(FLOOR(CAST(sum(sq) AS DOUBLE) / count(*)) AS BIGINT) AS mean_sq,
+       CAST(sum(CASE WHEN sq < 500000 OR sq > 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_out_of_band
+FROM (
+    SELECT label,
+           CAST(list_sum(list_transform(embedding::DOUBLE[],
+                x -> CAST(round(x * 1000) AS BIGINT)
+                     * CAST(round(x * 1000) AS BIGINT))) AS BIGINT) AS sq
+    FROM embeddings
+)
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
+    "emb_norm_profile": emb_norm_profile,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_label": sim_ivf_label,
     "sim_ivf_kmeans": sim_ivf_kmeans,
@@ -432,6 +486,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_norm_profile": _NORM_SQL,
     "sim_topk_bruteforce": _BRUTE_SQL,
     "sim_ivf_label": _IVF_SQL,
     "sim_ivf_kmeans": _ivf_kmeans_sql(),
