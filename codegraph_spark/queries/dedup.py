@@ -575,9 +575,13 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("lev"),
+            # thresholded levenshtein: banded DP that abandons a pair
+            # the moment distance must exceed the threshold (returns
+            # -1) — O(k*len) per pair instead of O(len^2), ~5x less
+            # work at k=8 over 60-char prefixes; values <= k are exact
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), _LEV_MAX).alias("lev"),
         )
-        .filter(F.col("lev") <= _LEV_MAX)
+        .filter(F.col("lev") >= 0)
         .orderBy("doc_a", "doc_b")
     )
 
