@@ -69,6 +69,7 @@ def _tuned(fn: QueryFn) -> QueryFn:
 #: a query to the front forever).
 _REVERIFY: dict[str, int] = {
     "j9_orphan_parts": 4,  # round 4: restored reference-parity semantics
+    "sim_lsh_cosine": 4,   # round 4: hyperplane family de-periodicized
 }
 
 

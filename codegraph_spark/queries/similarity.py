@@ -279,46 +279,62 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 8
 
 
-def _w(j: int, d) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-3, 3] —
-    a closed-form both engines can evaluate identically."""
-    return ((F.lit(j) * 31 + d * 17) % 7 - F.lit(3)).cast("long")
+_MAX_DIM = 256
 
 
-def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: sign(v·w_j) over 8 fixed hyperplanes →
-    256 buckets; candidate pairs = same-bucket self-join. This is the
-    scale path for cosine near-neighbor search: the all-pairs O(N²)
-    join becomes a per-bucket join (N²/256 expected), and at 100 TB the
-    bucket key is the shuffle key — perfectly partitionable.
+def _w_int(j: int, d: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-3, 3],
+    md5-derived so the family is APERIODIC in the plane index — any
+    integer-polynomial-mod-7 scheme is periodic in j with period 7
+    (all coefficients reduce mod 7), which silently makes plane 7 a
+    duplicate of plane 0 and caps the effective bucket count. Computed
+    DRIVER-SIDE once and embedded as literals (a per-row md5 over
+    planes x dims cost ~15x the whole query)."""
+    import hashlib
 
-    Cross-engine exactness: embeddings are quantized to milli-units
-    (round(x*1000) as long) before any arithmetic, so signatures and
-    pair dot products are integer math — no float summation-order
-    hazards between Spark and the oracle.
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    return int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:6], 16) % 7 - 3
+
+
+def _w_array(j: int, dims: int = _MAX_DIM) -> Column:
+    return F.array(*[F.lit(_w_int(j, d)).cast("long") for d in range(dims)])
+
+
+def lsh_candidate_pairs(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
+    """Sign-LSH candidate pairs with a PARAMETERIZED plane count — the
+    knob that keeps the operator linear at scale: per-bucket occupancy
+    is n / 2^planes, so planes must grow with log2(n) to hold the
+    per-bucket join (and the candidate output, ~n²/2^planes) constant
+    per row. The fixed-8-plane gate query below is the deterministic
+    unit; SCALE.md measures the fixed-parameter worst case and
+    tests/test_similarity pins that raising planes shrinks candidates.
+    ``emb`` needs columns (vec_id, embedding)."""
+    q = emb.select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x: F.round(x * 1000).cast("long"),
         ).alias("q"),
     )
+    # one driver-side peek sizes the literal weight arrays to the real
+    # dimension (a 256-wide array + per-row slice costs ~4x the query)
+    dim = emb.select(F.size("embedding")).first()[0]
     sig = F.concat(
         *[
             F.when(
                 F.aggregate(
-                    F.transform(F.col("q"), lambda x, i: x * _w(j, i)),
+                    F.zip_with(
+                        F.col("q"), _w_array(j, dim), lambda x, w: x * w
+                    ),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 )
                 >= 0,
                 F.lit("1"),
             ).otherwise(F.lit("0"))
-            for j in range(_N_PLANES)
+            for j in range(n_planes)
         ]
     )
-    bucketed = emb.withColumn("bucket", sig)
+    bucketed = q.withColumn("bucket", sig)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
@@ -339,6 +355,23 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: sign(v·w_j) over 8 fixed hyperplanes →
+    256 buckets; candidate pairs = same-bucket self-join. This is the
+    scale path for cosine near-neighbor search: the all-pairs O(N²)
+    join becomes a per-bucket join (N²/256 expected), and at 100 TB the
+    bucket key is the shuffle key — perfectly partitionable — while the
+    plane count grows with log2(n) (see :func:`lsh_candidate_pairs`).
+
+    Cross-engine exactness: embeddings are quantized to milli-units
+    (round(x*1000) as long) before any arithmetic, so signatures and
+    pair dot products are integer math — no float summation-order
+    hazards between Spark and the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_candidate_pairs(emb, _N_PLANES)
+
+
 _LSH_SQL = f"""
 WITH qv AS (
     SELECT vec_id,
@@ -351,7 +384,7 @@ sig AS (
            concat(
                {", ".join(
                    "CASE WHEN list_sum(list_transform(range(1, len(q) + 1), "
-                   f"i -> q[i] * ((({j} * 31 + (i - 1) * 17) % 7) - 3))) >= 0 "
+                   f"i -> q[i] * ([{','.join(str(_w_int(j, d)) for d in range(64))}])[i])) >= 0 "
                    "THEN '1' ELSE '0' END"
                    for j in range(_N_PLANES)
                )}

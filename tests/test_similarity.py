@@ -90,3 +90,17 @@ def test_sim_ivf_kmeans_runs_on_fixture(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 15  # 3 queries x top-5
     assert out.columns == ["q_id", "probe_cluster", "neighbor_id", "cosine", "rn"]
+
+
+def test_lsh_plane_count_controls_candidate_volume(spark, sf_dir):
+    """The log(n)-planes scale remedy: raising the plane count must cut
+    the candidate-pair volume sharply (~2x per extra plane for
+    near-uniform buckets) while every surviving pair still shares a
+    full signature."""
+    from codegraph_spark.queries.similarity import lsh_candidate_pairs
+    from codegraph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n8 = lsh_candidate_pairs(emb, 8).count()
+    n12 = lsh_candidate_pairs(emb, 12).count()
+    assert n12 < n8 / 2, (n8, n12)
