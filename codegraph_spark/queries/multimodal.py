@@ -157,6 +157,74 @@ GROUP BY 1, 2
 """
 
 
+# --- mm_scene_cut: frame-delta shot-boundary detection ------------------------
+_CUT_THRESHOLD = 250  # ~p95 of frame deltas on this corpus
+
+
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on the video modality: consecutive
+    sampled frames whose content delta (|checksum_k − checksum_{k−1}|)
+    exceeds a threshold mark a cut. Built ON TOP of the frame-sampling
+    kernel (mm_frame_sample's mapInPandas output), then one per-video
+    window (partitioned by doc — never global) and a count rollup:
+    per video, number of cuts and the first cut's frame index (-1
+    sentinel when none — keeps the integer dtype gate-stable)."""
+    vids = encode_documents_as_images(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(vids, frame_len=_FRAME_LEN, every=_EVERY)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.select(
+        "doc_id", "frame_idx",
+        F.abs(
+            F.col("frame_checksum") - F.lag("frame_checksum").over(w)
+        ).alias("delta"),
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            # null-safe: the first frame's delta is NULL; the oracle's
+            # CASE maps NULL to 0, so coalesce before summing (an
+            # all-NULL group would otherwise sum to NULL, not 0)
+            F.sum(
+                F.coalesce((F.col("delta") > _CUT_THRESHOLD).cast("long"), F.lit(0))
+            ).alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(F.col("delta") > _CUT_THRESHOLD, F.col("frame_idx"))),
+                F.lit(-1),
+            ).cast("bigint").alias("first_cut_frame"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MM_SCENE_SQL = f"""
+WITH {_BODY_CTE},
+frames AS (
+    SELECT doc_id,
+           CAST(i // {_FRAME_LEN} AS INT) AS frame_idx,
+           CAST(sum(b) AS BIGINT) AS frame_checksum
+    FROM px
+    WHERE i // {_FRAME_LEN} < (w * h) // {_FRAME_LEN}
+      AND (i // {_FRAME_LEN}) % {_EVERY} = 0
+    GROUP BY doc_id, i // {_FRAME_LEN}
+),
+deltas AS (
+    SELECT doc_id, frame_idx,
+           abs(frame_checksum - lag(frame_checksum) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+    FROM frames
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN delta > {_CUT_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(min(CASE WHEN delta > {_CUT_THRESHOLD} THEN frame_idx END), -1) AS BIGINT)
+           AS first_cut_frame
+FROM deltas
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --- mm_dhash: perceptual image fingerprint -----------------------------------
 _DHASH_W, _DHASH_H = 32, 24  # canonical frame all images normalize to
 
@@ -218,6 +286,7 @@ SELECT doc_id, dhash FROM hashes ORDER BY doc_id
 QUERIES = {
     "mm_image_meta": mm_image_meta,
     "mm_dhash": mm_dhash,
+    "mm_scene_cut": mm_scene_cut,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_energy": mm_audio_energy,
@@ -226,6 +295,7 @@ QUERIES = {
 ORACLES = {
     "mm_image_meta": _MM_META_SQL,
     "mm_dhash": _MM_DHASH_SQL,
+    "mm_scene_cut": _MM_SCENE_SQL,
     "mm_resize": _MM_RESIZE_SQL,
     "mm_frame_sample": _MM_FRAME_SQL,
     "mm_audio_energy": _MM_AUDIO_SQL,

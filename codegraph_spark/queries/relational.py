@@ -144,6 +144,40 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# --- q6: forecasting revenue change (TPC-H Q6 shape) ------------------------
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure predicate + single aggregate — the fully-pushed-down scan
+    shape: every filter reaches the parquet reader (date range,
+    discount band, quantity cap), no join, no shuffle beyond the final
+    1-row combine. The what-if revenue query of the TPC-H suite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT ROUND(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
 # --- p2: FindNodeByProperty analog (query.go:40-50) ------------------------
 def p2_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -386,6 +420,7 @@ QUERIES = {
     "join_bloom_semi": join_bloom_semi,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "p2_point_filter": p2_point_filter,
     "p4_not_null_filter": p4_not_null_filter,
     "p7_set_ops": p7_set_ops,
@@ -401,6 +436,7 @@ ORACLES = {
     "join_bloom_semi": _BLOOM_SEMI_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_supplier_volume": _Q5_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
     "p2_point_filter": _P2_SQL,
     "p4_not_null_filter": _P4_SQL,
     "p7_set_ops": _P7_SQL,
