@@ -538,6 +538,67 @@ HAVING count(*) >= 3
 """
 
 
+# --- dedup_containment: asymmetric shingle containment ------------------------
+_CONTAIN_PM = 800  # containment threshold, per-mille of the smaller doc
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the quote/subset
+    detector that symmetric Jaccard misses (a short doc embedded
+    verbatim in a long one has low Jaccard but containment ≈ 1).
+
+    Same one-equi-join-on-the-shingle-key shape as the Jaccard and
+    contamination pipelines (never all-pairs); per-doc shingle counts
+    arrive by broadcast. Integer per-mille on the smaller side's count;
+    pairs at ≥ 800‰ reported with (a, b) ordered doc_a < doc_b and the
+    direction encoded by which doc is the contained (smaller-set)
+    one."""
+    from codegraph_spark.operators.skew import salted_self_pairs
+
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # hot-shingle-balanced candidate join, same as the Jaccard path
+    inter = (
+        salted_self_pairs(sh, ["shingle"], "doc_id", n_salt=8, hot_threshold=1024)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    bc = F.broadcast(counts)
+    return (
+        inter.join(bc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(bc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            F.floor(
+                F.col("n_common") * 1000 / F.least("na", "nb")
+            ).cast("bigint").alias("containment_pm"),
+        )
+        .filter(F.col("containment_pm") >= _CONTAIN_PM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE.strip()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(FLOOR(n_common * 1000 / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE)) AS BIGINT)
+           AS containment_pm
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE FLOOR(n_common * 1000 / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE)) >= {_CONTAIN_PM}
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- dedup_edit_distance: bounded-Levenshtein near-dup verify -----------------
 _LEV_PREFIX = 60   # verify on a fixed prefix: edit distance is O(len²)
 _LEV_MAX = 8       # near-dup threshold on the prefix
@@ -603,6 +664,7 @@ ORDER BY doc_a, doc_b
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_edit_distance": dedup_edit_distance,
+    "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -614,6 +676,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_edit_distance": _LEV_SQL,
+    "dedup_containment": _CONTAINMENT_SQL,
     "dedup_simhash_hamming": _simhash_hamming_sql(),
     "dedup_exact": _EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_SQL,
