@@ -42,6 +42,16 @@ def _build_parser() -> argparse.ArgumentParser:
     isc = idx.add_parser("scip", help="index a SCIP protobuf file (S4)")
     isc.add_argument("scip_file")
     isc.add_argument("--out", required=True)
+    idoc = idx.add_parser(
+        "docs", help="index a document directory (documents/indexer.go:72-95)"
+    )
+    idoc.add_argument("root")
+    idoc.add_argument("--out", required=True)
+    idoc.add_argument(
+        "--code-graph",
+        help="existing graph dir: resolve MENTIONS against its Symbols "
+        "and merge documents into it",
+    )
 
     q = sub.add_parser("query", help="search / source retrieval").add_subparsers(
         dest="what", required=True
@@ -84,11 +94,17 @@ def _build_parser() -> argparse.ArgumentParser:
     ag.add_argument("--direction", default="out", choices=["out", "in", "both"])
     ag.add_argument("--max-depth", type=int, default=3)
 
-    sc = sub.add_parser("schema", help="validate / info (K7/K8)").add_subparsers(
-        dest="what", required=True
-    )
+    sc = sub.add_parser(
+        "schema", help="create / drop / validate / info (K7/K8)"
+    ).add_subparsers(dest="what", required=True)
     sc.add_parser("validate")
     sc.add_parser("info")
+    sc.add_parser("create", help="apply the declared schema (schema.go:206-263)")
+    sc.add_parser("drop", help="drop the declared schema (schema.go:343-407)")
+
+    sub.add_parser(
+        "status", help="engine connection status (cmd/codegraph/main.go:98-128)"
+    )
 
     sq = sub.add_parser("sql", help="run ANSI SQL over the warehouse views")
     sq.add_argument("statement")
@@ -135,15 +151,39 @@ def main(argv: list[str] | None = None) -> None:
                 from codegraph_spark.sources.static_index import index_project
 
                 nodes, edges = index_project(spark, args.root)
-            else:
+                g = PropertyGraph(nodes, edges)
+            elif args.what == "scip":
                 from codegraph_spark.sources.scip import index_scip
 
                 nodes, edges = index_scip(spark, args.scip_file)
-            g = PropertyGraph(nodes, edges)
+                g = PropertyGraph(nodes, edges)
+            else:  # docs (documents/indexer.go:72-95; cmd main.go:326-358)
+                from codegraph_spark.sources.docs_index import (
+                    index_documents,
+                    merge_into_graph,
+                )
+
+                base = None
+                symbols = None
+                if args.code_graph:
+                    base = PropertyGraph.from_parquet(
+                        spark,
+                        f"{args.code_graph}/nodes",
+                        f"{args.code_graph}/edges",
+                    )
+                    from pyspark.sql import functions as F
+
+                    symbols = base.nodes.filter(F.col("label") == "Symbol")
+                nodes, edges = index_documents(spark, args.root, symbols=symbols)
+                g = (
+                    merge_into_graph(base, nodes, edges)
+                    if base is not None
+                    else PropertyGraph(nodes, edges)
+                )
             g.write_parquet(f"{args.out}/nodes", f"{args.out}/edges")
             out = {
-                "nodes": nodes.count(),
-                "edges": edges.count(),
+                "nodes": g.nodes.count(),
+                "edges": g.edges.count(),
                 "out": args.out,
             }
         elif args.cmd == "sql":
@@ -173,15 +213,25 @@ def main(argv: list[str] | None = None) -> None:
                     for f in findings
                 ],
             }
+        elif args.cmd == "status":
+            # main.go:98-128: connection check + GetDatabaseInfo. A
+            # live SparkSession IS the connection; report engine info.
+            from codegraph_spark.schema import database_info
+
+            out = {"connected": True, **database_info(spark)}
         elif args.cmd == "schema":
             from codegraph_spark.schema import SchemaManager, database_info
 
             g = _load_graph(spark, args)
-            out = (
-                SchemaManager().validate(g)
-                if args.what == "validate"
-                else {**SchemaManager().info(g), **database_info(spark)}
-            )
+            sm = SchemaManager()
+            if args.what == "validate":
+                out = sm.validate(g)
+            elif args.what == "create":
+                out = sm.apply(g)
+            elif args.what == "drop":
+                out = sm.drop_all()
+            else:
+                out = {**sm.info(g), **database_info(spark)}
         else:
             from codegraph_spark.services import AdvancedService, LSPService, MCPService
 

@@ -61,6 +61,46 @@ class SchemaManager:
             c for c in self.constraints if (c.label, c.prop) != (label, prop)
         ]
 
+    def apply(self, graph: PropertyGraph) -> dict:
+        """CreateSchema (schema.go:206-263): declare every constraint
+        against the live graph. Neo4j fails creation when existing data
+        violates a constraint — the Spark analog checks each declared
+        key against the graph and reports created vs failed, plus the
+        physical-layout hints that stand in for the BTREE indexes
+        (schema.go:266-340)."""
+        created: list[str] = []
+        failed: list[str] = []
+        skipped: list[str] = []
+        cols = set(graph.nodes.columns)
+        for c in self.constraints:
+            desc = f"{c.label}.{c.prop} IS UNIQUE"
+            if c.prop not in cols:
+                skipped.append(f"{desc} (column absent)")
+                continue
+            scoped = graph.nodes.filter(
+                (F.col("label") == c.label) & F.col(c.prop).isNotNull()
+            )
+            try:
+                assert_unique(scoped, [c.prop], label=f"{c.label}.{c.prop}")
+                created.append(desc)
+            except UniquenessViolation as e:
+                failed.append(str(e))
+        return {
+            "created": created,
+            "failed": failed,
+            "skipped": skipped,
+            "indexes": {
+                "nodes": "partitionBy(label) + bucketBy(id)",
+                "edges": "partitionBy(type) + bucketBy(src)",
+            },
+        }
+
+    def drop_all(self) -> dict:
+        """DropSchema (schema.go:343-407): clear the declared registry."""
+        dropped = [f"{c.label}.{c.prop} IS UNIQUE" for c in self.constraints]
+        self.constraints = []
+        return {"dropped": dropped}
+
     def validate(self, graph: PropertyGraph) -> dict:
         """ValidateSchema (schema.go:443-488): every declared constraint
         holds on the live graph; referential integrity of edges."""

@@ -269,9 +269,16 @@ def walk_sources(spark: SparkSession, root: str, glob: str = "*.{py,go}") -> Dat
             F.col("value").alias("content"),
         )
     )
-    skip_re = "/(" + "|".join(d.replace(".", r"\.") for d in SKIP_DIRS) + ")/"
+    # Skip dirs are matched on the ROOT-RELATIVE path — the reference
+    # walk skips relative to the indexed root (indexer.go:58-66), so a
+    # project that itself lives under e.g. /tmp or /build still indexes.
+    import os
+
+    prefix = os.path.abspath(root).rstrip("/") + "/"
+    rel = F.substring(F.col("path"), len(prefix) + 1, 1 << 20)
+    skip_re = "(^|/)(" + "|".join(d.replace(".", r"\.") for d in SKIP_DIRS) + ")/"
     return df.filter(
-        ~F.col("path").rlike(skip_re) & ~F.col("path").endswith("_test.go")
+        ~rel.rlike(skip_re) & ~F.col("path").endswith("_test.go")
     )
 
 

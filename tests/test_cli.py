@@ -23,6 +23,9 @@ from codegraph_spark.__main__ import _build_parser
         (["--sf-dir", "/d", "analyze", "callgraph", "n1", "--direction", "both"], ("analyze", "callgraph")),
         (["--graph", "/tmp/g", "schema", "validate"], ("schema", "validate")),
         (["--graph", "/tmp/g", "schema", "info"], ("schema", "info")),
+        (["--graph", "/tmp/g", "schema", "create"], ("schema", "create")),
+        (["--graph", "/tmp/g", "schema", "drop"], ("schema", "drop")),
+        (["index", "docs", "./docs", "--out", "/tmp/g"], ("index", "docs")),
     ],
 )
 def test_cli_parses_reference_command_tree(argv, expect):
@@ -45,3 +48,33 @@ def test_cli_references_include_declaration_flag():
     assert args.include_declaration is True
     args = _build_parser().parse_args(["lsp", "references", "sym"])
     assert args.include_declaration is False
+
+
+def test_cli_status_command():
+    """status is a top-level command (main.go:98-128)."""
+    args = _build_parser().parse_args(["status"])
+    assert args.cmd == "status"
+
+
+def test_cli_index_docs_code_graph_flag():
+    args = _build_parser().parse_args(
+        ["index", "docs", "./docs", "--out", "/tmp/g", "--code-graph", "/tmp/code"]
+    )
+    assert args.code_graph == "/tmp/code"
+
+
+def test_schema_apply_and_drop_all(spark, sf_dir):
+    """schema create/drop semantics (schema.go:206-263, :343-407):
+    apply reports created constraints against the live graph; drop
+    clears the registry."""
+    from codegraph_spark.graph import PropertyGraph
+    from codegraph_spark.schema import SchemaManager
+
+    g = PropertyGraph.from_tpch_recast(spark, sf_dir)
+    sm = SchemaManager()
+    applied = sm.apply(g)
+    assert applied["created"]            # recast graph satisfies the keys
+    assert not applied["failed"]
+    dropped = sm.drop_all()
+    assert len(dropped["dropped"]) == len(applied["created"]) + len(applied["skipped"])
+    assert sm.constraints == []
