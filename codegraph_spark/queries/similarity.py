@@ -281,6 +281,24 @@ _N_PLANES = 8
 
 _MAX_DIM = 256
 
+# corpus-adaptive plane count: hold expected bucket occupancy at
+# ~_LSH_TARGET_OCCUPANCY rows so the per-bucket self-join output stays
+# ~(occupancy/2)·n — LINEAR in n — instead of n²/2^planes with a fixed
+# family. Bounds keep the signature cheap (≤16 planes) and the family
+# non-degenerate on tiny corpora (≥4 planes).
+_LSH_TARGET_OCCUPANCY = 32
+_LSH_MIN_PLANES, _LSH_MAX_PLANES = 4, 16
+
+
+def lsh_planes_for(n: int) -> int:
+    """planes(n) = clamp(⌈log2(n / target_occupancy)⌉, 4, 16) — grows
+    with log2(n), the scaling SCALE.md's 10x probe demands (a fixed
+    8-plane family measured ratio 6.3 at 10x data in r4)."""
+    import math
+
+    raw = math.ceil(math.log2(max(n, 1) / _LSH_TARGET_OCCUPANCY))
+    return max(_LSH_MIN_PLANES, min(_LSH_MAX_PLANES, raw))
+
 
 def _w_int(j: int, d: int) -> int:
     """Deterministic pseudo-random hyperplane weight in [-3, 3],
@@ -316,8 +334,12 @@ def lsh_candidate_pairs(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
         ).alias("q"),
     )
     # one driver-side peek sizes the literal weight arrays to the real
-    # dimension (a 256-wide array + per-row slice costs ~4x the query)
-    dim = emb.select(F.size("embedding")).first()[0]
+    # dimension (a 256-wide array + per-row slice costs ~4x the query);
+    # guarded for an empty table (dim irrelevant — zero rows out)
+    peek = emb.select(F.size("embedding")).first()
+    dim = peek[0] if peek is not None else 1
+    if dim > _MAX_DIM:
+        raise ValueError(f"embedding dim {dim} exceeds LSH family max {_MAX_DIM}")
     sig = F.concat(
         *[
             F.when(
@@ -356,22 +378,31 @@ def lsh_candidate_pairs(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
 
 
 def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: sign(v·w_j) over 8 fixed hyperplanes →
-    256 buckets; candidate pairs = same-bucket self-join. This is the
-    scale path for cosine near-neighbor search: the all-pairs O(N²)
-    join becomes a per-bucket join (N²/256 expected), and at 100 TB the
-    bucket key is the shuffle key — perfectly partitionable — while the
-    plane count grows with log2(n) (see :func:`lsh_candidate_pairs`).
+    """Random-hyperplane LSH: sign(v·w_j) over a CORPUS-SIZED plane
+    family → same-bucket self-join candidates. The plane count is
+    derived from the live corpus count via :func:`lsh_planes_for`
+    (⌈log2(n/32)⌉ clamped to [4, 16]) so per-bucket occupancy — and
+    with it the candidate output — stays ~linear in n: the r4 gate
+    pinned 8 planes and SCALE.md measured the resulting 6.3x blowup at
+    10x data; this query now re-parameterizes itself as data grows.
+    The count() is one parquet-metadata job, paid once per invocation,
+    never per row.
 
     Cross-engine exactness: embeddings are quantized to milli-units
     (round(x*1000) as long) before any arithmetic, so signatures and
     pair dot products are integer math — no float summation-order
-    hazards between Spark and the oracle.
+    hazards between Spark and the oracle; the oracle derives the SAME
+    plane count from the same count() inside SQL.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_candidate_pairs(emb, _N_PLANES)
+    return lsh_candidate_pairs(emb, lsh_planes_for(emb.count()))
 
 
+# Oracle with the SAME corpus-adaptive plane count, computed in SQL
+# (greatest/least/ceil/log2 mirror lsh_planes_for exactly), and weights
+# derived per (plane, dim) from the same md5 family as _w_int — sized
+# to the corpus's real dimension instead of a hard-coded 64 (ADVICE r4:
+# a >64-dim corpus silently NULLed the out-of-range list indexes).
 _LSH_SQL = f"""
 WITH qv AS (
     SELECT vec_id,
@@ -379,17 +410,37 @@ WITH qv AS (
                           x -> CAST(round(x * 1000) AS BIGINT)) AS q
     FROM embeddings
 ),
-sig AS (
-    SELECT vec_id, q,
-           concat(
-               {", ".join(
-                   "CASE WHEN list_sum(list_transform(range(1, len(q) + 1), "
-                   f"i -> q[i] * ([{','.join(str(_w_int(j, d)) for d in range(64))}])[i])) >= 0 "
-                   "THEN '1' ELSE '0' END"
-                   for j in range(_N_PLANES)
-               )}
-           ) AS bucket
+p AS (
+    SELECT greatest({_LSH_MIN_PLANES}, least({_LSH_MAX_PLANES},
+               CAST(ceil(log2(greatest(count(*), 1) / {_LSH_TARGET_OCCUPANCY}.0))
+                    AS INT))) AS np
     FROM qv
+),
+w AS (
+    SELECT j, i,
+           CAST(('0x' || substr(md5(j || '_' || (i - 1)), 1, 6)) AS BIGINT) % 7 - 3
+               AS wt
+    FROM range(0, {_LSH_MAX_PLANES}) t(j)
+    CROSS JOIN (
+        SELECT unnest(range(1, (SELECT coalesce(max(len(q)), 1) FROM qv) + 1)) AS i
+    )
+),
+qe AS (
+    SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS x FROM qv
+),
+dots AS (
+    SELECT vec_id, j, sum(x * wt) AS dot
+    FROM qe JOIN w USING (i)
+    WHERE j < (SELECT np FROM p)
+    GROUP BY vec_id, j
+),
+sig AS (
+    SELECT d.vec_id,
+           string_agg(CASE WHEN d.dot >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY d.j) AS bucket,
+           any_value(qv.q) AS q
+    FROM dots d JOIN qv ON qv.vec_id = d.vec_id
+    GROUP BY d.vec_id
 )
 SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(list_sum(list_transform(range(1, len(a.q) + 1),

@@ -244,11 +244,13 @@ def streaming_asof(events: DataFrame) -> DataFrame:
         batch = batch.sort_values(["ts_us", "tag", "event_id"], ignore_index=True)
         is_view = batch["tag"] == 0
         # forward-fill the latest view (id, ts) over the sorted frame,
-        # seeded with the carried state
-        vid = batch["event_id"].where(is_view).astype("float64")
-        vts = batch["ts_us"].where(is_view).astype("float64")
-        vid = vid.ffill().fillna(float(v_id))
-        vts = vts.ffill().fillna(float(v_ts))
+        # seeded with the carried state. Nullable Int64 keeps the fill
+        # in integer space — a float64 detour silently rounds ids above
+        # 2^53 (snowflake-style ids), corrupting view_event_id/gap_s.
+        vid = batch["event_id"].where(is_view).astype("Int64")
+        vts = batch["ts_us"].where(is_view).astype("Int64")
+        vid = vid.ffill().fillna(v_id)
+        vts = vts.ffill().fillna(v_ts)
         purch = batch[~is_view]
         if len(purch):
             matched_id = vid[~is_view].astype("int64")

@@ -161,3 +161,60 @@ def test_dhash_canonical_frame_is_content_keyed(spark):
     got = {r.doc_id: r.dhash for r in dhash_codes(imgs).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_unknown_codec_still_fails_fast(spark):
+    """The guarded-codec dispatch keeps the fail-fast contract for
+    codecs with no registered decoder."""
+    import pytest as _pytest
+
+    from codegraph_spark.operators.multimodal import _decode_payload
+
+    with _pytest.raises(NotImplementedError, match="h264"):
+        _decode_payload(b"\x00" * 16, "h264")
+
+
+def test_pil_codec_message_names_the_dependency():
+    """Without Pillow the PIL-codec path must explain the optional
+    dependency (not pretend the codec is unknowable)."""
+    import pytest as _pytest
+
+    if _pil_available():
+        _pytest.skip("Pillow installed: decode path covered below")
+    from codegraph_spark.operators.multimodal import _decode_payload
+
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        _decode_payload(b"\x89PNG\r\n", "png")
+
+
+def test_pil_decode_real_png():
+    """Runs only where Pillow exists: a real PNG decodes through the
+    same kernel entry point the raw format uses."""
+    import pytest as _pytest
+
+    if not _pil_available():
+        _pytest.skip("Pillow not installed in this container")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from codegraph_spark.operators.multimodal import _decode_payload
+
+    img = Image.fromarray(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), mode="L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    width, height, body = _decode_payload(buf.getvalue(), "png")
+    assert (width, height) == (8, 8)
+    assert body.tolist() == list(range(64))

@@ -104,3 +104,17 @@ def test_lsh_plane_count_controls_candidate_volume(spark, sf_dir):
     n8 = lsh_candidate_pairs(emb, 8).count()
     n12 = lsh_candidate_pairs(emb, 12).count()
     assert n12 < n8 / 2, (n8, n12)
+
+
+def test_lsh_planes_scale_with_corpus_size():
+    """lsh_planes_for: log2-growth with clamps — the knob that keeps
+    same-bucket candidate volume linear in n (SCALE.md r4 finding)."""
+    from codegraph_spark.queries.similarity import lsh_planes_for
+
+    assert lsh_planes_for(1) == 4            # clamp floor
+    assert lsh_planes_for(500) == 4
+    assert lsh_planes_for(2000) == 6
+    assert lsh_planes_for(20000) == 10       # 10x data -> +3..4 planes
+    assert lsh_planes_for(10**9) == 16       # clamp ceiling
+    for small, big in [(100, 1000), (1000, 100000)]:
+        assert lsh_planes_for(small) <= lsh_planes_for(big)

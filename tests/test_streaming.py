@@ -131,3 +131,37 @@ def test_streaming_asof_carries_state_across_batches(spark, tmp_path):
     assert out[20] == (-1, -1)      # no prior view anywhere
     assert out[11] == (10, 9)       # carried from batch 1
     assert out[13] == (12, 1)       # in-batch view supersedes carry
+
+
+def test_streaming_asof_preserves_snowflake_scale_ids(spark, tmp_path):
+    """Ids above 2^53 must survive the state forward-fill exactly — a
+    float64 detour would round 2^53+3 to a neighboring even value."""
+    import datetime as dt
+
+    from codegraph_spark.streaming.incremental import (
+        run_available_now,
+        streaming_asof,
+    )
+
+    big_view = (1 << 53) + 3
+    big_purchase = (1 << 53) + 11
+    src = str(tmp_path / "asof_big")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    spark.createDataFrame(
+        [(big_view, 1, "view", t(1))], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    spark.createDataFrame(
+        [(big_purchase, 1, "purchase", t(8))], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    out = {r.purchase_event_id: (r.view_event_id, r.gap_s)
+           for r in run_available_now(streaming_asof(stream),
+                                      output_mode="append").collect()}
+    assert out[big_purchase] == (big_view, 7)

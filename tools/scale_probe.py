@@ -34,14 +34,25 @@ PROBES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_containment",
+    "dedup_edit_distance",
     "text_quality_score",
+    "text_bm25_search",
     "corpus_pack_shards",
     "ev_hourly_agg",
+    "ev_asof_join",
+    "ev_funnel",
+    "ev_retention",
     "a8_first_event_per_user",
     "graph_triangle_count",
     "sim_lsh_cosine",
     "corpus_split",
 ]
+
+#: a probe is flagged when its time ratio exceeds this multiple of the
+#: data ratio (10x) — the empirical "hidden quadratic" line; host noise
+#: and fixed overheads keep honest linear pipelines well under it.
+FLAG_FACTOR = 2.5
 
 
 def build_scaled(spark) -> None:
@@ -211,21 +222,36 @@ def main() -> None:
         )
         for name, t1, t10, ratio, n1, n10 in rows:
             f.write(f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f} | {n1} → {n10} |\n")
+        # findings DERIVED from the measured ratios (a static narrative
+        # would keep reporting "linear" through a regression)
+        flagged = [(n, r) for n, _, _, r, _, _ in rows if r > REPLICAS * FLAG_FACTOR]
+        sublinear = [n for n, _, _, r, _, _ in rows if r <= REPLICAS]
+        between = [
+            n for n, _, _, r, _, _ in rows
+            if REPLICAS < r <= REPLICAS * FLAG_FACTOR
+        ]
+        f.write("\nFindings (derived from the measured ratios above):\n\n")
         f.write(
-            "\nFindings:\n\n"
-            "- Every bucketed/combining pipeline (dedup, packing, rollups,\n"
-            "  triangles, BM25-style aggs) scales at or below linear — the\n"
-            "  candidate generators and map-side combines hold at 10x.\n"
-            "- `sim_lsh_cosine` is the deliberate exception the probe is\n"
-            "  designed to catch: its OUTPUT is every same-bucket pair, and\n"
-            "  with the plane count FIXED (8 planes = 256 buckets) the\n"
-            "  candidate set grows ~n²/256 — quadratic by definition, not a\n"
-            "  shuffle bug. The scale remedy is parameterization, not plan\n"
-            "  shape: planes grow with log(n) (e.g. 12 planes at 10x keeps\n"
-            "  per-bucket occupancy, and the per-bucket join cost, constant),\n"
-            "  exactly as the operator's docstring prescribes. The x10 run\n"
-            "  measures the fixed-parameter worst case on purpose.\n"
+            f"- {len(sublinear)}/{len(rows)} probes scale at or below the\n"
+            f"  10x data ratio: {', '.join('`%s`' % n for n in sublinear)}.\n"
         )
+        if between:
+            f.write(
+                f"- Above the data ratio but under the {FLAG_FACTOR:.1f}x-of-data\n"
+                f"  flag line (fixed overheads / output growth, not plan\n"
+                f"  shape): {', '.join('`%s`' % n for n in between)}.\n"
+            )
+        if flagged:
+            f.write(
+                f"- **FLAGGED superlinear (> {REPLICAS * FLAG_FACTOR:.0f}x):** "
+                + ", ".join(f"`{n}` ({r:.1f}x)" for n, r in flagged)
+                + " — each needs a named remedy or a fix before the next round.\n"
+            )
+        else:
+            f.write(
+                f"- No probe exceeds the {REPLICAS * FLAG_FACTOR:.0f}x flag\n"
+                "  line — no hidden quadratic in the probed set this round.\n"
+            )
     print("wrote /root/repo/SCALE.md")
 
 
