@@ -69,7 +69,10 @@ def _tuned(fn: QueryFn) -> QueryFn:
 #: a query to the front forever).
 _REVERIFY: dict[str, int] = {
     "j9_orphan_parts": 4,  # round 4: restored reference-parity semantics
-    "sim_lsh_cosine": 4,   # round 4: hyperplane family de-periodicized
+    "sim_lsh_cosine": 5,   # round 5: corpus-adaptive plane count
+    "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
+    "dedup_containment": 5,    # round 5: df-capped candidate stage
+    "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage
 }
 
 

@@ -99,19 +99,51 @@ FROM documents GROUP BY 1
 
 # --- dedup_ngram_jaccard: exact shingle-set similarity ------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs share ≥1 shingle (bucket join, not cross join);
-    Jaccard = |∩| / |∪| ≥ 0.5. The exact verifier for the LSH path."""
+    """Candidate pairs share ≥1 RARE shingle (bucket join, not cross
+    join; posting lists capped at df ≤ 64 exactly like
+    :func:`dedup_containment` — Σdf² is quadratic in corpus size when
+    stopword-grade shingles generate pairs); the shared-hot completion
+    join restores the EXACT intersection for surviving pairs. Jaccard =
+    |∩| / |∪| ≥ 0.5 — at that threshold a missed pair would need over
+    half its union to be corpus-hot shingles. The exact verifier for
+    the LSH path; exact at the driver gate (max df < cap there)."""
     from codegraph_spark.operators.skew import salted_self_pairs
 
     sh = _shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # hot-shingle-balanced candidate join (stopword shingles are the
-    # skew case — operators/skew.py); result-identical to the plain
-    # self-join, pairs spread over salt shards for hub shingles.
-    shared = (
-        salted_self_pairs(sh, ["shingle"], "doc_id", n_salt=8, hot_threshold=1024)
+    hot = F.broadcast(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _CONTAIN_DF_CUTOFF)
+        .select("shingle")
+    )
+    rare = sh.join(hot, "shingle", "left_anti")
+    # rare-shingle-balanced candidate join (stopword shingles are the
+    # skew case — operators/skew.py); pairs spread over salt shards
+    # for hub shingles under the cap.
+    shared_rare = (
+        salted_self_pairs(rare, ["shingle"], "doc_id", n_salt=8,
+                          hot_threshold=_CONTAIN_DF_CUTOFF)
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
+        .agg(F.count("*").alias("n_rare"))
+    )
+    hot_postings = sh.join(hot, "shingle", "left_semi")
+    ha = hot_postings.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hb = hot_postings.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared_hot = (
+        shared_rare.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    shared = (
+        shared_rare.join(shared_hot, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0)))
+            .alias("shared"),
+        )
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
