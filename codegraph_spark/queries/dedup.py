@@ -109,7 +109,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH path; exact at the driver gate (max df < cap there)."""
     from codegraph_spark.operators.skew import salted_self_pairs
 
-    sh = _shingles(spark, sf_dir)
+    # shingle-hash repartition: every downstream reference (df counts,
+    # rare/hot splits, salted join sides, hot completion) shares ONE
+    # shuffle materialization via ReuseExchange instead of re-scanning
+    # the corpus and re-exploding shingles per reference (the plan
+    # audit counted 12 scans without this).
+    sh = _shingles(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "shingle"
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = F.broadcast(
         sh.groupBy("shingle")
@@ -612,7 +619,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smaller-set) one."""
     from codegraph_spark.operators.skew import salted_self_pairs
 
-    sh = _shingles(spark, sf_dir)
+    # one shared shuffle materialization for all shingle references
+    # (ReuseExchange) — see dedup_ngram_jaccard
+    sh = _shingles(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "shingle"
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hot = F.broadcast(
         sh.groupBy("shingle")
