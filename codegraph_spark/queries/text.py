@@ -527,8 +527,130 @@ FROM stages
 """
 
 
+# --- text_lm_score: corpus-trained bigram-LM fluency proxy --------------------
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet/Gopher-style LM
+    filter, integer-exact): train bigram statistics on the corpus
+    itself, then score each document by the average conditional
+    bigram probability P(w2|w1) = c(w1,w2)/c(w1,·) in parts-per-
+    million. Low scores mark disfluent/boilerplate docs exactly like a
+    low-perplexity KenLM filter does — but every quantity here is
+    integer (per-bigram ppm floor, integer-division average), so the
+    score is bit-identical across engines with no float-log hazards.
+
+    Scale shape: one explode to the bigram stream, two map-side-
+    combining GROUP BYs for the model (bigram + left-context counts),
+    two equi-joins keyed by the n-gram content hash, one per-doc agg.
+    The trained model is corpus-mass-sized (distinct bigrams), never
+    broadcast; at 100 TB both joins shuffle on well-distributed
+    content keys (stopword-headed bigrams are hot but the joins carry
+    ONE row per doc-position, never pairs — linear, no df² hazard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    w2s = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    bigrams = F.zip_with(
+        words, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.slice(bigrams, 1, F.greatest(F.size(words) - 1, F.lit(0)))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .select(
+            "doc_id",
+            F.expr("(c12 * 1000000) div c1").alias("ppm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(ppm) div count(*)").alias("avg_ppm"),
+        )
+    )
+
+
+_LM_SQL = """
+WITH bg AS (
+    SELECT doc_id, w AS w1, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    )
+),
+bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+FROM (
+    SELECT b.doc_id, CAST((c12.c12 * 1000000) // c1.c1 AS BIGINT) AS ppm
+    FROM bg2 b
+    JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+    JOIN c1 ON c1.w1 = b.w1
+)
+GROUP BY doc_id
+"""
+
+
+# --- text_dup_ngram_coverage: duplicate-3-gram coverage filter ----------------
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-n-gram coverage (the Gopher/RefinedWeb
+    'fraction of characters in duplicated n-grams' filter family, on
+    word-3-grams): per-mille of a doc's DISTINCT shingles that also
+    appear in at least one other document. High coverage = boilerplate
+    or template text even when no single pair passes the pairwise
+    dedup thresholds — the corpus-level complement to the pair-finding
+    detectors.
+
+    One shingle explode, one df GROUP BY, one equi-join back on the
+    shingle, one per-doc agg — every shuffle keyed by content or
+    doc id, rows linear in corpus shingle mass (no pair stage at
+    all)."""
+    from codegraph_spark.queries.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    dfc = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.floor(
+                F.sum((F.col("n_docs") >= 2).cast("long")) * 1000
+                / F.count(F.lit(1))
+            ).cast("bigint").alias("dup_pm"),
+        )
+    )
+
+
+def _dup_coverage_sql() -> str:
+    from codegraph_spark.queries.dedup import _SHINGLES_CTE
+
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+dfc AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM shingles GROUP BY shingle)
+SELECT s.doc_id, count(*) AS n_shingles,
+       CAST(floor(sum(CASE WHEN dfc.n_docs >= 2 THEN 1 ELSE 0 END) * 1000
+            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_pm
+FROM shingles s JOIN dfc ON dfc.shingle = s.shingle
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
+    "text_lm_score": text_lm_score,
+    "text_dup_ngram_coverage": text_dup_ngram_coverage,
     "corpus_filter_funnel": corpus_filter_funnel,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
@@ -542,6 +664,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_lm_score": _LM_SQL,
+    "text_dup_ngram_coverage": _dup_coverage_sql(),
     "corpus_filter_funnel": _FILTER_FUNNEL_SQL,
     "corpus_split": _SPLIT_SQL,
     "text_pii_flag": _PII_SQL,
