@@ -186,6 +186,12 @@ def main(argv: list[str] | None = None) -> None:
                 "edges": g.edges.count(),
                 "out": args.out,
             }
+            if args.what == "docs":
+                # the reference prints document stats after indexing
+                # (cmd/codegraph/main.go:360-375)
+                from codegraph_spark.sources.docs_index import document_stats
+
+                out["stats"] = document_stats(g)
         elif args.cmd == "sql":
             from codegraph_spark.sql import sql as run_sql
 

@@ -268,3 +268,13 @@ def test_link_mentions_plan_broadcasts_vocab_not_symbols(spark, merged_graph):
     assert "BroadcastNestedLoopJoin" in plan  # θ-join exists...
     # ...and the build side is tiny: vocab rows, not the symbol table.
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_index_single_file(spark, doc_dir):
+    """The reference accepts a file OR directory path
+    (cmd/codegraph/main.go:340-346); the distributed walk handles a
+    file root directly."""
+    nodes, _ = index_documents(spark, os.path.join(doc_dir, "rfc-001.md"))
+    docs = nodes.filter(F.col("label") == "Document").collect()
+    assert len(docs) == 1
+    assert docs[0]["doc_type"] == "RFC"

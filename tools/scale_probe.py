@@ -36,8 +36,12 @@ PROBES = [
     "dedup_simhash",
     "dedup_containment",
     "dedup_edit_distance",
+    "dedup_ngram_jaccard",
     "text_quality_score",
     "text_bm25_search",
+    "text_lm_score",
+    "text_dup_ngram_coverage",
+    "graph_label_propagation",
     "corpus_pack_shards",
     "ev_hourly_agg",
     "ev_asof_join",
