@@ -283,8 +283,59 @@ SELECT doc_id, dhash FROM hashes ORDER BY doc_id
 """
 
 
+# --- mm_audio_vad: energy-gated activity segments (gaps-and-islands) ----------
+_VAD_THRESHOLD = 2512000  # ~median window energy on this corpus
+
+
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over the windowed energies:
+    consecutive windows at-or-above the energy gate merge into one
+    segment (the VAD / silence-trimming shape every speech pipeline
+    runs before transcription). Classic gaps-and-islands: island id =
+    win_idx − per-doc rank of active windows, one doc-partitioned
+    window + one group-by — no self-join, no global window, integer
+    math end to end."""
+    from pyspark.sql import Window
+
+    energies = mm_audio_energy(spark, sf_dir)
+    active = energies.filter(F.col("energy") >= _VAD_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    islands = active.withColumn(
+        "grp", F.col("win_idx") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("win_idx").alias("start_win"),
+            F.max("win_idx").alias("end_win"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .select("doc_id", "start_win", "end_win", "n_windows", "seg_energy")
+    )
+
+
+_MM_VAD_SQL = f"""
+WITH energies AS ({_MM_AUDIO_SQL.strip()}),
+active AS (
+    SELECT doc_id, win_idx, energy,
+           win_idx - row_number() OVER (PARTITION BY doc_id ORDER BY win_idx) AS grp
+    FROM energies
+    WHERE energy >= {_VAD_THRESHOLD}
+)
+SELECT doc_id,
+       CAST(min(win_idx) AS INT) AS start_win,
+       CAST(max(win_idx) AS INT) AS end_win,
+       count(*) AS n_windows,
+       CAST(sum(energy) AS BIGINT) AS seg_energy
+FROM active
+GROUP BY doc_id, grp
+"""
+
+
 QUERIES = {
     "mm_image_meta": mm_image_meta,
+    "mm_audio_vad": mm_audio_vad,
     "mm_dhash": mm_dhash,
     "mm_scene_cut": mm_scene_cut,
     "mm_resize": mm_resize,
@@ -294,6 +345,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_image_meta": _MM_META_SQL,
+    "mm_audio_vad": _MM_VAD_SQL,
     "mm_dhash": _MM_DHASH_SQL,
     "mm_scene_cut": _MM_SCENE_SQL,
     "mm_resize": _MM_RESIZE_SQL,

@@ -561,8 +561,96 @@ ORDER BY label
 """
 
 
+# --- emb_quantize_int8: symmetric scalar quantization audit -------------------
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization per vector (the compression
+    step every large ANN deployment applies before PQ/IVF storage:
+    q_i = round-toward-zero(x_i·127 / maxabs)), audited by narrow
+    integer outputs instead of shipping the quantized vectors around:
+    the per-vector scale (milli-units), the signed checksum and the L1
+    mass of the quantized codes, and the worst reconstruction error in
+    ppm-of-scale. All arithmetic on milli-quantized ints; negatives go
+    through sign·(abs·127 div maxabs) so Spark's truncating ``div``
+    and DuckDB's flooring ``//`` agree (both see non-negative
+    operands). Pure map-side column program — zero shuffles beyond the
+    final collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000).cast("long"),
+    )
+    d = emb.select("vec_id", q.alias("q"))
+    maxabs = F.array_max(F.transform(F.col("q"), lambda x: F.abs(x)))
+    d = d.withColumn("maxabs", maxabs).withColumn(
+        "codes",
+        F.when(F.col("maxabs") == 0, F.transform(F.col("q"), lambda x: F.lit(0).cast("long")))
+        .otherwise(
+            F.transform(
+                F.col("q"),
+                lambda x: F.signum(x).cast("long")
+                * ((F.abs(x) * 127) / F.col("maxabs")).cast("long"),
+            )
+        ),
+    )
+    # reconstruction error per dim in ppm of maxabs: |q - code*maxabs/127|
+    err = F.zip_with(
+        F.col("q"), F.col("codes"),
+        lambda x, c: F.abs(x * 127 - c * F.col("maxabs")),
+    )
+    return d.select(
+        "vec_id",
+        F.col("maxabs").alias("scale_milli"),
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("code_sum"),
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x))
+        .alias("code_l1"),
+        F.when(F.col("maxabs") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            (F.array_max(err) * 1000000 / (F.col("maxabs") * 127)).cast("long")
+        )
+        .alias("max_err_ppm"),
+    )
+
+
+_QUANT_SQL = """
+WITH qv AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 1000) AS BIGINT)) AS q
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id, q,
+           list_max(list_transform(q, x -> abs(x))) AS maxabs
+    FROM qv
+),
+c AS (
+    SELECT vec_id, q, maxabs,
+           CASE WHEN maxabs = 0
+                THEN list_transform(q, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(
+                    q, x -> CAST(sign(x) AS BIGINT)
+                            * CAST((abs(x) * 127) // maxabs AS BIGINT))
+           END AS codes
+    FROM d
+)
+SELECT vec_id,
+       CAST(maxabs AS BIGINT) AS scale_milli,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
+       CASE WHEN maxabs = 0 THEN 0
+            ELSE CAST(
+                list_max(list_transform(range(1, len(q) + 1),
+                    i -> abs(q[i] * 127 - codes[i] * maxabs)))
+                * 1000000 // (maxabs * 127) AS BIGINT)
+       END AS max_err_ppm
+FROM c
+"""
+
+
 QUERIES = {
     "emb_norm_profile": emb_norm_profile,
+    "emb_quantize_int8": emb_quantize_int8,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_label": sim_ivf_label,
     "sim_ivf_kmeans": sim_ivf_kmeans,
@@ -571,6 +659,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_norm_profile": _NORM_SQL,
+    "emb_quantize_int8": _QUANT_SQL,
     "sim_topk_bruteforce": _BRUTE_SQL,
     "sim_ivf_label": _IVF_SQL,
     "sim_ivf_kmeans": _ivf_kmeans_sql(),
