@@ -526,13 +526,18 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users"),
         )
         out = row if out is None else out.unionByName(row)
-    # conversion vs the previous step, per-mille, integer floor division
+    # conversion vs the previous step, per-mille, integer floor
+    # division; NULLIF guards the empty-corpus case (0-user steps
+    # yield NULL conversion, not a division error under ANSI mode)
     w = Window.orderBy("step_no")
     return out.select(
         "step_no", "step", "n_users",
         F.floor(
             F.col("n_users") * 1000
-            / F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
+            / F.nullif(
+                F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
+                F.lit(0),
+            )
         ).cast("bigint").alias("conv_pm"),
     )
 
@@ -560,8 +565,8 @@ counts AS (
     UNION ALL SELECT 3, 'purchase', count(*) FROM s3
 )
 SELECT step_no, step, n_users,
-       CAST(FLOOR(n_users * 1000 / CAST(COALESCE(
-           lag(n_users) OVER (ORDER BY step_no), n_users) AS DOUBLE)) AS BIGINT) AS conv_pm
+       CAST(FLOOR(n_users * 1000 / NULLIF(CAST(COALESCE(
+           lag(n_users) OVER (ORDER BY step_no), n_users) AS DOUBLE), 0)) AS BIGINT) AS conv_pm
 FROM counts
 """
 

@@ -106,10 +106,12 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     per_user = out.groupBy("user_id").agg(F.max("reached").alias("reached"))
+    # coalesce: sum over an EMPTY drain is NULL, but the funnel's
+    # step counts are counts — 0 users, matching the batch twin
     agg = per_user.agg(
-        F.sum((F.col("reached") >= 1).cast("long")).alias("n1"),
-        F.sum((F.col("reached") >= 2).cast("long")).alias("n2"),
-        F.sum((F.col("reached") >= 3).cast("long")).alias("n3"),
+        F.coalesce(F.sum((F.col("reached") >= 1).cast("long")), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum((F.col("reached") >= 2).cast("long")), F.lit(0)).alias("n2"),
+        F.coalesce(F.sum((F.col("reached") >= 3).cast("long")), F.lit(0)).alias("n3"),
     )
     return agg.select(
         F.expr(

@@ -492,7 +492,10 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "stage_no", "stage", "n_docs",
-        F.floor(F.col("n_docs") * 1000 / F.col("n0")).cast("bigint").alias("yield_pm"),
+        # NULLIF: an empty corpus reports NULL yield, not a division
+        # error under ANSI mode
+        F.floor(F.col("n_docs") * 1000 / F.nullif(F.col("n0"), F.lit(0)))
+        .cast("bigint").alias("yield_pm"),
     )
 
 
@@ -522,7 +525,7 @@ stages AS (
     UNION ALL SELECT 4, 'len_cap', n4, n0 FROM agg
 )
 SELECT stage_no, stage, n_docs,
-       CAST(FLOOR(n_docs * 1000 / CAST(n0 AS DOUBLE)) AS BIGINT) AS yield_pm
+       CAST(FLOOR(n_docs * 1000 / NULLIF(CAST(n0 AS DOUBLE), 0)) AS BIGINT) AS yield_pm
 FROM stages
 """
 
