@@ -45,11 +45,65 @@ def _shingle_array() -> F.Column:
     return F.array_distinct(F.slice(tris, 1, F.greatest(n - 2, F.lit(0))))
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — map-side shingling, then one
-    explode (no shuffle until the consumer aggregates/joins)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs for the given (doc_id, text)
+    rows — map-side shingling, then one explode (no shuffle until the
+    consumer aggregates/joins)."""
     return docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingles_of(load_table(spark, sf_dir, "documents"))
+
+
+def _text_cliques(docs: DataFrame) -> DataFrame:
+    """(doc_id, rep_id): docs grouped by EXACT text content, each
+    clique represented by its min doc_id — the exact-dedup-first stage
+    every large near-dup pipeline runs before shingling. Identical
+    texts have identical shingle sets, so any set-based similarity is
+    decided once at the representative level and holds for every
+    member pair; collapsing first also keeps mass duplication from
+    inflating shingle document frequencies (a 10M-copy boilerplate doc
+    contributes df=1 at the rep level, so the posting-df cap can never
+    hide the very duplicates the pipeline exists to find)."""
+    h = docs.select("doc_id", F.md5("text").alias("_h"))
+    reps = h.groupBy("_h").agg(F.min("doc_id").alias("rep_id"))
+    return h.join(reps, "_h").select("doc_id", "rep_id")
+
+
+def _expand_rep_pairs(
+    cross_rep_pairs: DataFrame,
+    intra_rep_pairs: DataFrame,
+    cliques: DataFrame,
+) -> DataFrame:
+    """Expand representative-level results to document-level pairs.
+
+    ``cross_rep_pairs``: (doc_a, doc_b, *metrics) with doc_a < doc_b
+    DISTINCT reps — each member combination appears exactly once, so
+    the expansion is two equi-joins + a least/greatest re-ordering.
+    ``intra_rep_pairs``: (rep_id, *metrics) for cliques of size ≥ 2 —
+    members pair among themselves (x < y). Output cardinality is the
+    TRUE duplicate-pair count (inherently quadratic in clique size);
+    the expensive candidate/verify work above it stays rep-level."""
+    metrics = [c for c in cross_rep_pairs.columns if c not in ("doc_a", "doc_b")]
+    a = cliques.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("_xa"))
+    b = cliques.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("_xb"))
+    cross = (
+        cross_rep_pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            F.least("_xa", "_xb").alias("doc_a"),
+            F.greatest("_xa", "_xb").alias("doc_b"),
+            *metrics,
+        )
+    )
+    ia = cliques.select(F.col("rep_id"), F.col("doc_id").alias("_xa"))
+    ib = cliques.select(F.col("rep_id"), F.col("doc_id").alias("_xb"))
+    intra = (
+        intra_rep_pairs.join(ia, "rep_id").join(ib, "rep_id")
+        .filter(F.col("_xa") < F.col("_xb"))
+        .select(F.col("_xa").alias("doc_a"), F.col("_xb").alias("doc_b"), *metrics)
+    )
+    return cross.unionByName(intra)
 
 
 _SHINGLES_CTE = """
@@ -99,22 +153,37 @@ FROM documents GROUP BY 1
 
 # --- dedup_ngram_jaccard: exact shingle-set similarity ------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs share ≥1 RARE shingle (bucket join, not cross
-    join; posting lists capped at df ≤ 64 exactly like
-    :func:`dedup_containment` — Σdf² is quadratic in corpus size when
-    stopword-grade shingles generate pairs); the shared-hot completion
-    join restores the EXACT intersection for surviving pairs. Jaccard =
-    |∩| / |∪| ≥ 0.5 — at that threshold a missed pair would need over
-    half its union to be corpus-hot shingles. The exact verifier for
-    the LSH path; exact at the driver gate (max df < cap there)."""
+    """Exact-dedup-first + capped candidates + exact completion:
+
+    1. Identical texts collapse to one REPRESENTATIVE per clique
+       (:func:`_text_cliques`) — set similarity between identical docs
+       is decided once, and mass duplication can't inflate shingle dfs.
+    2. Rep-level candidate pairs share ≥1 *rare* shingle (bucket join,
+       not cross join; posting lists capped at df ≤ 64 — Σdf² is
+       quadratic in corpus size when stopword-grade shingles generate
+       pairs); the shared-hot completion join restores the EXACT
+       intersection for surviving pairs. Jaccard = |∩| / |∪| ≥ 0.5 —
+       a missed rep pair would need over half its union to be
+       rep-corpus-hot shingles. Exact at the driver gate (max rep df
+       < cap there).
+    3. Rep results expand over clique members (within-clique pairs are
+       jaccard 1.0 by identity) — output-sized work only.
+
+    The exact verifier for the LSH path."""
     from codegraph_spark.operators.skew import salted_self_pairs
 
+    docs = load_table(spark, sf_dir, "documents")
+    cl = _text_cliques(docs)
+    reps = docs.join(
+        cl.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
     # shingle-hash repartition: every downstream reference (df counts,
     # rare/hot splits, salted join sides, hot completion) shares ONE
     # shuffle materialization via ReuseExchange instead of re-scanning
     # the corpus and re-exploding shingles per reference (the plan
     # audit counted 12 scans without this).
-    sh = _shingles(spark, sf_dir).repartition(
+    sh = _shingles_of(reps).repartition(
         spark.sparkContext.defaultParallelism, "shingle"
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -155,12 +224,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
+    rep_pairs = (
         shared.join(ca, "doc_a").join(cb, "doc_b")
         .withColumn("jaccard", F.floor(jac * 1000) / 1000)
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # within-clique pairs are identical texts: jaccard = 1.0 by
+    # identity, provided the rep has at least one shingle
+    sizes = cl.groupBy("rep_id").agg(F.count(F.lit(1)).alias("_sz"))
+    intra = (
+        sizes.filter(F.col("_sz") >= 2)
+        .join(counts, sizes.rep_id == counts.doc_id, "left_semi")
+        .select("rep_id", (F.lit(1000).cast("double") / 1000).alias("jaccard"))
+    )
+    return _expand_rep_pairs(rep_pairs, intra, cl)
 
 
 _NGRAM_SQL = f"""
@@ -602,16 +680,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector that symmetric Jaccard misses (a short doc embedded
     verbatim in a long one has low Jaccard but containment ≈ 1).
 
-    Two stages, both equi-join-shaped (never all-pairs):
+    Three stages, all equi-join-shaped (never all-pairs):
 
-    1. CANDIDATES + rare-intersection: pairs sharing ≥1 *rare* shingle
-       (df ≤ cutoff) via the salted self-join, with the shared-rare
-       count coming straight off the join's pair GROUP BY.
+    0. EXACT-DEDUP-FIRST: identical texts collapse to one
+       representative (:func:`_text_cliques`) — a mass-duplicated doc
+       contributes df=1 at rep level, so the posting cap below can
+       never hide true duplicate cliques (the r5 skew harness caught
+       exactly that failure before this stage existed).
+    1. CANDIDATES + rare-intersection: rep pairs sharing ≥1 *rare*
+       shingle (df ≤ cutoff) via the salted self-join, with the
+       shared-rare count coming straight off the join's pair GROUP BY.
     2. HOT completion: the shared-HOT count per surviving pair — two
        equi-joins of the (tiny) hot posting rows keyed by the pair
        ids. n_common = rare + hot is EXACT for every surviving pair;
        when no shingle exceeds the cap (the gate corpora) the hot side
-       is empty and this stage costs nothing.
+       is empty and this stage costs nothing. Rep results then expand
+       over clique members (within-clique containment is 1000‰ by
+       identity) — output-sized work only.
 
     Per-doc totals arrive by broadcast. Integer per-mille on the
     smaller side's count; pairs at ≥ 800‰ reported with (a, b) ordered
@@ -619,9 +704,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smaller-set) one."""
     from codegraph_spark.operators.skew import salted_self_pairs
 
+    docs = load_table(spark, sf_dir, "documents")
+    cl = _text_cliques(docs)
+    reps = docs.join(
+        cl.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
     # one shared shuffle materialization for all shingle references
     # (ReuseExchange) — see dedup_ngram_jaccard
-    sh = _shingles(spark, sf_dir).repartition(
+    sh = _shingles_of(reps).repartition(
         spark.sparkContext.defaultParallelism, "shingle"
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -657,7 +748,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bc = F.broadcast(counts)
-    return (
+    rep_pairs = (
         inter.join(bc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(bc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
         .select(
@@ -667,8 +758,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("containment_pm"),
         )
         .filter(F.col("containment_pm") >= _CONTAIN_PM)
-        .orderBy("doc_a", "doc_b")
     )
+    # within-clique pairs: full containment by identity (n_common =
+    # the clique's shingle-set size), for cliques with shingles
+    sizes = cl.groupBy("rep_id").agg(F.count(F.lit(1)).alias("_sz"))
+    intra = (
+        sizes.filter(F.col("_sz") >= 2)
+        .join(counts, sizes.rep_id == counts.doc_id)
+        .select(
+            "rep_id",
+            F.col("n_sh").alias("n_common"),
+            F.lit(1000).cast("bigint").alias("containment_pm"),
+        )
+    )
+    return _expand_rep_pairs(rep_pairs, intra, cl).orderBy("doc_a", "doc_b")
 
 
 _CONTAINMENT_SQL = f"""

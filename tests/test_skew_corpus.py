@@ -1,0 +1,121 @@
+"""Pathological-skew correctness: the salted/hot-key paths must produce
+EXACTLY the oracle's answer when the data is maximally skewed —
+half the corpus one identical document (one giant dup cluster, every
+shingle corpus-hot), every event on a single user (one giant state
+partition), half the vectors identical (one hot LSH bucket).
+
+This drives the code paths the uniform driver corpus never exercises:
+`salted_self_pairs`' hot branch, the df-cap completion joins, single-
+partition stateful streaming, and tie-breaking in bucketed similarity.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.conftest import TEST_SF_DIR
+from tests.test_oracle_parity import _normalize
+
+_CONST_TEXT = (
+    "the quick brown fox jumps over the lazy dog while rain falls on "
+    "rooftops and the query engine keeps running its merge window"
+)
+
+#: skew-sensitive queries (pair generation, per-user state, buckets)
+SKEW_SET = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_simhash_hamming",
+    "dedup_edit_distance",
+    "dedup_cluster_cc",
+    "text_contamination",
+    "text_dup_ngram_coverage",
+    "text_lm_score",
+    "sim_lsh_cosine",
+    "emb_quantize_int8",
+    "ev_asof_join",
+    "ev_funnel",
+    "ev_retention",
+    "a8_first_event_per_user",
+    "corpus_pack_shards",
+]
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from codegraph_spark.sources.tables import load_table
+
+    d = str(tmp_path_factory.mktemp("sf_skew"))
+    # relational tables pass through (graph queries need integrity)
+    import shutil
+
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        shutil.copy(os.path.join(TEST_SF_DIR, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+
+    docs = load_table(spark, TEST_SF_DIR, "documents").limit(200)
+    skewed_text = F.when(F.col("doc_id") % 2 == 0, F.lit(_CONST_TEXT)).otherwise(F.col("text"))
+    (
+        docs.select(
+            "doc_id",
+            skewed_text.alias("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(F.col("lang")).alias("lang"),
+            "source",
+            F.length(skewed_text).cast("long").alias("n_chars"),
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    emb = load_table(spark, TEST_SF_DIR, "embeddings").limit(200)
+    first_vec = emb.orderBy("vec_id").first()["embedding"]
+    (
+        emb.select(
+            "vec_id",
+            F.when(F.col("vec_id") % 2 == 0, F.lit(first_vec).cast("array<float>"))
+            .otherwise(F.col("embedding")).alias("embedding"),
+            "label",
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(d, "embeddings.parquet"))
+    )
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    (
+        ev.select(
+            "event_id", "ts",
+            F.lit(1).cast("long").alias("user_id"),  # ONE hot user
+            "event_type", "value", "props",
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(d, "events.parquet"))
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def skew_duck(skew_dir):
+    con = duckdb.connect()
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]:
+        path = os.path.join(skew_dir, f"{name}.parquet")
+        glob = path if os.path.isfile(path) else path + "/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{glob}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SKEW_SET)
+def test_skewed_corpus_matches_oracle(spark, skew_dir, skew_duck, name):
+    from codegraph_spark.queries import collect
+
+    queries, oracles = collect()
+    spark_pd = queries[name](spark, skew_dir).toPandas()
+    duck_pd = skew_duck.execute(oracles[name]).fetchdf()
+    cols = sorted(spark_pd.columns)
+    assert cols == sorted(duck_pd.columns)
+    assert _normalize(spark_pd, cols) == _normalize(duck_pd, cols)
