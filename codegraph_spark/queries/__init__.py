@@ -73,6 +73,7 @@ _REVERIFY: dict[str, int] = {
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage
+    "dedup_minhash_lsh": 5,    # round 5: exact-dedup-first rep stage
     "ev_funnel": 5,            # round 5: NULLIF zero-user conversion
     "corpus_filter_funnel": 5,  # round 5: NULLIF empty-corpus yield
     "stream_funnel": 5,        # round 5: 0 counts on empty drain

@@ -68,7 +68,44 @@ def _text_cliques(docs: DataFrame) -> DataFrame:
     hide the very duplicates the pipeline exists to find)."""
     h = docs.select("doc_id", F.md5("text").alias("_h"))
     reps = h.groupBy("_h").agg(F.min("doc_id").alias("rep_id"))
-    return h.join(reps, "_h").select("doc_id", "rep_id")
+    # doc_id-hash repartition: consumers reference the clique table
+    # several times (rep filter, sizes, both expansion sides); the
+    # identical exchange lets AQE reuse ONE materialization instead of
+    # re-hashing the corpus per reference.
+    return (
+        h.join(reps, "_h")
+        .select("doc_id", "rep_id")
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    )
+
+
+def _cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-cached text cliques (one build per session+dataset —
+    three dedup queries and their repeated subplan references all read
+    the same persisted copy)."""
+    from codegraph_spark.serving import shared_df
+
+    return shared_df(
+        spark, (sf_dir, "dedup_cliques"),
+        lambda: _text_cliques(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def _rep_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-cached (doc_id, shingle) postings of clique
+    REPRESENTATIVES — the shared input of the shingle-set detectors."""
+    from codegraph_spark.serving import shared_df
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        cl = _cliques(spark, sf_dir)
+        reps = docs.join(
+            cl.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        return _shingles_of(reps)
+
+    return shared_df(spark, (sf_dir, "dedup_rep_shingles"), build)
 
 
 def _expand_rep_pairs(
@@ -172,20 +209,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact verifier for the LSH path."""
     from codegraph_spark.operators.skew import salted_self_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    cl = _text_cliques(docs)
-    reps = docs.join(
-        cl.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
-        "doc_id", "left_semi",
-    )
-    # shingle-hash repartition: every downstream reference (df counts,
-    # rare/hot splits, salted join sides, hot completion) shares ONE
-    # shuffle materialization via ReuseExchange instead of re-scanning
-    # the corpus and re-exploding shingles per reference (the plan
-    # audit counted 12 scans without this).
-    sh = _shingles_of(reps).repartition(
-        spark.sparkContext.defaultParallelism, "shingle"
-    )
+    cl = _cliques(spark, sf_dir)
+    # serving-cached rep postings: every downstream reference (df
+    # counts, rare/hot splits, salted join sides, hot completion)
+    # reads one persisted copy instead of re-scanning the corpus and
+    # re-exploding shingles per reference (the plan audit counted 12
+    # scans before this).
+    sh = _rep_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = F.broadcast(
         sh.groupBy("shingle")
@@ -265,35 +295,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-dup candidates. This is the 100 TB dedup path: cost is
     O(docs × k) + a bucket join, never pairwise.
 
+    Exact-dedup-first (:func:`_text_cliques`): identical texts have
+    identical signatures, so they are signed and banded ONCE — a
+    mass-duplicated doc can no longer turn its band buckets into
+    clique-sized hot keys (the bucket join stays rep-cardinality);
+    within-clique pairs collide in all bands by identity and expand as
+    output-sized work.
+
     Shingling is map-side (array expressions); the signature groupBy
     shuffles only 16 partial mins per doc (map-side combine), so the
     real data movement is just the LSH bucket self-join."""
-    sh = _shingles(spark, sf_dir).withColumn("h", _shingle_hash_spark())
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
-          for i, (a, b) in enumerate(_AB)]
-    )
-    rows_per_band = len(_AB) // _BANDS
-    band_cols = []
-    for bidx in range(_BANDS):
-        members = [F.col(f"mh{i}").cast("string")
-                   for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(bidx).alias("band"),
-                     F.md5(F.concat_ws(":", *members)).alias("key"))
+    from codegraph_spark.serving import shared_df
+
+    cl = _cliques(spark, sf_dir)
+
+    def build_bands() -> DataFrame:
+        sh = _rep_shingles(spark, sf_dir).withColumn("h", _shingle_hash_spark())
+        sig = sh.groupBy("doc_id").agg(
+            *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
+              for i, (a, b) in enumerate(_AB)]
         )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        rows_per_band = len(_AB) // _BANDS
+        band_cols = []
+        for bidx in range(_BANDS):
+            members = [F.col(f"mh{i}").cast("string")
+                       for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
+            band_cols.append(
+                F.struct(F.lit(bidx).alias("band"),
+                         F.md5(F.concat_ws(":", *members)).alias("key"))
+            )
+        return sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    # the banded signature table is a deterministic per-dataset
+    # structure (the LSH "index"): serving-cached so the salted join's
+    # several references — and repeated invocations — read one
+    # persisted copy; on a cluster this is the parquet signature table
+    # a dedup service refreshes with the corpus
+    banded = shared_df(spark, (sf_dir, "dedup_minhash_bands"), build_bands)
     # hot-bucket-balanced LSH self-join (a near-universal band key —
     # e.g. boilerplate docs — is the skew case); identical pairs.
     from codegraph_spark.operators.skew import salted_self_pairs
 
-    return (
+    rep_pairs = (
         salted_self_pairs(banded, ["band", "key"], "doc_id", n_salt=8, hot_threshold=1024)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_bands"))
     )
+    # identical texts collide in every band, provided they have a
+    # signature (≥ 1 shingle)
+    sizes = cl.groupBy("rep_id").agg(F.count(F.lit(1)).alias("_sz"))
+    intra = (
+        sizes.filter(F.col("_sz") >= 2)
+        .join(banded, sizes.rep_id == banded.doc_id, "left_semi")
+        .select("rep_id", F.lit(_BANDS).cast("long").alias("n_bands"))
+    )
+    return _expand_rep_pairs(rep_pairs, intra, cl)
 
 
 def _minhash_sql() -> str:
@@ -704,17 +762,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smaller-set) one."""
     from codegraph_spark.operators.skew import salted_self_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    cl = _text_cliques(docs)
-    reps = docs.join(
-        cl.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
-        "doc_id", "left_semi",
-    )
-    # one shared shuffle materialization for all shingle references
-    # (ReuseExchange) — see dedup_ngram_jaccard
-    sh = _shingles_of(reps).repartition(
-        spark.sparkContext.defaultParallelism, "shingle"
-    )
+    cl = _cliques(spark, sf_dir)
+    # serving-cached rep postings shared across references and across
+    # the whole shingle-detector family — see dedup_ngram_jaccard
+    sh = _rep_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hot = F.broadcast(
         sh.groupBy("shingle")
