@@ -108,6 +108,24 @@ def _rep_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_df(spark, (sf_dir, "dedup_rep_shingles"), build)
 
 
+def _hot_sets(hot_postings: DataFrame, hot_vocab: DataFrame) -> DataFrame:
+    """(doc_id, hs): each doc's hot shingles as a compact array of
+    dense vocabulary ids — the exact-completion structure that keeps
+    the shared-hot count per pair a PER-ROW ``array_intersect`` over
+    bounded arrays instead of a pair × postings join (the r5 x10 probe
+    measured the join form at ~200M intermediate rows; hot shingles
+    are stopword-grade, so per-doc hot sets are bounded by the
+    stopword vocabulary, not by corpus size).
+
+    ``hot_vocab``: (shingle, vid) dense EXACT mapping — id join, no
+    hashing, so intersection counts are collision-free."""
+    return (
+        hot_postings.join(F.broadcast(hot_vocab), "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("vid")).alias("hs"))
+    )
+
+
 def _expand_rep_pairs(
     cross_rep_pairs: DataFrame,
     intra_rep_pairs: DataFrame,
@@ -217,12 +235,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans before this).
     sh = _rep_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    hot = F.broadcast(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _CONTAIN_DF_CUTOFF)
-        .select("shingle")
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot_vocab = dfc.filter(F.col("df") > _CONTAIN_DF_CUTOFF).select(
+        "shingle",
+        F.row_number().over(Window.orderBy("shingle")).cast("long").alias("vid"),
     )
+    hot = F.broadcast(hot_vocab.select("shingle"))
     rare = sh.join(hot, "shingle", "left_anti")
     # rare-shingle-balanced candidate join (stopword shingles are the
     # skew case — operators/skew.py); pairs spread over salt shards
@@ -233,29 +251,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_rare"))
     )
-    hot_postings = sh.join(hot, "shingle", "left_semi")
-    ha = hot_postings.select(F.col("doc_id").alias("doc_a"), "shingle")
-    hb = hot_postings.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared_hot = (
-        shared_rare.select("doc_a", "doc_b")
-        .join(ha, "doc_a")
-        .join(hb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_hot"))
-    )
-    shared = (
-        shared_rare.join(shared_hot, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a", "doc_b",
-            (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0)))
-            .alias("shared"),
-        )
-    )
+    # HOT completion as per-row set intersection: each side's bounded
+    # hot-shingle array joins on the pair's doc ids (no pair × posting
+    # explosion), and the exact shared-hot count is array_intersect.
+    hs = _hot_sets(sh.join(hot, "shingle", "left_semi"), hot_vocab)
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    empty = F.array().cast("array<long>")
+    shared = (
+        shared_rare.join(ca, "doc_a").join(cb, "doc_b")
+        .join(hs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hsa"), "doc_a", "left")
+        .join(hs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hsb"), "doc_b", "left")
+        .select(
+            "doc_a", "doc_b", "na", "nb",
+            (
+                F.col("n_rare")
+                + F.size(F.array_intersect(
+                    F.coalesce(F.col("hsa"), empty),
+                    F.coalesce(F.col("hsb"), empty),
+                ))
+            ).alias("shared"),
+        )
+    )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     rep_pairs = (
-        shared.join(ca, "doc_a").join(cb, "doc_b")
+        shared
         .withColumn("jaccard", F.floor(jac * 1000) / 1000)
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
@@ -767,12 +787,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole shingle-detector family — see dedup_ngram_jaccard
     sh = _rep_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hot = F.broadcast(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _CONTAIN_DF_CUTOFF)
-        .select("shingle")
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot_vocab = dfc.filter(F.col("df") > _CONTAIN_DF_CUTOFF).select(
+        "shingle",
+        F.row_number().over(Window.orderBy("shingle")).cast("long").alias("vid"),
     )
+    hot = F.broadcast(hot_vocab.select("shingle"))
     rare = sh.join(hot, "shingle", "left_anti")
     inter_rare = (
         salted_self_pairs(rare, ["shingle"], "doc_id", n_salt=8,
@@ -780,28 +800,28 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_rare"))
     )
-    hot_postings = sh.join(hot, "shingle", "left_semi")
-    ha = hot_postings.select(F.col("doc_id").alias("doc_a"), "shingle")
-    hb = hot_postings.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter_hot = (
-        inter_rare.select("doc_a", "doc_b")
-        .join(ha, "doc_a")
-        .join(hb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_hot"))
-    )
-    inter = (
-        inter_rare.join(inter_hot, ["doc_a", "doc_b"], "left")
+    # hot completion as per-row set intersection over bounded arrays
+    # (see dedup_ngram_jaccard / _hot_sets)
+    hs = _hot_sets(sh.join(hot, "shingle", "left_semi"), hot_vocab)
+    bc = F.broadcast(counts)
+    empty = F.array().cast("array<long>")
+    rep_pairs = (
+        inter_rare
+        .join(bc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(bc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .join(hs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hsa"), "doc_a", "left")
+        .join(hs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hsb"), "doc_b", "left")
         .select(
             "doc_a", "doc_b",
-            (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0)))
-            .alias("n_common"),
+            (
+                F.col("n_rare")
+                + F.size(F.array_intersect(
+                    F.coalesce(F.col("hsa"), empty),
+                    F.coalesce(F.col("hsb"), empty),
+                ))
+            ).alias("n_common"),
+            "na", "nb",
         )
-    )
-    bc = F.broadcast(counts)
-    rep_pairs = (
-        inter.join(bc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(bc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
         .select(
             "doc_a", "doc_b", "n_common",
             F.floor(
