@@ -405,26 +405,95 @@ def split_document_records(
     return nodes, edges, mentions
 
 
-def link_mentions(mentions: DataFrame, symbols: DataFrame) -> DataFrame:
+#: above this many distinct refs the broadcast θ-join gives way to the
+#: trigram-index candidate path (a broadcast of millions of refs would
+#: evaluate millions of contains per symbol row).
+_BROADCAST_REF_LIMIT = 10_000
+
+
+def _mentions_matches_broadcast(refs: DataFrame, symbols: DataFrame) -> DataFrame:
+    """(ref, id, name, symbol): θ-join with the ref vocabulary
+    broadcast — one in-place scan of the Symbol table."""
+    return symbols.select("id", "name", "symbol").join(
+        F.broadcast(refs),
+        F.col("symbol").contains(F.col("ref"))
+        | F.col("name").contains(F.col("ref")),
+    )
+
+
+def _mentions_matches_indexed(refs: DataFrame, symbols: DataFrame) -> DataFrame:
+    """Same (ref, id, name, symbol) result through the trigram
+    inverted index (operators/inverted_index): every ref of length ≥ 3
+    must contain all of its 3-grams, so candidates = symbols matching
+    every gram (equi-joins on the gram key — the posting table is the
+    only thing shuffled, keyed by content), then the ORIGINAL contains
+    predicate verifies candidates exactly. Refs shorter than 3 chars
+    (a bounded set — at most |charset|² strings) take the broadcast
+    θ-join. Result-identical to the broadcast path at any vocabulary
+    size; this is the 100 TB strategy when the corpus mentions
+    millions of distinct identifiers."""
+    from codegraph_spark.operators.inverted_index import (
+        _grams_col,
+        build_trigram_index,
+    )
+
+    index = build_trigram_index(symbols, fields=["name", "symbol"])
+    long_refs = refs.filter(F.length("ref") >= 3)
+    short_refs = refs.filter(F.length("ref") < 3)
+    rg = (
+        long_refs.select("ref", F.lower(F.col("ref")).alias("_s"))
+        .select("ref", F.explode(_grams_col(F.col("_s"))).alias("gram"))
+    )
+    ngrams = rg.groupBy("ref").agg(F.countDistinct("gram").alias("ng"))
+    cand = (
+        rg.join(index, "gram")
+        .groupBy("ref", "id")
+        .agg(F.countDistinct("gram").alias("g"))
+        .join(F.broadcast(ngrams), "ref")
+        .filter(F.col("g") == F.col("ng"))
+        .select("ref", "id")
+    )
+    verified = (
+        cand.join(symbols.select("id", "name", "symbol"), "id")
+        .filter(
+            F.col("symbol").contains(F.col("ref"))
+            | F.col("name").contains(F.col("ref"))
+        )
+        .select("id", "name", "symbol", "ref")
+    )
+    return verified.unionByName(
+        _mentions_matches_broadcast(short_refs, symbols)
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    symbols: DataFrame,
+    use_index: bool | None = None,
+) -> DataFrame:
     """MENTIONS edges doc → Symbol (indexer.go:127-162): for each
     extracted ref, the reference runs ``symbol CONTAINS ref OR
     displayName CONTAINS ref LIMIT 5`` per ref. Batch inversion:
 
-    1. distinct ref vocabulary (refs are backticked identifiers — a
-       heavy-tailed, corpus-sublinear set) is BROADCAST;
-    2. ONE scan of the Symbol table evaluates the θ-predicate;
-    3. per-ref top-5 window (ordered by symbol for determinism — the
+    1. distinct ref vocabulary matched against the Symbol table —
+       broadcast θ-join for small vocabularies, trigram-index
+       candidates + exact verify beyond ``_BROADCAST_REF_LIMIT``
+       (``use_index`` forces either; None auto-selects via one cheap
+       count). Both strategies are result-identical.
+    2. per-ref top-5 window (ordered by symbol for determinism — the
        reference's LIMIT 5 takes store order);
-    4. equi-join back to (doc, ref) pairs on ``ref``.
+    3. equi-join back to (doc, ref) pairs on ``ref``.
 
-    The Symbol table — the 100 TB side — is scanned once, in place,
-    and never broadcast; the only shuffle keys are ``ref`` hashes.
+    The Symbol table — the 100 TB side — is scanned in place and
+    never broadcast; the only shuffle keys are content hashes.
     ``symbols`` needs columns (id, name, symbol)."""
-    vocab = F.broadcast(mentions.select("ref").distinct())
-    matched = symbols.select("id", "name", "symbol").join(
-        vocab,
-        F.col("symbol").contains(F.col("ref"))
-        | F.col("name").contains(F.col("ref")),
+    vocab = mentions.select("ref").distinct()
+    if use_index is None:
+        use_index = vocab.count() > _BROADCAST_REF_LIMIT
+    matched = (
+        _mentions_matches_indexed(vocab, symbols)
+        if use_index
+        else _mentions_matches_broadcast(vocab, symbols)
     )
     w = Window.partitionBy("ref").orderBy("symbol", "id")
     top5 = (

@@ -278,3 +278,26 @@ def test_index_single_file(spark, doc_dir):
     docs = nodes.filter(F.col("label") == "Document").collect()
     assert len(docs) == 1
     assert docs[0]["doc_type"] == "RFC"
+
+
+def test_link_mentions_index_path_matches_broadcast(spark, merged_graph):
+    """The trigram-index strategy must return EXACTLY the broadcast
+    θ-join's edges (candidates are a superset, verify is the same
+    predicate) — the 100 TB vocabulary path is result-identical."""
+    docs_mentions = spark.createDataFrame(
+        [("document:/a.md", "merge_upsert"),
+         ("document:/a.md", "PropertyGraph"),
+         ("document:/b.md", "merge_upsert"),
+         ("document:/b.md", "zz"),           # short ref -> broadcast leg
+         ("document:/b.md", "nosuchsym")],
+        "doc_id string, ref string",
+    )
+    symbols = merged_graph.nodes.filter(F.col("label") == "Symbol")
+    plain = {
+        tuple(r) for r in link_mentions(docs_mentions, symbols, use_index=False).collect()
+    }
+    indexed = {
+        tuple(r) for r in link_mentions(docs_mentions, symbols, use_index=True).collect()
+    }
+    assert plain == indexed
+    assert plain  # non-vacuous: at least one edge resolves
