@@ -213,14 +213,81 @@ LIMIT 20
 """
 
 
+# --- vocab_oov_rate: per-document out-of-vocabulary profile -------------------
+_OOV_VOCAB_K = 30  # reference vocabulary: top-K terms by document frequency
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health metric: per-document rate (per-mille, integer)
+    of token OCCURRENCES outside the top-K df vocabulary — the check
+    that catches a domain shift or encoding glitch flooding a corpus
+    drop with unknown tokens before tokenizer training sees it.
+
+    Vocabulary induction is one map-side-combining df aggregation +
+    deterministic top-K (ties by term); membership is a broadcast
+    anti-semi pattern — the token stream is scanned ONCE, never
+    shuffled on the doc key until the final per-doc agg. At 100 TB the
+    vocabulary is a fixed-K broadcast regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = F.broadcast(
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(_OOV_VOCAB_K)
+        .select("term")
+        .withColumn("_in", F.lit(1))
+    )
+    return (
+        toks.join(vocab, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("_in"), F.lit(0))))
+            .alias("n_oov"),
+            F.expr(
+                "(count(*) - sum(coalesce(_in, 0))) * 1000 div count(*)"
+            ).alias("oov_pm"),
+        )
+    )
+
+
+_OOV_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, t.term AS term
+    FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+    WHERE t.term <> ''
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY term
+        ORDER BY df DESC, term
+        LIMIT {_OOV_VOCAB_K}
+    )
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+           AS oov_pm
+FROM toks LEFT JOIN vocab v USING (term)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_bm25_search": text_bm25_search,
     "vocab_top_df": vocab_top_df,
     "vocab_bpe_pairs": vocab_bpe_pairs,
+    "vocab_oov_rate": vocab_oov_rate,
 }
 
 ORACLES = {
     "text_bm25_search": _BM25_SQL,
     "vocab_top_df": _VOCAB_SQL,
     "vocab_bpe_pairs": _BPE_SQL,
+    "vocab_oov_rate": _OOV_SQL,
 }
