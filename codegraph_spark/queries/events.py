@@ -571,8 +571,49 @@ FROM counts
 """
 
 
+# --- ev_inactive_gap: per-user maximum inactivity (churn signal) --------------
+def ev_inactive_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user churn signal: the LONGEST gap (whole seconds) between
+    consecutive events, the mean gap (integer-floored), and the event
+    count — the inactivity profile a retention pipeline thresholds on.
+    One lag window partitioned by user (no global window), one
+    map-side-combining per-user agg; single-event users report NULL
+    gaps rather than fabricating zeros."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond arithmetic: truncating each timestamp to whole
+    # seconds before subtracting loses the sub-second field and is
+    # engine-divergent; integer micros never are
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("max(gap_us) div 1000000").alias("max_gap_s"),
+            F.expr("(sum(gap_us) div count(gap_us)) div 1000000").alias("mean_gap_s"),
+        )
+    )
+
+
+_INACTIVE_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s,
+       CAST((sum(gap_us) // count(gap_us)) // 1000000 AS BIGINT) AS mean_gap_s
+FROM (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_us
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "ev_hourly_agg": ev_hourly_agg,
+    "ev_inactive_gap": ev_inactive_gap,
     "ev_funnel": ev_funnel,
     "ev_asof_join": ev_asof_join,
     "ev_range_join_tiers": ev_range_join_tiers,
@@ -589,6 +630,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_hourly_agg": _HOURLY_SQL,
+    "ev_inactive_gap": _INACTIVE_SQL,
     "ev_funnel": _FUNNEL_SQL,
     "ev_asof_join": _ASOF_SQL,
     "ev_range_join_tiers": _RANGE_SQL,
