@@ -158,6 +158,61 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows on a STREAM
+    (``session_window(ts, '30 minutes')`` — the built-in stateful
+    session operator, complementing the custom
+    ``applyInPandasWithState`` family): per (user, session) event count
+    and value total, drained availableNow. Sessions merge across
+    micro-batches through the session state store (sharded by the
+    grouping key — the 1000-executor layout is the shuffle itself);
+    the drained result must equal the batch gaps-and-islands answer
+    however the input splits. Session identity is reported as the
+    exact session-start micros (= the first event's timestamp —
+    integer, engine-exact) rather than an ordinal id, which is how a
+    streaming operator can name a session without global ordering."""
+    ev = read_events_stream(spark, sf_dir)
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    out = run_available_now(sess, output_mode="complete", state_partitions=8)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start").cast("timestamp"))
+        .alias("session_start_us"),
+        "n_events",
+        "session_value",
+    )
+
+
+# batch twin: gaps-and-islands with the session_window boundary rule
+# (a gap of EXACTLY the 30-min horizon starts a new session — the
+# built-in merges only events strictly inside the gap window)
+_STREAM_SESSIONIZE_SQL = """
+SELECT user_id,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       count(*) AS n_events,
+       ROUND(CAST(sum(value) AS DOUBLE), 2) AS session_value
+FROM (
+    SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM (
+        SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                           >= 1800 * 1000000
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+)
+GROUP BY user_id, session_id
+"""
+
+
 def _asof_oracle() -> str:
     from codegraph_spark.queries.events import _ASOF_SQL
 
@@ -170,8 +225,10 @@ QUERIES = {
     "stream_asof": stream_asof,
     "stream_running_totals": stream_running_totals,
     "stream_dedup_exact": stream_dedup_exact,
+    "stream_sessionize": stream_sessionize,
 }
 ORACLES = {
+    "stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "stream_hourly_counts": _STREAM_HOURLY_SQL,
     "stream_funnel": _STREAM_FUNNEL_SQL,
     "stream_asof": _asof_oracle(),
