@@ -403,8 +403,85 @@ LIMIT 15
     )
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership (k=3) by synchronous peeling over the part
+    co-occurrence graph: each round drops every node whose degree in
+    the SURVIVING subgraph is below k, for a fixed ``_KCORE_ROUNDS``
+    rounds (fixed so the whole computation unrolls mechanically into
+    the generated CTE oracle, the _lpa_sql technique; the probe corpus
+    converges well inside 8 rounds, and a production run loops to an
+    empty-delta fixpoint with the identical round body). Output:
+    top-15 core members by in-core degree.
+
+    Scale shape per round: one map-side-combining degree count over
+    the surviving edge list + one broadcast-or-shuffle semi-join to
+    drop edges touching peeled nodes — shuffles keyed by node id,
+    edge list only ever shrinks. The shared serving cache provides the
+    starting adjacency."""
+    adj = _symmetric_adjacency(spark, sf_dir)
+    cur = adj
+    for _ in range(_KCORE_ROUNDS):
+        deg = cur.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(keep, "node", "left_semi")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+            .localCheckpoint(eager=False)  # flat plan per round
+        )
+    core_deg = cur.groupBy("node").agg(F.count(F.lit(1)).alias("core_deg"))
+    return (
+        core_deg.filter(F.col("core_deg") >= _KCORE_K)
+        .orderBy(F.desc("core_deg"), "node")
+        .limit(15)
+    )
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Generated unrolled-round oracle for :func:`graph_kcore`."""
+    parts = [
+        f"""pairs AS MATERIALIZED (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_SUPPORT}
+)""",
+        """e0 AS MATERIALIZED (
+    SELECT p1 AS node, p2 AS nbr FROM pairs
+    UNION ALL SELECT p2, p1 FROM pairs
+)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"e{i}", f"e{i + 1}"
+        parts.append(f"""k{i} AS MATERIALIZED (
+    SELECT node FROM (SELECT node, count(*) AS deg FROM {prev} GROUP BY node)
+    WHERE deg >= {k}
+)""")
+        parts.append(f"""{cur} AS MATERIALIZED (
+    SELECT e.node, e.nbr FROM {prev} e
+    JOIN k{i} a ON a.node = e.node
+    JOIN k{i} b ON b.node = e.nbr
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT node, count(*) AS core_deg
+FROM e{rounds}
+GROUP BY node
+HAVING count(*) >= {k}
+ORDER BY core_deg DESC, node
+LIMIT 15
+"""
+    )
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
+    "graph_kcore": graph_kcore,
     "graph_degree_profile": graph_degree_profile,
     "graph_jaccard_links": graph_jaccard_links,
     "graph_label_propagation": graph_label_propagation,
@@ -412,6 +489,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_triangle_count": _TRIANGLE_SQL,
+    "graph_kcore": _kcore_sql(),
     "graph_degree_profile": _DEGREE_SQL,
     "graph_jaccard_links": _JACCARD_SQL,
     "graph_label_propagation": _lpa_sql(),

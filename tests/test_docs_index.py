@@ -301,3 +301,22 @@ def test_link_mentions_index_path_matches_broadcast(spark, merged_graph):
     }
     assert plain == indexed
     assert plain  # non-vacuous: at least one edge resolves
+
+
+def test_mixed_extensions_walk(spark, tmp_path):
+    """All four document extensions index in one walk
+    (indexer.go:165-175); non-document files are ignored."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.md").write_text("# Md Doc\n\nFeature: Alpha Processing is done.")
+    (d / "b.txt").write_text("Plain notes that must Support Reading text.")
+    (d / "c.rst").write_text("Rst Title\n=========\n\nimplements Beta Handling")
+    (d / "d.adoc").write_text("= Adoc\n\nStatus: proposed Gamma Work plan.")
+    (d / "e.py").write_text("print('not a document')")
+    nodes, _ = index_documents(spark, str(d))
+    docs = {r["source_url"].rsplit("/", 1)[-1]: r["doc_type"]
+            for r in nodes.filter(F.col("label") == "Document").collect()}
+    assert set(docs) == {"a.md", "b.txt", "c.rst", "d.adoc"}
+    assert docs["b.txt"] == "Text Document"
+    assert docs["c.rst"] == "reStructuredText"
+    assert docs["d.adoc"] == "Document"
