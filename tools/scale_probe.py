@@ -49,7 +49,10 @@ PROBES = [
     "ev_retention",
     "a8_first_event_per_user",
     "graph_triangle_count",
+    "graph_kcore",
     "sim_lsh_cosine",
+    "vocab_oov_rate",
+    "ev_inactive_gap",
     "corpus_split",
 ]
 
