@@ -611,8 +611,50 @@ GROUP BY user_id
 """
 
 
+# --- ev_dau_wau: daily/weekly active users + stickiness -----------------------
+def ev_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day active users, the calendar-week active-user pool, and
+    the DAU/WAU stickiness ratio (per-mille, integer) — the
+    top-of-dashboard engagement metric. One distinct over (day, user)
+    — the only corpus-sized shuffle — then two map-side-combining
+    rollups joined on the week key (a tiny dimension at any scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("day", "week").agg(F.count(F.lit(1)).alias("dau"))
+    wau = du.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "week")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000 div wau").alias("stickiness_pm"),
+        )
+    )
+
+
+_DAU_WAU_SQL = """
+WITH du AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day,
+                    date_trunc('week', ts) AS week,
+                    user_id
+    FROM events
+),
+dau AS (SELECT day, week, count(*) AS dau FROM du GROUP BY day, week),
+wau AS (SELECT week, count(DISTINCT user_id) AS wau FROM du GROUP BY week)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau AS dau, wau.wau AS wau,
+       CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_pm
+FROM dau JOIN wau USING (week)
+"""
+
+
 QUERIES = {
     "ev_hourly_agg": ev_hourly_agg,
+    "ev_dau_wau": ev_dau_wau,
     "ev_inactive_gap": ev_inactive_gap,
     "ev_funnel": ev_funnel,
     "ev_asof_join": ev_asof_join,
@@ -630,6 +672,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_hourly_agg": _HOURLY_SQL,
+    "ev_dau_wau": _DAU_WAU_SQL,
     "ev_inactive_gap": _INACTIVE_SQL,
     "ev_funnel": _FUNNEL_SQL,
     "ev_asof_join": _ASOF_SQL,
