@@ -41,6 +41,8 @@ SKEW_SET = [
     "ev_asof_join",
     "ev_funnel",
     "ev_retention",
+    "ev_inactive_gap",
+    "ev_dau_wau",
     "a8_first_event_per_user",
     "corpus_pack_shards",
 ]
