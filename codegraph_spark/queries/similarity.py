@@ -335,9 +335,10 @@ def lsh_candidate_pairs(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
     )
     # one driver-side peek sizes the literal weight arrays to the real
     # dimension (a 256-wide array + per-row slice costs ~4x the query);
-    # guarded for an empty table (dim irrelevant — zero rows out)
-    peek = emb.select(F.size("embedding")).first()
-    dim = peek[0] if peek is not None else 1
+    # guarded for an empty table AND a NULL embedding in the peeked row
+    # (F.size(NULL) is NULL — comparing None > int would raise)
+    peek = emb.filter(F.col("embedding").isNotNull()).select(F.size("embedding")).first()
+    dim = peek[0] if peek is not None and peek[0] is not None else 1
     if dim > _MAX_DIM:
         raise ValueError(f"embedding dim {dim} exceeds LSH family max {_MAX_DIM}")
     sig = F.concat(

@@ -8,18 +8,65 @@ text-dedup cliques, rep-level shingle postings — are built once per
 ingest-time materialized tables; on a cluster the same builds write
 parquet alongside the source and refresh with it.
 
-Bounded by construction: a handful of named entries per dataset dir.
-Repeated query invocations REUSE one cached copy instead of stacking a
-fresh ``.persist()`` per call (the leak class r4's ADVICE flagged).
+Staleness contract: entries are keyed by (applicationId, dataset_dir,
+name) and are NEVER revalidated against the underlying files — a path
+whose contents are rewritten inside one session (streaming refresh,
+test fixtures reusing a tmp dir) keeps serving the old build until the
+writer calls :func:`invalidate` with that dir (or :func:`clear`).
+Every write path that rewrites a dataset dir in-session must call
+``invalidate(dir)``.
+
+Bounded by construction AND by eviction: a handful of named entries
+per dataset dir, and at most ``_MAX_DATASETS`` dataset dirs retained
+per application (least-recently-used dir evicted wholesale, with its
+DataFrames unpersisted) — a long-lived serving session cycling many
+dataset dirs no longer accumulates persisted blocks until executor
+memory evicts them (r5 ADVICE). Repeated query invocations REUSE one
+cached copy instead of stacking a fresh ``.persist()`` per call (the
+leak class r4's ADVICE flagged).
 """
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple, DataFrame] = {}
+#: (applicationId, dataset_dir, *name) -> persisted DataFrame, in
+#: LRU order of the owning (applicationId, dataset_dir) group
+_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+
+#: retained dataset dirs per application; a serving deployment pins one
+#: or two corpora hot — anything beyond that is a scan-through pattern
+#: where caching has no reuse to exploit anyway
+_MAX_DATASETS = 4
+
+
+def _dataset_of(key: tuple) -> tuple:
+    """(applicationId, dataset_dir) — the eviction granularity. Every
+    caller passes the dataset dir as key[0] of its user key."""
+    return key[:2]
+
+
+def _touch_dataset(ds: tuple) -> None:
+    for k in list(_CACHE):
+        if _dataset_of(k) == ds:
+            _CACHE.move_to_end(k)
+
+
+def _evict_lru_datasets() -> None:
+    while True:
+        order: list[tuple] = []
+        for k in _CACHE:  # first occurrence order = LRU order of groups
+            ds = _dataset_of(k)
+            if ds not in order:
+                order.append(ds)
+        if len(order) <= _MAX_DATASETS:
+            return
+        victim = order[0]
+        for k in [k for k in _CACHE if _dataset_of(k) == victim]:
+            _CACHE.pop(k).unpersist()
 
 
 def shared_df(
@@ -40,4 +87,25 @@ def shared_df(
         if eager:
             df.count()
         _CACHE[k] = df
+        _evict_lru_datasets()
+    _touch_dataset(_dataset_of(k))
     return df
+
+
+def invalidate(dataset_dir: str) -> int:
+    """Drop (and unpersist) every cached entry built over
+    ``dataset_dir``, across applications. Call from any write path
+    that rewrites a dataset dir within a live session. Returns the
+    number of entries dropped."""
+    victims = [k for k in _CACHE if len(k) > 1 and k[1] == dataset_dir]
+    for k in victims:
+        _CACHE.pop(k).unpersist()
+    return len(victims)
+
+
+def clear() -> int:
+    """Unpersist and drop every cached entry (test teardown hook)."""
+    n = len(_CACHE)
+    for k in list(_CACHE):
+        _CACHE.pop(k).unpersist()
+    return n

@@ -365,27 +365,44 @@ def split_document_records(
     Document nodes are unique by construction (one file = one node,
     id = sourceUrl — indexer.go:106-108). Feature nodes repeat across
     documents and merge on name (indexer.go:121-123): longest
-    description wins (ties broken lexicographically for determinism),
-    first status/priority by the same order, tags unioned — one
+    description wins, ties broken lexicographically on (description,
+    status) — a TOTAL order, so the merge is partition-order-free and
+    re-index idempotence holds. description and status are taken
+    together from the single winning record (one max_by over a struct
+    — two independent max_by calls could mix fields of different
+    source records when keys tie). Tags unioned — one
     map-side-combining groupBy on the feature key, not N sequential
     MERGEs."""
     doc_nodes = records.filter(
         (F.col("rec") == "node") & (F.col("label") == "Document")
     ).select("id", "label", "title", "doc_type", "source_url", "content", "name")
 
-    desc_key = F.length("description") * 1000000  # longest-description-wins
+    # total-order key: (len(description), description, status) — never
+    # ties between records that differ in any merged field
+    merge_key = F.struct(
+        F.coalesce(F.length("description"), F.lit(-1)).alias("k_len"),
+        F.coalesce(F.col("description"), F.lit("")).alias("k_desc"),
+        F.coalesce(F.col("status"), F.lit("")).alias("k_status"),
+    )
     feat_nodes = (
         records.filter((F.col("rec") == "node") & (F.col("label") == "Feature"))
         .groupBy("id")
         .agg(
             F.first(F.lit("Feature")).alias("label"),
             F.max("name").alias("name"),  # id encodes name: all equal
-            F.max_by("description", desc_key).alias("description"),
-            F.max_by("status", desc_key).alias("status"),
+            F.max_by(
+                F.struct(F.col("description"), F.col("status")), merge_key
+            ).alias("win"),
             F.first(F.lit("medium")).alias("priority"),
             F.array_sort(
                 F.array_distinct(F.flatten(F.collect_list("tags")))
             ).alias("tags"),
+        )
+        .select(
+            "id", "label", "name",
+            F.col("win.description").alias("description"),
+            F.col("win.status").alias("status"),
+            "priority", "tags",
         )
     )
     nodes = doc_nodes.unionByName(feat_nodes, allowMissingColumns=True)

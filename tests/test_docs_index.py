@@ -320,3 +320,39 @@ def test_mixed_extensions_walk(spark, tmp_path):
     assert docs["b.txt"] == "Text Document"
     assert docs["c.rst"] == "reStructuredText"
     assert docs["d.adoc"] == "Document"
+
+
+def test_feature_merge_tiebreak_is_total_and_record_consistent(spark):
+    """Same-length different descriptions for one feature: the winner
+    must be the lexicographic max AND carry its own record's status —
+    never a mix of description from one record and status from another
+    (r5 ADVICE: two independent max_by calls on a tying key were
+    partition-order dependent)."""
+    from codegraph_spark.sources.docs_index import (
+        DOC_RECORD_SCHEMA,
+        split_document_records,
+    )
+
+    base = {f.name: None for f in DOC_RECORD_SCHEMA.fields}
+
+    def feat(desc, status, tags):
+        r = dict(base)
+        r.update(
+            rec="node", id="feature:merge-tie", label="Feature",
+            name="merge-tie", description=desc, status=status,
+            priority="medium", tags=tags,
+        )
+        return r
+
+    rows = [
+        feat("bbbb description", "planned", ["a"]),
+        feat("aaaa description", "completed", ["b"]),  # same length
+    ]
+    for _ in range(3):  # partition-order independence: shuffle layouts
+        for n_parts in (1, 2, 4):
+            records = spark.createDataFrame(rows, DOC_RECORD_SCHEMA).repartition(n_parts)
+            nodes, _edges, _mentions = split_document_records(records)
+            row = nodes.filter(nodes.id == "feature:merge-tie").collect()[0]
+            assert row["description"] == "bbbb description"
+            assert row["status"] == "planned"  # same record as the description
+            assert sorted(row["tags"]) == ["a", "b"]
