@@ -165,8 +165,9 @@ def _decode_payload(payload: bytes, codec: str):
         )
     raise NotImplementedError(
         f"codec {codec!r}: no decoder registered (raw-gray-v1 built in; "
-        f"{'/'.join(PIL_CODECS)} via optional Pillow). Video codecs "
-        "(H.264/...) need PyAV on the executors — same guarded pattern."
+        f"{'/'.join(PIL_CODECS)} via optional Pillow; "
+        f"{'/'.join(AV_CODECS)} via optional PyAV/imageio through "
+        "_decode_video_frames)."
     )
 
 
@@ -362,14 +363,103 @@ def audio_window_energy(audio: DataFrame, window: int = 256) -> DataFrame:
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum long"
 
+#: real video container codecs decodable when PyAV (or imageio-ffmpeg,
+#: probed second) is on the executor Python path — the guarded-import
+#: pattern of the Pillow image path above (r5 VERDICT item 4). This
+#: container ships neither, so these route to the fail-fast message.
+AV_CODECS = ("h264", "hevc", "vp8", "vp9", "av1", "mpeg4")
+
+_AV_MODULE = _UNPROBED
+_IMAGEIO_MODULE = _UNPROBED
+
+
+def _av_module():
+    """Optional-dependency probe for PyAV, cached per process."""
+    global _AV_MODULE
+    if _AV_MODULE is _UNPROBED:
+        try:
+            import av  # noqa: PLC0415
+
+            _AV_MODULE = av
+        except ImportError:
+            _AV_MODULE = None
+    return _AV_MODULE
+
+
+def _imageio_module():
+    """Optional-dependency probe for imageio.v3 (ffmpeg-backed)."""
+    global _IMAGEIO_MODULE
+    if _IMAGEIO_MODULE is _UNPROBED:
+        try:
+            import imageio.v3 as iio  # noqa: PLC0415
+
+            _IMAGEIO_MODULE = iio
+        except ImportError:
+            _IMAGEIO_MODULE = None
+    return _IMAGEIO_MODULE
+
+
+def _decode_video_frames(payload: bytes, codec: str, frame_len: int):
+    """payload -> uint8 array of shape (n_frames, frame_pixels).
+
+    The video codec dispatch point, mirroring ``_decode_payload``:
+
+    - ``raw-gray-v1`` (and any image codec with a decodable flat
+      body): the body is consecutive ``frame_len``-byte frames —
+      deterministic, oracle-checkable.
+    - real containers (``h264``/``hevc``/...): decoded through PyAV
+      when importable (each frame grayscale-reformatted, flattened to
+      its own width x height — ``frame_len`` is ignored, the container
+      carries the geometry), else through imageio.v3+ffmpeg, else
+      fail fast with the dependency story rather than silently
+      mis-decoding. Downstream kernels (checksum, scene-delta) only
+      need the (n_frames, pixels) shape, so they run on real video
+      unchanged once a decoder is present.
+    """
+    import numpy as np
+
+    if codec in AV_CODECS:
+        av = _av_module()
+        if av is not None:
+            import io
+
+            frames = []
+            with av.open(io.BytesIO(bytes(payload))) as container:
+                for frame in container.decode(video=0):
+                    arr = frame.reformat(format="gray").to_ndarray()
+                    frames.append(np.asarray(arr, dtype=np.uint8).reshape(-1))
+            if not frames:
+                return np.zeros((0, max(frame_len, 1)), dtype=np.uint8)
+            return np.stack(frames)
+        iio = _imageio_module()
+        if iio is not None:
+            arr = iio.imread(bytes(payload), extension=".mp4", index=None)
+            gray = np.asarray(arr, dtype=np.uint16)
+            if gray.ndim == 4:  # (frames, h, w, channels) -> gray
+                gray = gray.mean(axis=3).astype(np.uint8)
+            return np.asarray(gray, dtype=np.uint8).reshape(gray.shape[0], -1)
+        raise NotImplementedError(
+            f"codec {codec!r}: decodable via PyAV or imageio-ffmpeg, "
+            "neither of which is installed in this container (pip is "
+            "unavailable here). Only the deterministic "
+            f"{RAW_GRAY_V1!r} frame format decodes without them; "
+            "install PyAV on the executors to enable real video "
+            "decode — no engine change needed."
+        )
+    _w, _h, body = _decode_payload(payload, codec)
+    n_frames = body.size // frame_len
+    return body[: n_frames * frame_len].reshape(n_frames, frame_len)
+
 
 def sample_frames(
     videos: DataFrame, frame_len: int, every: int = 3
 ) -> DataFrame:
-    """Treat each payload body as consecutive ``frame_len``-byte frames
-    and keep every ``every``-th — the video frame-sampling shape (1 row
-    in → N rows out through ``mapInPandas``; batch shape change is the
-    point). Trailing partial frames are dropped."""
+    """Keep every ``every``-th frame of each video — the video
+    frame-sampling shape (1 row in → N rows out through
+    ``mapInPandas``; batch shape change is the point). Raw payload
+    bodies are consecutive ``frame_len``-byte frames (trailing partial
+    frames dropped); real containers decode through the guarded PyAV /
+    imageio path in :func:`_decode_video_frames`."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -377,10 +467,8 @@ def sample_frames(
             for doc_id, payload, codec in zip(
                 pdf["doc_id"], pdf["payload"], pdf["codec"]
             ):
-                _w, _h, body = _decode_payload(payload, codec)
-                n_frames = body.size // frame_len
-                usable = body[: n_frames * frame_len].reshape(n_frames, frame_len)
-                for idx in range(0, n_frames, every):
+                usable = _decode_video_frames(payload, codec, frame_len)
+                for idx in range(0, usable.shape[0], every):
                     out_ids.append(doc_id)
                     out_idx.append(idx)
                     out_sum.append(int(usable[idx].astype("int64").sum()))

@@ -69,7 +69,8 @@ def _tuned(fn: QueryFn) -> QueryFn:
 #: a query to the front forever).
 _REVERIFY: dict[str, int] = {
     "j9_orphan_parts": 4,  # round 4: restored reference-parity semantics
-    "sim_lsh_cosine": 5,   # round 5: corpus-adaptive plane count
+    "sim_lsh_cosine": 6,   # round 6: banded OR-union, ceiling removed
+    "graph_kcore": 6,      # round 6: fixpoint peel (was fixed 8 rounds)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

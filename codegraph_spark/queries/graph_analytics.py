@@ -404,34 +404,68 @@ LIMIT 15
 
 
 _KCORE_K = 3
-_KCORE_ROUNDS = 8
+#: unroll depth of the GENERATED ORACLE only (the live query loops to
+#: fixpoint); must cover the gate corpus's true peel depth —
+#: tests/test_graph_analytics asserts the live loop converged within
+#: this many rounds at the test corpus, so a deeper corpus fails
+#: loudly instead of hash-diverging
+_KCORE_ORACLE_ROUNDS = 12
 
 
-def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core membership (k=3) by synchronous peeling over the part
-    co-occurrence graph: each round drops every node whose degree in
-    the SURVIVING subgraph is below k, for a fixed ``_KCORE_ROUNDS``
-    rounds (fixed so the whole computation unrolls mechanically into
-    the generated CTE oracle, the _lpa_sql technique; the probe corpus
-    converges well inside 8 rounds, and a production run loops to an
-    empty-delta fixpoint with the identical round body). Output:
-    top-15 core members by in-core degree.
+def _kcore_peel(adj: DataFrame, k: int = _KCORE_K) -> tuple[DataFrame, int]:
+    """Synchronous k-core peel to the EMPTY-DELTA FIXPOINT: each round
+    drops every node whose degree in the surviving subgraph is below
+    k, looping until a round drops nothing (the one-scalar-per-round
+    convergence pattern of dedup_cluster_cc — r5 VERDICT item 2: the
+    former fixed 8-round unroll returned non-core nodes as core on any
+    graph whose peel cascade runs deeper, e.g. a path-power chain
+    feeding a clique; peel depth grows with graph diameter, and the
+    driver fixture could never catch it because it converges early).
+
+    Returns (surviving symmetric edge list, rounds executed).
+    Termination is structural: the kept-node count is a non-negative
+    integer that strictly decreases every non-final round.
 
     Scale shape per round: one map-side-combining degree count over
-    the surviving edge list + one broadcast-or-shuffle semi-join to
-    drop edges touching peeled nodes — shuffles keyed by node id,
-    edge list only ever shrinks. The shared serving cache provides the
-    starting adjacency."""
-    adj = _symmetric_adjacency(spark, sf_dir)
+    the surviving edge list + two semi-joins keyed by node id to drop
+    edges touching peeled nodes — the edge list only ever shrinks, and
+    ``localCheckpoint`` keeps the plan flat (no 2^rounds lineage). The
+    convergence check is one driver-side scalar off the
+    already-materialized keep table, never a data collect."""
     cur = adj
-    for _ in range(_KCORE_ROUNDS):
+    prev_kept = -1
+    rounds = 0
+    while True:
         deg = cur.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        keep = (
+            deg.filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)  # one materialization: count + 2 joins
+        )
+        n_keep = keep.count()
+        if n_keep == prev_kept or n_keep == 0:
+            break  # empty delta (or empty core): cur is the fixpoint
+        prev_kept = n_keep
         cur = (
             cur.join(keep, "node", "left_semi")
             .join(keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
             .localCheckpoint(eager=False)  # flat plan per round
         )
+        rounds += 1
+    return cur, rounds
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership (k=3) over the part co-occurrence graph via
+    :func:`_kcore_peel` (fixpoint, not a fixed unroll). Output: top-15
+    core members by in-core degree. The CTE oracle is still generated
+    by mechanical unrolling (`_kcore_sql`, the _lpa_sql technique) at
+    a depth the live loop is test-asserted to stay within on the gate
+    corpora — converged extra oracle rounds are no-ops, so oracle ==
+    fixpoint whenever depth ≤ unroll. The shared serving cache
+    provides the starting adjacency."""
+    adj = _symmetric_adjacency(spark, sf_dir)
+    cur, _rounds = _kcore_peel(adj, _KCORE_K)
     core_deg = cur.groupBy("node").agg(F.count(F.lit(1)).alias("core_deg"))
     return (
         core_deg.filter(F.col("core_deg") >= _KCORE_K)
@@ -440,8 +474,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
-    """Generated unrolled-round oracle for :func:`graph_kcore`."""
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ORACLE_ROUNDS) -> str:
+    """Generated unrolled-round oracle for :func:`graph_kcore`: rounds
+    past the fixpoint are no-ops (the edge table stops changing), so
+    the unroll equals the live fixpoint as long as the corpus's peel
+    depth ≤ ``rounds`` — asserted by tests/test_graph_analytics."""
     parts = [
         f"""pairs AS MATERIALIZED (
     SELECT a.l_partkey AS p1, b.l_partkey AS p2

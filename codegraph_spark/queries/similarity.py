@@ -284,16 +284,30 @@ _MAX_DIM = 256
 # corpus-adaptive plane count: hold expected bucket occupancy at
 # ~_LSH_TARGET_OCCUPANCY rows so the per-bucket self-join output stays
 # ~(occupancy/2)·n — LINEAR in n — instead of n²/2^planes with a fixed
-# family. Bounds keep the signature cheap (≤16 planes) and the family
-# non-degenerate on tiny corpora (≥4 planes).
+# family. The ceiling is a documentation guard, not a scale knob: 64
+# planes covers n up to 32·2^64, so planes track log2(n) UNBOUNDED at
+# any physically reachable corpus (the r5 ceiling of 16 re-opened the
+# quadratic past ~2M vectors — n²/2^16 candidate growth); the floor
+# keeps the family non-degenerate on tiny corpora (≥4 planes).
 _LSH_TARGET_OCCUPANCY = 32
-_LSH_MIN_PLANES, _LSH_MAX_PLANES = 4, 16
+_LSH_MIN_PLANES, _LSH_MAX_PLANES = 4, 64
+
+#: OR-composed band count for the corpus-adaptive query: as planes
+#: grow with log2(n) a SINGLE band's per-pair collision probability
+#: p_coll = (1 - θ/π)^planes collapses, so recall at fixed similarity
+#: would fall with corpus size. b independent bands (disjoint plane
+#: slices of one signature, the MinHash banding shape from dedup.py)
+#: restore recall 1-(1-p^r)^b while candidate volume stays b·(occ/2)·n
+#: — still linear in n with a constant band count.
+_LSH_BANDS = 4
 
 
 def lsh_planes_for(n: int) -> int:
-    """planes(n) = clamp(⌈log2(n / target_occupancy)⌉, 4, 16) — grows
-    with log2(n), the scaling SCALE.md's 10x probe demands (a fixed
-    8-plane family measured ratio 6.3 at 10x data in r4)."""
+    """planes-per-band(n) = clamp(⌈log2(n / target_occupancy)⌉, 4, 64)
+    — grows with log2(n) with no reachable ceiling, the scaling
+    SCALE.md's 10x probe demands (a fixed 8-plane family measured
+    ratio 6.3 at 10x data in r4; the r5 16-plane clamp went quadratic
+    past ~2M vectors)."""
     import math
 
     raw = math.ceil(math.log2(max(n, 1) / _LSH_TARGET_OCCUPANCY))
@@ -317,15 +331,96 @@ def _w_array(j: int, dims: int = _MAX_DIM) -> Column:
     return F.array(*[F.lit(_w_int(j, d)).cast("long") for d in range(dims)])
 
 
-def lsh_candidate_pairs(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
+def _lsh_bucket_table(
+    q: DataFrame, dim: int, n_planes: int, bands: int
+) -> DataFrame:
+    """(vec_id, q[, band], bucket): the signature/bucket assignment the
+    candidate self-join runs over — factored out so tests and scale
+    probes can histogram the REAL bucket table (Σ c·(c-1)/2 = exact
+    per-band join output size) without materializing the pairs."""
+
+    def _bit(j: int) -> Column:
+        return (
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"), _w_array(j, dim), lambda x, w: x * w
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+        )
+
+    def _band_sig(b: int) -> Column:
+        return F.concat(*[_bit(b * n_planes + s) for s in range(n_planes)])
+
+    if bands == 1:
+        return q.withColumn("bucket", _band_sig(0))
+    return q.select(
+        "vec_id",
+        "q",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_sig(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "q", F.col("bb.band").alias("band"), "bb.bucket")
+
+
+def lsh_bucket_histogram_volume(
+    emb: DataFrame, n_planes: int, bands: int = 1
+) -> int:
+    """Exact candidate volume of the (banded) LSH self-join — the
+    across-band union BEFORE pair dedup, an upper bound on the deduped
+    output — computed from the bucket histogram without materializing
+    a single pair. The linearity probe for tests and SCALE.md."""
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000).cast("long"),
+        ).alias("q"),
+    )
+    peek = emb.filter(F.col("embedding").isNotNull()).select(F.size("embedding")).first()
+    dim = peek[0] if peek is not None and peek[0] is not None else 1
+    t = _lsh_bucket_table(q, dim, n_planes, bands)
+    keys = ["band", "bucket"] if bands > 1 else ["bucket"]
+    total = (
+        t.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long"))
+        .first()[0]
+    )
+    return int(total or 0)
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame, n_planes: int = _N_PLANES, bands: int = 1
+) -> DataFrame:
     """Sign-LSH candidate pairs with a PARAMETERIZED plane count — the
     knob that keeps the operator linear at scale: per-bucket occupancy
     is n / 2^planes, so planes must grow with log2(n) to hold the
     per-bucket join (and the candidate output, ~n²/2^planes) constant
-    per row. The fixed-8-plane gate query below is the deterministic
-    unit; SCALE.md measures the fixed-parameter worst case and
-    tests/test_similarity pins that raising planes shrinks candidates.
-    ``emb`` needs columns (vec_id, embedding)."""
+    per row. With ``bands`` > 1 the signature is ``bands`` disjoint
+    ``n_planes``-bit slices of one plane family (global plane index
+    j = band·n_planes + slot), candidates are the OR-union of the
+    per-band same-bucket joins deduped to one row per pair (min-band
+    wins the reported (band, bucket)) — recall survives the log2(n)
+    plane growth while volume stays ~bands·(occupancy/2)·n, linear.
+    tests/test_similarity pins that raising planes shrinks candidates
+    and that candidates/row stays flat as n grows 8x past the old
+    16-plane ceiling. ``emb`` needs columns (vec_id, embedding).
+
+    Output: single-band → (bucket, vec_a, vec_b, dot_milli2) — the r4
+    gate shape; banded → (band, bucket, vec_a, vec_b, dot_milli2)."""
     q = emb.select(
         "vec_id",
         F.transform(
@@ -341,51 +436,62 @@ def lsh_candidate_pairs(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
     dim = peek[0] if peek is not None and peek[0] is not None else 1
     if dim > _MAX_DIM:
         raise ValueError(f"embedding dim {dim} exceeds LSH family max {_MAX_DIM}")
-    sig = F.concat(
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"), _w_array(j, dim), lambda x, w: x * w
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for j in range(n_planes)
-        ]
-    )
-    bucketed = q.withColumn("bucket", sig)
+    bucketed = _lsh_bucket_table(q, dim, n_planes, bands)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+        F.col("a.vec_id") < F.col("b.vec_id")
     )
+    if bands > 1:
+        cond = (F.col("a.band") == F.col("b.band")) & cond
+    pairs = a.join(b, cond)
     dot_q = F.aggregate(
         F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return pairs.select(
-        F.col("a.bucket").alias("bucket"),
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        dot_q.alias("dot_milli2"),
+    if bands == 1:
+        return pairs.select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot_q.alias("dot_milli2"),
+        )
+    # OR-union across bands: dedup to one row per pair; the winning
+    # (band, bucket) is the minimal colliding band — a total order, so
+    # the dedup is deterministic and oracle-expressible (arg_min)
+    return (
+        pairs.select(
+            F.col("a.band").alias("band"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot_q.alias("dot_milli2"),
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.min("band").alias("band"),
+            F.min_by("bucket", "band").alias("bucket"),
+            # dot is identical on every colliding band's row; min() is
+            # a deterministic way to say "any"
+            F.min("dot_milli2").alias("dot_milli2"),
+        )
+        .select("band", "bucket", "vec_a", "vec_b", "dot_milli2")
     )
 
 
 def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: sign(v·w_j) over a CORPUS-SIZED plane
-    family → same-bucket self-join candidates. The plane count is
-    derived from the live corpus count via :func:`lsh_planes_for`
-    (⌈log2(n/32)⌉ clamped to [4, 16]) so per-bucket occupancy — and
-    with it the candidate output — stays ~linear in n: the r4 gate
+    family → OR-union of per-band same-bucket self-join candidates.
+    Planes per band are derived from the live corpus count via
+    :func:`lsh_planes_for` (⌈log2(n/32)⌉, no reachable ceiling) so
+    per-bucket occupancy — and with it the candidate output,
+    ~bands·16·n — stays linear in n at ANY corpus size: the r4 gate
     pinned 8 planes and SCALE.md measured the resulting 6.3x blowup at
-    10x data; this query now re-parameterizes itself as data grows.
+    10x data; the r5 corpus-adaptive family still clamped at 16 planes
+    and went quadratic past ~2M vectors (n²/2^16). Four OR-composed
+    bands (disjoint slices of one signature — the MinHash banding
+    shape, dedup.py) keep recall from collapsing as planes grow.
     The count() is one parquet-metadata job, paid once per invocation,
     never per row.
 
@@ -393,17 +499,22 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(x*1000) as long) before any arithmetic, so signatures and
     pair dot products are integer math — no float summation-order
     hazards between Spark and the oracle; the oracle derives the SAME
-    plane count from the same count() inside SQL.
+    plane count from the same count() inside SQL and the same
+    (band, bucket) winner via arg_min.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_candidate_pairs(emb, lsh_planes_for(emb.count()))
+    return lsh_candidate_pairs(emb, lsh_planes_for(emb.count()), bands=_LSH_BANDS)
 
 
 # Oracle with the SAME corpus-adaptive plane count, computed in SQL
-# (greatest/least/ceil/log2 mirror lsh_planes_for exactly), and weights
-# derived per (plane, dim) from the same md5 family as _w_int — sized
-# to the corpus's real dimension instead of a hard-coded 64 (ADVICE r4:
-# a >64-dim corpus silently NULLed the out-of-range list indexes).
+# (greatest/least/ceil/log2 mirror lsh_planes_for exactly), the same
+# banded OR-union (global plane index j = band·np + slot; per-pair
+# winner = arg_min over band), and weights derived per (plane, dim)
+# from the same md5 family as _w_int — sized to the corpus's real
+# dimension instead of a hard-coded 64 (ADVICE r4: a >64-dim corpus
+# silently NULLed the out-of-range list indexes). The weight table is
+# generated for the full bands x max-planes range and filtered to the
+# live family, so it stays parameter-synced at any corpus size.
 _LSH_SQL = f"""
 WITH qv AS (
     SELECT vec_id,
@@ -421,7 +532,7 @@ w AS (
     SELECT j, i,
            CAST(('0x' || substr(md5(j || '_' || (i - 1)), 1, 6)) AS BIGINT) % 7 - 3
                AS wt
-    FROM range(0, {_LSH_MAX_PLANES}) t(j)
+    FROM range(0, {_LSH_BANDS * _LSH_MAX_PLANES}) t(j)
     CROSS JOIN (
         SELECT unnest(range(1, (SELECT coalesce(max(len(q)), 1) FROM qv) + 1)) AS i
     )
@@ -432,21 +543,30 @@ qe AS (
 dots AS (
     SELECT vec_id, j, sum(x * wt) AS dot
     FROM qe JOIN w USING (i)
-    WHERE j < (SELECT np FROM p)
+    WHERE j < {_LSH_BANDS} * (SELECT np FROM p)
     GROUP BY vec_id, j
 ),
 sig AS (
     SELECT d.vec_id,
+           CAST(d.j // (SELECT np FROM p) AS INT) AS band,
            string_agg(CASE WHEN d.dot >= 0 THEN '1' ELSE '0' END, ''
                       ORDER BY d.j) AS bucket,
            any_value(qv.q) AS q
     FROM dots d JOIN qv ON qv.vec_id = d.vec_id
-    GROUP BY d.vec_id
+    GROUP BY d.vec_id, CAST(d.j // (SELECT np FROM p) AS INT)
+),
+cand AS (
+    SELECT a.band, a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                        i -> a.q[i] * b.q[i])) AS BIGINT)
+               AS dot_milli2
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       CAST(list_sum(list_transform(range(1, len(a.q) + 1),
-                                    i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_milli2
-FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+SELECT min(band) AS band, arg_min(bucket, band) AS bucket,
+       vec_a, vec_b, min(dot_milli2) AS dot_milli2
+FROM cand
+GROUP BY vec_a, vec_b
 """
 
 

@@ -164,3 +164,129 @@ def test_label_propagation_matches_reference_impl(spark, sf_dir):
 
     got = [(r.community, r.n_members) for r in graph_label_propagation(spark, sf_dir).collect()]
     assert got == expected
+
+
+def _python_kcore(edges, k=3):
+    """Reference fixpoint peel: surviving node -> in-core degree."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    while True:
+        bad = [n for n, nb in adj.items() if len(nb) < k]
+        if not bad:
+            break
+        for n in bad:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+        adj = {n: nb for n, nb in adj.items() if nb}
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_matches_python_fixpoint(spark, sf_dir):
+    """graph_kcore output == a pure-Python peel-to-fixpoint over the
+    same co-occurrence edges (top-15 by (core_deg desc, node))."""
+    from codegraph_spark.queries.graph_analytics import (
+        _KCORE_K,
+        _cooccurrence_edges,
+        graph_kcore,
+    )
+
+    edges = [(r.p1, r.p2) for r in _cooccurrence_edges(spark, sf_dir).collect()]
+    ref = _python_kcore(edges, _KCORE_K)
+    expected = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r.node, r.core_deg) for r in graph_kcore(spark, sf_dir).collect()]
+    assert got == expected
+
+
+def test_kcore_converges_within_oracle_unroll(spark, sf_dir):
+    """The generated CTE oracle unrolls _KCORE_ORACLE_ROUNDS rounds;
+    the live fixpoint must converge within that on the gate corpus, or
+    oracle and query could hash-diverge — fail loudly here instead."""
+    from codegraph_spark.queries.graph_analytics import (
+        _KCORE_K,
+        _KCORE_ORACLE_ROUNDS,
+        _kcore_peel,
+        _symmetric_adjacency,
+    )
+
+    adj = _symmetric_adjacency(spark, sf_dir)
+    _core, rounds = _kcore_peel(adj, _KCORE_K)
+    assert rounds <= _KCORE_ORACLE_ROUNDS, (
+        f"peel took {rounds} rounds, oracle unrolls only "
+        f"{_KCORE_ORACLE_ROUNDS} — raise _KCORE_ORACLE_ROUNDS"
+    )
+
+
+@pytest.fixture(scope="module")
+def deep_peel_dir(spark, tmp_path_factory):
+    """Adversarial corpus whose 3-core peel cascades ONE node per round
+    (r5 VERDICT item 2): a squared-path chain x_0..x_11 — x_i adjacent
+    to x_i±1, x_i±2 — feeding a K5 clique. Only the free end is
+    sub-degree, so each round exposes exactly the next chain node:
+    12 peel rounds, true core = the K5. A fixed 8-round unroll leaves
+    x_8..x_11 in the edge list, three of which still carry degree >= 3
+    and would be reported as core. Encoded as a lineitem table: each
+    desired co-occurrence edge becomes _SUPPORT orders holding exactly
+    that part pair."""
+    import pandas as pd
+
+    from codegraph_spark.queries.graph_analytics import _SUPPORT
+
+    clique = list(range(1, 6))
+    chain = [100 + i for i in range(12)]
+    edges = [(u, v) for u, v in combinations(clique, 2)]
+    edges += [(chain[i], chain[i + 1]) for i in range(11)]
+    edges += [(chain[i], chain[i + 2]) for i in range(10)]
+    edges += [(chain[11], 1), (chain[11], 2), (chain[10], 1)]
+
+    rows = []
+    ok = 0
+    for u, v in edges:
+        for _ in range(_SUPPORT):
+            ok += 1
+            rows.append({"l_orderkey": ok, "l_partkey": u})
+            rows.append({"l_orderkey": ok, "l_partkey": v})
+    d = str(tmp_path_factory.mktemp("sf_deep_peel"))
+    import os
+
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_kcore_deep_peel_needs_fixpoint_not_fixed_rounds(spark, deep_peel_dir):
+    """The peel must run past 8 rounds and report EXACTLY the K5."""
+    from codegraph_spark.queries.graph_analytics import (
+        _KCORE_K,
+        _kcore_peel,
+        _symmetric_adjacency,
+        graph_kcore,
+    )
+
+    adj = _symmetric_adjacency(spark, deep_peel_dir)
+    _core, rounds = _kcore_peel(adj, _KCORE_K)
+    assert rounds > 8, f"fixture too shallow: {rounds} rounds"
+
+    got = [(r.node, r.core_deg) for r in graph_kcore(spark, deep_peel_dir).collect()]
+    assert got == [(1, 4), (2, 4), (3, 4), (4, 4), (5, 4)]
+
+    # and the old fixed-8 unroll is provably wrong on this graph: the
+    # edge list after 8 rounds still contains chain nodes at degree >= 3
+    from pyspark.sql import functions as F
+
+    cur = adj
+    for _ in range(8):
+        deg = cur.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(keep, "node", "left_semi")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    stale = (
+        cur.groupBy("node").agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter((F.col("core_deg") >= _KCORE_K) & (F.col("node") >= 100))
+        .count()
+    )
+    assert stale > 0, "fixed-round build would have been accidentally right"

@@ -218,3 +218,122 @@ def test_pil_decode_real_png():
     width, height, body = _decode_payload(buf.getvalue(), "png")
     assert (width, height) == (8, 8)
     assert body.tolist() == list(range(64))
+
+
+# --- guarded video-codec path (r5 VERDICT item 4) ----------------------------
+
+
+def _av_available() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_video_raw_path_slices_frames():
+    """_decode_video_frames on raw-gray-v1 == the historical behavior:
+    body bytes sliced into frame_len-byte frames, trailing partial
+    dropped."""
+    import numpy as np
+
+    from codegraph_spark.operators.multimodal import (
+        RAW_GRAY_V1,
+        _decode_video_frames,
+    )
+
+    body = bytes(range(10))
+    payload = struct.pack(">II", 5, 2) + body
+    frames = _decode_video_frames(payload, RAW_GRAY_V1, frame_len=4)
+    assert frames.shape == (2, 4)  # 10 // 4 = 2 full frames
+    assert frames.dtype == np.uint8
+    assert frames[0].tolist() == [0, 1, 2, 3]
+    assert frames[1].tolist() == [4, 5, 6, 7]
+
+
+def test_video_codec_message_names_the_dependency():
+    """Without PyAV/imageio the container-codec path must explain the
+    optional dependency (the Pillow-guard contract, extended to
+    video)."""
+    import pytest as _pytest
+
+    if _av_available():
+        _pytest.skip("PyAV installed: decode path covered below")
+    from codegraph_spark.operators.multimodal import _decode_video_frames
+
+    with _pytest.raises(NotImplementedError, match="PyAV"):
+        _decode_video_frames(b"\x00" * 64, "h264", frame_len=8)
+
+
+def test_video_av_plumbing_with_stub_decoder(monkeypatch):
+    """Driver-side contract of the PyAV branch, exercised with a stub
+    module: frames reformat to gray, flatten to their OWN geometry
+    (frame_len ignored), and stack to (n_frames, pixels). The
+    Spark-side mapInPandas plumbing is codec-agnostic and covered by
+    the raw-codec tests; a stub cannot cross the executor boundary,
+    so this pins exactly the decode adapter."""
+    import contextlib
+
+    import numpy as np
+
+    from codegraph_spark.operators import multimodal as mm
+
+    class _Frame:
+        def __init__(self, fill):
+            self._fill = fill
+
+        def reformat(self, format):
+            assert format == "gray"
+            return self
+
+        def to_ndarray(self):
+            return np.full((2, 3), self._fill, dtype=np.uint8)
+
+    class _Container:
+        def decode(self, video):
+            assert video == 0
+            return iter([_Frame(7), _Frame(9)])
+
+    class _StubAV:
+        @staticmethod
+        @contextlib.contextmanager
+        def open(fh):
+            yield _Container()
+
+    monkeypatch.setattr(mm, "_AV_MODULE", _StubAV)
+    try:
+        frames = mm._decode_video_frames(b"\x00" * 32, "h264", frame_len=999)
+    finally:
+        pass
+    assert frames.shape == (2, 6)  # 2 frames x (2*3 gray pixels)
+    assert frames[0].tolist() == [7] * 6
+    assert frames[1].tolist() == [9] * 6
+
+
+@pytest.mark.skipif(not _av_available(), reason="PyAV not installed")
+def test_video_av_decode_real_container(tmp_path):
+    """Runs only where PyAV exists: encode a tiny synthetic clip and
+    decode it back through the guarded path."""
+    import av
+    import numpy as np
+
+    from codegraph_spark.operators.multimodal import _decode_video_frames
+
+    import io
+
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=4)
+        stream.width, stream.height = 16, 8
+        stream.pix_fmt = "yuv420p"
+        for i in range(6):
+            img = np.full((8, 16, 3), i * 20, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    frames = _decode_video_frames(buf.getvalue(), "h264", frame_len=0)
+    assert frames.shape[0] == 6
+    assert frames.shape[1] == 16 * 8

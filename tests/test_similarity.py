@@ -107,14 +107,88 @@ def test_lsh_plane_count_controls_candidate_volume(spark, sf_dir):
 
 
 def test_lsh_planes_scale_with_corpus_size():
-    """lsh_planes_for: log2-growth with clamps — the knob that keeps
-    same-bucket candidate volume linear in n (SCALE.md r4 finding)."""
+    """lsh_planes_for: log2-growth with NO reachable ceiling — the knob
+    that keeps same-bucket candidate volume linear in n (SCALE.md r4
+    finding; the r5 16-plane clamp made the family constant — and the
+    self-join quadratic — past ~2M vectors, r5 VERDICT item 1)."""
     from codegraph_spark.queries.similarity import lsh_planes_for
 
     assert lsh_planes_for(1) == 4            # clamp floor
     assert lsh_planes_for(500) == 4
     assert lsh_planes_for(2000) == 6
     assert lsh_planes_for(20000) == 10       # 10x data -> +3..4 planes
-    assert lsh_planes_for(10**9) == 16       # clamp ceiling
-    for small, big in [(100, 1000), (1000, 100000)]:
+    assert lsh_planes_for(4 * 10**6) == 17   # past the old 16 ceiling
+    assert lsh_planes_for(10**9) == 25       # keeps tracking log2(n)
+    assert lsh_planes_for(10**12) == 35      # ~100 TB of embeddings
+    for small, big in [(100, 1000), (1000, 100000), (10**6, 10**9)]:
         assert lsh_planes_for(small) <= lsh_planes_for(big)
+
+
+def _synthetic_embeddings(spark, n: int, dim: int = 24):
+    """Deterministic well-spread corpus: component d of vector i is a
+    hash-derived value in [-0.5, 0.5) — no Date.now/random, stable
+    across runs and engines."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            f"d -> (pmod(hash(id * {dim} + d), 1000) - 500) / 1000.0)"
+        ).alias("embedding"),
+    )
+
+
+def _banded_candidate_volume(spark, n: int) -> int:
+    """Candidate-pair volume of the corpus-adaptive banded family at
+    corpus size n, from the REAL bucket table's histogram (the exact
+    per-band self-join output size, no pair materialization)."""
+    from codegraph_spark.queries.similarity import (
+        _LSH_BANDS,
+        lsh_bucket_histogram_volume,
+        lsh_planes_for,
+    )
+
+    emb = _synthetic_embeddings(spark, n)
+    return lsh_bucket_histogram_volume(emb, lsh_planes_for(n), bands=_LSH_BANDS)
+
+
+def test_lsh_candidates_stay_linear_past_plane_ceiling(spark):
+    """r5 VERDICT item 1 'done' criterion: candidate count ~linear at a
+    synthetic n >= 1e6. Two pins, both at the corpus-adaptive family:
+
+    1. LINEARITY: growing the corpus 8x (2^17 -> 2^20 vectors) must
+       leave candidates-per-row near-flat (< 3x; a family whose plane
+       count stopped tracking log2(n) grows it by the full data
+       ratio, 8x). The synthetic hash corpus is low-dimensional (24),
+       so bucket occupancy is deliberately skewed — the bound is on
+       GROWTH, not the absolute constant.
+    2. CEILING REMOVAL: at n = 2^20 the adaptive family (15 planes)
+       must produce far fewer candidates than the same family clamped
+       three steps lower (12 planes — simulating the r5 ceiling two
+       doublings past its bind point). Each tracked plane halves
+       per-bucket occupancy, so the gap must be >= 4x.
+
+    SCALE.md records the companion probe at n = 2^23 (planes = 18,
+    past the old 16-ceiling) — too slow for the suite."""
+    from codegraph_spark.queries.similarity import (
+        _LSH_BANDS,
+        lsh_bucket_histogram_volume,
+        lsh_planes_for,
+    )
+
+    n1, n2 = 1 << 17, 1 << 20
+    assert n2 >= 10**6
+    c1 = _banded_candidate_volume(spark, n1)
+    c2 = _banded_candidate_volume(spark, n2)
+    r1, r2 = c1 / n1, c2 / n2
+    assert r2 < r1 * 3, f"candidate growth superlinear: {r1:.1f} -> {r2:.1f}"
+
+    clamped = lsh_bucket_histogram_volume(
+        _synthetic_embeddings(spark, n2), 12, bands=_LSH_BANDS
+    )
+    assert lsh_planes_for(n2) == 15
+    assert c2 * 4 <= clamped, (
+        f"adaptive {c2} vs clamped-12 {clamped}: ceiling removal "
+        "did not cut candidate volume"
+    )
