@@ -137,147 +137,161 @@ def _load_graph(spark, args):
 
 
 def main(argv: list[str] | None = None) -> None:
+    """Parse argv, run one command in a fresh session, print its JSON.
+
+    Session lifecycle lives HERE; :func:`run_command` holds the actual
+    command dispatch so an integration test (or an embedding caller)
+    can drive the full CLI surface against ONE long-lived session —
+    the reference's system test shape (system_test.go:329-397)."""
     args = _build_parser().parse_args(argv)
 
     from codegraph_spark.session import get_spark
 
     spark = get_spark(app_name="codegraph-spark-cli", cpus=args.cpus)
-    out: Any
     try:
-        if args.cmd == "index":
-            from codegraph_spark.graph import PropertyGraph
-
-            if args.what == "project":
-                from codegraph_spark.sources.static_index import index_project
-
-                nodes, edges = index_project(spark, args.root)
-                g = PropertyGraph(nodes, edges)
-            elif args.what == "scip":
-                from codegraph_spark.sources.scip import index_scip
-
-                nodes, edges = index_scip(spark, args.scip_file)
-                g = PropertyGraph(nodes, edges)
-            else:  # docs (documents/indexer.go:72-95; cmd main.go:326-358)
-                from codegraph_spark.sources.docs_index import (
-                    index_documents,
-                    merge_into_graph,
-                )
-
-                base = None
-                symbols = None
-                if args.code_graph:
-                    base = PropertyGraph.from_parquet(
-                        spark,
-                        f"{args.code_graph}/nodes",
-                        f"{args.code_graph}/edges",
-                    )
-                    from pyspark.sql import functions as F
-
-                    symbols = base.nodes.filter(F.col("label") == "Symbol")
-                nodes, edges = index_documents(spark, args.root, symbols=symbols)
-                g = (
-                    merge_into_graph(base, nodes, edges)
-                    if base is not None
-                    else PropertyGraph(nodes, edges)
-                )
-            g.write_parquet(f"{args.out}/nodes", f"{args.out}/edges")
-            out = {
-                "nodes": g.nodes.count(),
-                "edges": g.edges.count(),
-                "out": args.out,
-            }
-            if args.what == "docs":
-                # the reference prints document stats after indexing
-                # (cmd/codegraph/main.go:360-375)
-                from codegraph_spark.sources.docs_index import document_stats
-
-                out["stats"] = document_stats(g)
-        elif args.cmd == "sql":
-            from codegraph_spark.sql import sql as run_sql
-
-            if not args.sf_dir:
-                raise SystemExit("sql needs --sf-dir DIR (the warehouse root)")
-            df = run_sql(spark, args.sf_dir, args.statement)
-            if args.limit > 0:
-                df = df.limit(args.limit)
-            out = {"columns": df.columns,
-                   "rows": [list(r) for r in df.collect()]}
-        elif args.cmd == "doctor":
-            from codegraph_spark.doctor import diagnose
-            from codegraph_spark.queries import collect
-
-            queries, _ = collect()
-            if args.query not in queries:
-                raise SystemExit(f"unknown query {args.query!r}")
-            if not args.sf_dir:
-                raise SystemExit("doctor needs --sf-dir DIR")
-            findings = diagnose(queries[args.query](spark, args.sf_dir))
-            out = {
-                "query": args.query,
-                "findings": [
-                    {"severity": f.severity, "check": f.check, "detail": f.detail}
-                    for f in findings
-                ],
-            }
-        elif args.cmd == "status":
-            # main.go:98-128: connection check + GetDatabaseInfo. A
-            # live SparkSession IS the connection; report engine info.
-            from codegraph_spark.schema import database_info
-
-            out = {"connected": True, **database_info(spark)}
-        elif args.cmd == "schema":
-            from codegraph_spark.schema import SchemaManager, database_info
-
-            g = _load_graph(spark, args)
-            sm = SchemaManager()
-            if args.what == "validate":
-                out = sm.validate(g)
-            elif args.what == "create":
-                out = sm.apply(g)
-            elif args.what == "drop":
-                out = sm.drop_all()
-            else:
-                out = {**sm.info(g), **database_info(spark)}
-        else:
-            from codegraph_spark.services import AdvancedService, LSPService, MCPService
-
-            g = _load_graph(spark, args).persist()
-            if args.cmd == "serve":
-                from codegraph_spark.mcp import serve
-
-                serve(MCPService(g), sys.stdin, sys.stdout)
-                return
-            if args.cmd == "query":
-                if args.what == "search":
-                    out = LSPService(g).search(args.term, args.types, args.limit)
-                else:
-                    out = MCPService(g).get_source(args.function_name)
-            elif args.cmd == "lsp":
-                svc = LSPService(g)
-                out = {
-                    "definition": lambda: svc.go_to_definition(args.symbol),
-                    "references": lambda: svc.find_references(
-                        args.symbol, include_declaration=args.include_declaration
-                    ),
-                    "implementations": lambda: svc.find_implementations(args.symbol),
-                    "hover": lambda: svc.get_hover(args.symbol),
-                    "completion": lambda: svc.get_completion(args.prefix, args.limit),
-                }[args.what]()
-            else:  # analyze
-                adv = AdvancedService(g)
-                out = {
-                    "impact": lambda: adv.analyze_impact(args.symbol, args.max_depth),
-                    "deps": lambda: adv.analyze_dependencies(args.service_pkg),
-                    "flow": lambda: adv.trace_data_flow(args.node_id, args.max_depth),
-                    "complexity": lambda: adv.analyze_complexity(args.threshold),
-                    "callgraph": lambda: adv.build_call_graph(
-                        args.root_id, args.direction, args.max_depth
-                    ),
-                }[args.what]()
-        json.dump(out, sys.stdout, indent=2, default=str)
-        print()
+        out = run_command(args, spark)
+        if out is not None:
+            json.dump(out, sys.stdout, indent=2, default=str)
+            print()
     finally:
         spark.stop()
+
+
+def run_command(args: argparse.Namespace, spark) -> Any:
+    """Execute one parsed CLI command against ``spark``; returns the
+    JSON-serializable result (None for ``serve``, which streams)."""
+    out: Any
+    if args.cmd == "index":
+        from codegraph_spark.graph import PropertyGraph
+
+        if args.what == "project":
+            from codegraph_spark.sources.static_index import index_project
+
+            nodes, edges = index_project(spark, args.root)
+            g = PropertyGraph(nodes, edges)
+        elif args.what == "scip":
+            from codegraph_spark.sources.scip import index_scip
+
+            nodes, edges = index_scip(spark, args.scip_file)
+            g = PropertyGraph(nodes, edges)
+        else:  # docs (documents/indexer.go:72-95; cmd main.go:326-358)
+            from codegraph_spark.sources.docs_index import (
+                index_documents,
+                merge_into_graph,
+            )
+
+            base = None
+            symbols = None
+            if args.code_graph:
+                base = PropertyGraph.from_parquet(
+                    spark,
+                    f"{args.code_graph}/nodes",
+                    f"{args.code_graph}/edges",
+                )
+                from pyspark.sql import functions as F
+
+                symbols = base.nodes.filter(F.col("label") == "Symbol")
+            nodes, edges = index_documents(spark, args.root, symbols=symbols)
+            g = (
+                merge_into_graph(base, nodes, edges)
+                if base is not None
+                else PropertyGraph(nodes, edges)
+            )
+        g.write_parquet(f"{args.out}/nodes", f"{args.out}/edges")
+        out = {
+            "nodes": g.nodes.count(),
+            "edges": g.edges.count(),
+            "out": args.out,
+        }
+        if args.what == "docs":
+            # the reference prints document stats after indexing
+            # (cmd/codegraph/main.go:360-375)
+            from codegraph_spark.sources.docs_index import document_stats
+
+            out["stats"] = document_stats(g)
+    elif args.cmd == "sql":
+        from codegraph_spark.sql import sql as run_sql
+
+        if not args.sf_dir:
+            raise SystemExit("sql needs --sf-dir DIR (the warehouse root)")
+        df = run_sql(spark, args.sf_dir, args.statement)
+        if args.limit > 0:
+            df = df.limit(args.limit)
+        out = {"columns": df.columns,
+               "rows": [list(r) for r in df.collect()]}
+    elif args.cmd == "doctor":
+        from codegraph_spark.doctor import diagnose
+        from codegraph_spark.queries import collect
+
+        queries, _ = collect()
+        if args.query not in queries:
+            raise SystemExit(f"unknown query {args.query!r}")
+        if not args.sf_dir:
+            raise SystemExit("doctor needs --sf-dir DIR")
+        findings = diagnose(queries[args.query](spark, args.sf_dir))
+        out = {
+            "query": args.query,
+            "findings": [
+                {"severity": f.severity, "check": f.check, "detail": f.detail}
+                for f in findings
+            ],
+        }
+    elif args.cmd == "status":
+        # main.go:98-128: connection check + GetDatabaseInfo. A
+        # live SparkSession IS the connection; report engine info.
+        from codegraph_spark.schema import database_info
+
+        out = {"connected": True, **database_info(spark)}
+    elif args.cmd == "schema":
+        from codegraph_spark.schema import SchemaManager, database_info
+
+        g = _load_graph(spark, args)
+        sm = SchemaManager()
+        if args.what == "validate":
+            out = sm.validate(g)
+        elif args.what == "create":
+            out = sm.apply(g)
+        elif args.what == "drop":
+            out = sm.drop_all()
+        else:
+            out = {**sm.info(g), **database_info(spark)}
+    else:
+        from codegraph_spark.services import AdvancedService, LSPService, MCPService
+
+        g = _load_graph(spark, args).persist()
+        if args.cmd == "serve":
+            from codegraph_spark.mcp import serve
+
+            serve(MCPService(g), sys.stdin, sys.stdout)
+            return
+        if args.cmd == "query":
+            if args.what == "search":
+                out = LSPService(g).search(args.term, args.types, args.limit)
+            else:
+                out = MCPService(g).get_source(args.function_name)
+        elif args.cmd == "lsp":
+            svc = LSPService(g)
+            out = {
+                "definition": lambda: svc.go_to_definition(args.symbol),
+                "references": lambda: svc.find_references(
+                    args.symbol, include_declaration=args.include_declaration
+                ),
+                "implementations": lambda: svc.find_implementations(args.symbol),
+                "hover": lambda: svc.get_hover(args.symbol),
+                "completion": lambda: svc.get_completion(args.prefix, args.limit),
+            }[args.what]()
+        else:  # analyze
+            adv = AdvancedService(g)
+            out = {
+                "impact": lambda: adv.analyze_impact(args.symbol, args.max_depth),
+                "deps": lambda: adv.analyze_dependencies(args.service_pkg),
+                "flow": lambda: adv.trace_data_flow(args.node_id, args.max_depth),
+                "complexity": lambda: adv.analyze_complexity(args.threshold),
+                "callgraph": lambda: adv.build_call_graph(
+                    args.root_id, args.direction, args.max_depth
+                ),
+            }[args.what]()
+    return out
 
 
 if __name__ == "__main__":
