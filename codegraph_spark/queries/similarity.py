@@ -769,6 +769,111 @@ FROM c
 """
 
 
+# --- sim_lsh_recall: ANN quality audit (recall@k vs brute force) --------------
+_RECALL_MOD = 64  # every 64th vector is a probe query (deterministic sample)
+_RECALL_K = 5
+
+
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of the banded corpus-adaptive LSH family — the
+    quality side of this family's scale story (candidates stay linear
+    because planes track log2(n); bands exist so RECALL survives that
+    growth — this query measures it instead of asserting it).
+
+    For a deterministic 1/64 probe sample: ground truth = top-5
+    neighbors by exact integer dot product (quantized milli-units, so
+    both engines rank identically; ties broken by neighbor id);
+    n_hits = how many of those 5 appear among the probe's LSH
+    candidates (either pair direction). Output one row per probe.
+
+    Scale shape: the probe sample is broadcast against the corpus
+    (probes/corpus ratio is fixed at 1/64 — on a cluster the audit
+    samples a few thousand probes, a bounded broadcast), the top-5 is
+    a per-probe window, and the candidate join is output-sized. The
+    LSH candidate stage is shared with :func:`sim_lsh_cosine` and
+    serves a production rollout the way ANN recall dashboards do."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000).cast("long"),
+        ).alias("q"),
+    )
+    probes = q.filter(F.col("vec_id") % _RECALL_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("pq"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("nbr"), dot.alias("dot"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot"), "nbr")
+    top5 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("probe_id", "nbr")
+    )
+    cand = lsh_candidate_pairs(emb, lsh_planes_for(n), bands=_LSH_BANDS)
+    lsh_nbrs = (
+        cand.select(F.col("vec_a").alias("probe_id"), F.col("vec_b").alias("nbr"))
+        .unionByName(
+            cand.select(F.col("vec_b").alias("probe_id"), F.col("vec_a").alias("nbr"))
+        )
+        .distinct()
+    )
+    return (
+        top5.join(lsh_nbrs.withColumn("hit", F.lit(1)), ["probe_id", "nbr"], "left")
+        .groupBy("probe_id")
+        .agg(F.count("hit").cast("int").alias("n_hits"))
+        .orderBy("probe_id")
+    )
+
+
+_RECALL_SQL = f"""
+WITH qv AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 1000) AS BIGINT)) AS q
+    FROM embeddings
+),
+cand AS ({_LSH_SQL}),
+probes AS (
+    SELECT vec_id AS probe_id, q AS pq FROM qv
+    WHERE vec_id % {_RECALL_MOD} = 0
+),
+scored AS (
+    SELECT p.probe_id, o.vec_id AS nbr,
+           CAST(list_sum(list_transform(range(1, len(p.pq) + 1),
+                                        i -> p.pq[i] * o.q[i])) AS BIGINT) AS dot
+    FROM probes p JOIN qv o ON o.vec_id <> p.probe_id
+),
+top5 AS (
+    SELECT probe_id, nbr FROM (
+        SELECT probe_id, nbr,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY dot DESC, nbr) AS rn
+        FROM scored
+    ) WHERE rn <= {_RECALL_K}
+),
+lsh_nbrs AS (
+    SELECT vec_a AS probe_id, vec_b AS nbr FROM cand
+    UNION
+    SELECT vec_b, vec_a FROM cand
+)
+SELECT t.probe_id, CAST(count(l.nbr) AS INT) AS n_hits
+FROM top5 t
+LEFT JOIN lsh_nbrs l ON l.probe_id = t.probe_id AND l.nbr = t.nbr
+GROUP BY t.probe_id
+ORDER BY t.probe_id
+"""
+
+
 QUERIES = {
     "emb_norm_profile": emb_norm_profile,
     "emb_quantize_int8": emb_quantize_int8,
@@ -776,6 +881,7 @@ QUERIES = {
     "sim_ivf_label": sim_ivf_label,
     "sim_ivf_kmeans": sim_ivf_kmeans,
     "sim_lsh_cosine": sim_lsh_cosine,
+    "sim_lsh_recall": sim_lsh_recall,
 }
 
 ORACLES = {
@@ -785,4 +891,5 @@ ORACLES = {
     "sim_ivf_label": _IVF_SQL,
     "sim_ivf_kmeans": _ivf_kmeans_sql(),
     "sim_lsh_cosine": _LSH_SQL,
+    "sim_lsh_recall": _RECALL_SQL,
 }

@@ -192,3 +192,25 @@ def test_lsh_candidates_stay_linear_past_plane_ceiling(spark):
         f"adaptive {c2} vs clamped-12 {clamped}: ceiling removal "
         "did not cut candidate volume"
     )
+
+
+def test_lsh_recall_audit_shape_and_signal(spark, sf_dir):
+    """sim_lsh_recall: one row per sampled probe, hits bounded by k,
+    and the banded family actually recovers a nonzero share of true
+    neighbors (the audit is non-vacuous). Exactness vs the DuckDB
+    oracle is covered by test_oracle_parity."""
+    from pyspark.sql import functions as F
+
+    from codegraph_spark.queries.similarity import (
+        _RECALL_K,
+        _RECALL_MOD,
+        sim_lsh_recall,
+    )
+    from codegraph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_probes = emb.filter(F.col("vec_id") % _RECALL_MOD == 0).count()
+    out = sim_lsh_recall(spark, sf_dir).collect()
+    assert len(out) == n_probes
+    assert all(0 <= r.n_hits <= _RECALL_K for r in out)
+    assert sum(r.n_hits for r in out) > 0
