@@ -770,8 +770,26 @@ FROM c
 
 
 # --- sim_lsh_recall: ANN quality audit (recall@k vs brute force) --------------
-_RECALL_MOD = 64  # every 64th vector is a probe query (deterministic sample)
+_RECALL_MIN_MOD = 64     # sample stride floor (small corpora)
+_RECALL_TARGET = 1024    # ~probe count the stride aims for at any n
 _RECALL_K = 5
+
+
+def _recall_mod_for(n: int) -> int:
+    """Probe-sampling stride: 2^max(6, ⌈log2(n/1024)⌉) — every
+    stride-th vector probes, so the sample is BOUNDED (~1-2k probes)
+    at any corpus size instead of a fixed fraction. A fixed 1/64
+    sample broadcast against the corpus grows with n (the plan
+    doctor's unkeyed-broadcast-join warning, caught at review); a
+    bounded stride keeps the ground-truth stage O(target·n) — linear —
+    and the broadcast constant-sized. Power-of-two so the oracle's
+    pow(2, k) SQL reproduces it exactly in integers."""
+    import math
+
+    return 1 << max(
+        (_RECALL_MIN_MOD - 1).bit_length(),
+        math.ceil(math.log2(max(n, 1) / _RECALL_TARGET)),
+    )
 
 
 def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,20 +798,25 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     because planes track log2(n); bands exist so RECALL survives that
     growth — this query measures it instead of asserting it).
 
-    For a deterministic 1/64 probe sample: ground truth = top-5
-    neighbors by exact integer dot product (quantized milli-units, so
-    both engines rank identically; ties broken by neighbor id);
-    n_hits = how many of those 5 appear among the probe's LSH
-    candidates (either pair direction). Output one row per probe.
+    For a deterministic BOUNDED probe sample (every
+    :func:`_recall_mod_for`-th vector — ~1-2k probes at any corpus
+    size): ground truth = top-5 neighbors by exact integer dot product
+    (quantized milli-units, so both engines rank identically; ties
+    broken by neighbor id); n_hits = how many of those 5 appear among
+    the probe's LSH candidates (either pair direction). Output one row
+    per probe.
 
-    Scale shape: the probe sample is broadcast against the corpus
-    (probes/corpus ratio is fixed at 1/64 — on a cluster the audit
-    samples a few thousand probes, a bounded broadcast), the top-5 is
-    a per-probe window, and the candidate join is output-sized. The
+    Scale shape: the probe sample is a CONSTANT-SIZED broadcast
+    against the corpus (stride grows with n; a fixed-fraction sample
+    would make the non-equi broadcast join's build side grow with
+    data — the plan doctor's unkeyed-broadcast-join warning), the
+    ground truth stage is O(target·n) — linear — the top-5 is a
+    per-probe window, and the candidate join is output-sized. The
     LSH candidate stage is shared with :func:`sim_lsh_cosine` and
     serves a production rollout the way ANN recall dashboards do."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
+    mod = _recall_mod_for(n)
     q = emb.select(
         "vec_id",
         F.transform(
@@ -801,7 +824,7 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x * 1000).cast("long"),
         ).alias("q"),
     )
-    probes = q.filter(F.col("vec_id") % _RECALL_MOD == 0).select(
+    probes = q.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
     dot = F.aggregate(
@@ -843,9 +866,16 @@ WITH qv AS (
     FROM embeddings
 ),
 cand AS ({_LSH_SQL}),
+pm AS (
+    -- same bounded stride as _recall_mod_for: 2^max(6, ceil(log2(n/{_RECALL_TARGET})))
+    SELECT CAST(pow(2, greatest(6,
+               CAST(ceil(log2(greatest(count(*), 1) / {_RECALL_TARGET}.0)) AS INT)))
+           AS BIGINT) AS m
+    FROM qv
+),
 probes AS (
     SELECT vec_id AS probe_id, q AS pq FROM qv
-    WHERE vec_id % {_RECALL_MOD} = 0
+    WHERE vec_id % (SELECT m FROM pm) = 0
 ),
 scored AS (
     SELECT p.probe_id, o.vec_id AS nbr,

@@ -203,14 +203,31 @@ def test_lsh_recall_audit_shape_and_signal(spark, sf_dir):
 
     from codegraph_spark.queries.similarity import (
         _RECALL_K,
-        _RECALL_MOD,
+        _recall_mod_for,
         sim_lsh_recall,
     )
     from codegraph_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_probes = emb.filter(F.col("vec_id") % _RECALL_MOD == 0).count()
+    mod = _recall_mod_for(emb.count())
+    n_probes = emb.filter(F.col("vec_id") % mod == 0).count()
     out = sim_lsh_recall(spark, sf_dir).collect()
     assert len(out) == n_probes
     assert all(0 <= r.n_hits <= _RECALL_K for r in out)
     assert sum(r.n_hits for r in out) > 0
+
+
+def test_recall_probe_sample_is_bounded():
+    """_recall_mod_for: the probe count (~n/stride) stays ~constant at
+    any corpus size — a fixed-fraction sample would grow the non-equi
+    broadcast with data (the plan doctor's unkeyed-broadcast-join
+    warning that motivated the stride)."""
+    from codegraph_spark.queries.similarity import _recall_mod_for
+
+    assert _recall_mod_for(0) == 64
+    assert _recall_mod_for(65536) == 64
+    for n in (10**6, 10**9, 10**12):
+        mod = _recall_mod_for(n)
+        assert mod & (mod - 1) == 0  # power of two (oracle pow(2,k) exact)
+        assert n / mod <= 2048       # bounded probe sample
+        assert n / mod >= 512        # and non-vacuous

@@ -37,6 +37,7 @@ SKEW_SET = [
     "text_dup_ngram_coverage",
     "text_lm_score",
     "sim_lsh_cosine",
+    "sim_lsh_recall",
     "emb_quantize_int8",
     "ev_asof_join",
     "ev_funnel",
