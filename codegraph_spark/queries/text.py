@@ -5,7 +5,7 @@ column programs (no Python UDFs in the hot path)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codegraph_spark.sources.tables import load_table
@@ -650,8 +650,77 @@ GROUP BY s.doc_id
 """
 
 
+# --- text_length_profile: exact per-language length percentiles --------------
+_PCTS = (50, 90, 99)
+
+
+def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of document length per language — the
+    length-distribution dashboard every corpus intake step starts from
+    (truncation budgets, outlier fences, per-language chunk sizing).
+
+    Scale shape — histogram cumsum, NOT a per-language row sort: the
+    length column is low-cardinality (distinct lengths ≪ rows), so
+    GROUP BY (lang, n_chars) shrinks the data to the histogram first
+    (map-side combining; one shuffle keyed by lang+length), and the
+    window cumsum + rank pick run over histogram rows only — a
+    dominant language costs its distinct-length count, not its row
+    count, so language skew cannot create a fat sort partition.
+    Percentile convention: value at rank ⌈p·n/100⌉ of the sorted
+    multiset (discrete, no interpolation) — identical arithmetic in
+    the oracle, no engine quantile-convention coupling."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n") * p / 100), F.col("n_chars")
+            )
+        ).alias(f"p{p}")
+        for p in _PCTS
+    ]
+    return (
+        cum.groupBy("lang")
+        .agg(F.max("n").cast("long").alias("n_docs"), *picks)
+        .orderBy("lang")
+    )
+
+
+_LENGTH_PROFILE_SQL = f"""
+WITH hist AS (
+    SELECT lang, n_chars, count(*) AS c
+    FROM documents
+    GROUP BY lang, n_chars
+),
+cum AS (
+    SELECT lang, n_chars, c,
+           sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY lang) AS n
+    FROM hist
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"min(CASE WHEN cum >= ceil(n * {p} / 100.0) THEN n_chars END) AS p{p}"
+           for p in _PCTS
+       )}
+FROM cum
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
+    "text_length_profile": text_length_profile,
     "text_lm_score": text_lm_score,
     "text_dup_ngram_coverage": text_dup_ngram_coverage,
     "corpus_filter_funnel": corpus_filter_funnel,
@@ -667,6 +736,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_length_profile": _LENGTH_PROFILE_SQL,
     "text_lm_score": _LM_SQL,
     "text_dup_ngram_coverage": _dup_coverage_sql(),
     "corpus_filter_funnel": _FILTER_FUNNEL_SQL,
