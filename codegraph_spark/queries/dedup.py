@@ -206,6 +206,43 @@ FROM documents GROUP BY 1
 """
 
 
+# --- corpus_dedup_rate: one-row exact-duplication dashboard -------------------
+def corpus_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-duplication summary — the single number a
+    data-intake dashboard tracks per snapshot: doc count, distinct
+    content count, duplicate doc count, and the duplication rate in
+    per-mille. One map-side-combining aggregate over the content hash
+    (countDistinct = one partial-agg shuffle on the hash); NULL rate on
+    an empty corpus (nullif guard, mirrored in SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.lower(F.col("text")))).alias("n_unique"),
+        )
+        .select(
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
+            F.expr(
+                "CAST(floor((n_docs - n_unique) * 1000 / nullif(n_docs, 0)) AS BIGINT)"
+            ).alias("dup_permille"),
+        )
+    )
+
+
+_DEDUP_RATE_SQL = """
+SELECT n_docs, n_unique, n_docs - n_unique AS n_dup,
+       CAST(floor((n_docs - n_unique) * 1000 / nullif(n_docs, 0)) AS BIGINT)
+           AS dup_permille
+FROM (
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(lower(text))) AS n_unique
+    FROM documents
+)
+"""
+
+
 # --- dedup_ngram_jaccard: exact shingle-set similarity ------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup-first + capped candidates + exact completion:
@@ -406,6 +443,187 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+# --- dedup_minhash_est: signature-vs-exact Jaccard audit ----------------------
+def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: for every rep-level banded
+    candidate pair, the Jaccard ESTIMATE the 16-component signature
+    implies (matching components / 16) next to the EXACT shingle-set
+    Jaccard — the calibration dashboard that justifies the band/row
+    parameters the dedup family runs on (sim_lsh_recall's counterpart
+    on the text side). Rep-level on BOTH sides: the oracle collapses
+    identical texts to their min-doc_id representative the same way,
+    so no clique expansion is involved.
+
+    Scale shape: signatures come off the cached rep-shingle postings
+    (one map-side-combining groupBy), candidates from the cached band
+    table via the salted self-join, and the exact-Jaccard completion
+    joins shingles on the CANDIDATE pair ids — output-sized, never
+    all-pairs. Integer per-mille on both sides of the comparison."""
+    from codegraph_spark.serving import shared_df
+
+    sh = _rep_shingles(spark, sf_dir)
+    sig = sh.withColumn("h", _shingle_hash_spark()).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_AB)
+        ]
+    )
+
+    def build_bands() -> DataFrame:
+        rows_per_band = len(_AB) // _BANDS
+        band_cols = []
+        for bidx in range(_BANDS):
+            members = [
+                F.col(f"mh{i}").cast("string")
+                for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(bidx).alias("band"),
+                    F.md5(F.concat_ws(":", *members)).alias("key"),
+                )
+            )
+        return sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    # same serving key as dedup_minhash_lsh: whichever query runs first
+    # builds the band table once per (session, dataset)
+    banded = shared_df(spark, (sf_dir, "dedup_minhash_bands"), build_bands)
+    from codegraph_spark.operators.skew import salted_self_pairs
+
+    pairs = (
+        salted_self_pairs(banded, ["band", "key"], "doc_id", n_salt=8,
+                          hot_threshold=1024)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(len(_AB))],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(len(_AB))],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(len(_AB))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_milli", F.floor(matches * 1000 / len(_AB)).cast("long"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(counts.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_sh").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_bands", "est_milli",
+            F.floor(
+                F.coalesce(F.col("ni"), F.lit(0)) * 1000
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0)))
+            ).cast("long").alias("exact_milli"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_est_sql() -> str:
+    mh = ",\n           ".join(
+        f"min(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_AB)
+    )
+    rows_per_band = len(_AB) // _BANDS
+    band_selects = []
+    for bidx in range(_BANDS):
+        concat = " || ':' || ".join(
+            f"CAST(mh{i} AS VARCHAR)"
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band, md5({concat}) AS key FROM sig"
+        )
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(len(_AB))
+    )
+    # rep collapse mirrors _text_cliques: min doc_id per exact content
+    return f"""
+WITH reps AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))
+),
+rdocs AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN reps r ON r.doc_id = d.doc_id
+),
+shingles AS (
+    SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS shingle
+    FROM (
+        SELECT doc_id, w,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM rdocs
+        )
+    ) WHERE w3 IS NOT NULL
+),
+hashed AS (
+    SELECT doc_id, {_SHINGLE_HASH_SQL} AS h FROM shingles
+),
+sig AS (
+    SELECT doc_id,
+           {mh}
+    FROM hashed GROUP BY doc_id
+),
+banded AS (
+    {bands}
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+counts AS (
+    SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS ni
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_bands,
+       CAST(floor(({match_sum}) * 1000 / {len(_AB)}.0) AS BIGINT) AS est_milli,
+       CAST(floor(coalesce(i.ni, 0) * 1000
+                  / (ca.n_sh + cb.n_sh - coalesce(i.ni, 0))) AS BIGINT)
+           AS exact_milli
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN counts ca ON ca.doc_id = c.doc_a
+JOIN counts cb ON cb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b
 """
 
 
@@ -1027,6 +1245,8 @@ ORDER BY doc_a, doc_b
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "corpus_dedup_rate": corpus_dedup_rate,
+    "dedup_minhash_est": dedup_minhash_est,
     "dedup_edit_distance": dedup_edit_distance,
     "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1039,6 +1259,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dedup_rate": _DEDUP_RATE_SQL,
+    "dedup_minhash_est": _minhash_est_sql(),
     "dedup_edit_distance": _LEV_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
     "dedup_simhash_hamming": _simhash_hamming_sql(),

@@ -30,6 +30,8 @@ SKEW_SET = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_minhash_lsh",
+    "dedup_minhash_est",
+    "corpus_dedup_rate",
     "dedup_simhash_hamming",
     "dedup_edit_distance",
     "dedup_cluster_cc",
@@ -144,6 +146,7 @@ _CONST_PREFIX = (
 #: detectors whose candidate stage is content-keyed (gram/shingle joins)
 PREFIX_SKEW_SET = [
     "dedup_edit_distance",
+    "dedup_minhash_est",
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_minhash_lsh",
