@@ -150,7 +150,11 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(app_name="codegraph-spark-cli", cpus=args.cpus)
     try:
         out = run_command(args, spark)
-        if out is not None:
+        # only `serve` streams its own output; every other command's
+        # result prints — including a legitimate None (e.g. `lsp
+        # definition` on a missing symbol prints `null`, the reference's
+        # JSON-for-every-command contract)
+        if args.cmd != "serve":
             json.dump(out, sys.stdout, indent=2, default=str)
             print()
     finally:
@@ -258,7 +262,21 @@ def run_command(args: argparse.Namespace, spark) -> Any:
     else:
         from codegraph_spark.services import AdvancedService, LSPService, MCPService
 
-        g = _load_graph(spark, args).persist()
+        # serving-cached load: repeated dispatches against one session
+        # (the long-lived mode run_command exists for) reuse ONE
+        # persisted copy per graph dir instead of stacking a fresh
+        # .persist() per command (the leak class serving.py documents);
+        # the LRU bound also caps a session cycling many graph dirs
+        from codegraph_spark.graph import PropertyGraph
+        from codegraph_spark.serving import shared_df
+
+        src = args.graph or args.sf_dir or ""
+        g = PropertyGraph(
+            shared_df(spark, (src, "cli_graph_nodes"),
+                      lambda: _load_graph(spark, args).nodes, eager=False),
+            shared_df(spark, (src, "cli_graph_edges"),
+                      lambda: _load_graph(spark, args).edges, eager=False),
+        )
         if args.cmd == "serve":
             from codegraph_spark.mcp import serve
 

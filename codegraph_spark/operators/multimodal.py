@@ -433,10 +433,19 @@ def _decode_video_frames(payload: bytes, codec: str, frame_len: int):
             return np.stack(frames)
         iio = _imageio_module()
         if iio is not None:
-            arr = iio.imread(bytes(payload), extension=".mp4", index=None)
-            gray = np.asarray(arr, dtype=np.uint16)
+            ext = ".webm" if codec in ("vp8", "vp9", "av1") else ".mp4"
+            arr = iio.imread(bytes(payload), extension=ext, index=None)
+            gray = np.asarray(arr)
             if gray.ndim == 4:  # (frames, h, w, channels) -> gray
-                gray = gray.mean(axis=3).astype(np.uint8)
+                # BT.601 luma to match ffmpeg's 'gray' reformat on the
+                # PyAV path above — a channel mean would make the
+                # checksum depend on which optional decoder the
+                # executor has. Decoder-version differences can still
+                # shift individual pixel values (inherent to lossy
+                # codec decode; true of any engine) — the two paths
+                # agree on the conversion, not on the codec's output.
+                w = np.array([0.299, 0.587, 0.114])
+                gray = (gray[..., :3].astype(np.float64) @ w).round()
             return np.asarray(gray, dtype=np.uint8).reshape(gray.shape[0], -1)
         raise NotImplementedError(
             f"codec {codec!r}: decodable via PyAV or imageio-ffmpeg, "

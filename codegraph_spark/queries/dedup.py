@@ -347,6 +347,58 @@ WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
 
 
 # --- dedup_minhash_lsh: MinHash signatures + banded LSH candidates ------------
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh15): 16-component MinHash signatures of clique
+    REPRESENTATIVES — serving-cached because both the LSH dedup query
+    and the estimator audit (and the audit's three sig references)
+    read it; one map-side-combining groupBy over the cached rep
+    shingles. THE single signature definition: dedup_minhash_lsh and
+    dedup_minhash_est share the band cache keyed on this table, so a
+    drifted duplicate would silently poison whichever query ran
+    second (round-6 review finding)."""
+    from codegraph_spark.serving import shared_df
+
+    def build() -> DataFrame:
+        sh = _rep_shingles(spark, sf_dir).withColumn("h", _shingle_hash_spark())
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(_AB)
+            ]
+        )
+
+    return shared_df(spark, (sf_dir, "dedup_minhash_sig"), build)
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, key): the banded LSH index over
+    :func:`_minhash_sig` — serving-cached (the salted self-join
+    references it several times; on a cluster this is the parquet
+    signature table a dedup service refreshes with the corpus)."""
+    from codegraph_spark.serving import shared_df
+
+    def build() -> DataFrame:
+        sig = _minhash_sig(spark, sf_dir)
+        rows_per_band = len(_AB) // _BANDS
+        band_cols = []
+        for bidx in range(_BANDS):
+            members = [
+                F.col(f"mh{i}").cast("string")
+                for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(bidx).alias("band"),
+                    F.md5(F.concat_ws(":", *members)).alias("key"),
+                )
+            )
+        return sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    return shared_df(spark, (sf_dir, "dedup_minhash_bands"), build)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16 MinHashes per doc → 4 bands of 4 → docs colliding in ≥1 band
     are near-dup candidates. This is the 100 TB dedup path: cost is
@@ -362,35 +414,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingling is map-side (array expressions); the signature groupBy
     shuffles only 16 partial mins per doc (map-side combine), so the
     real data movement is just the LSH bucket self-join."""
-    from codegraph_spark.serving import shared_df
-
     cl = _cliques(spark, sf_dir)
-
-    def build_bands() -> DataFrame:
-        sh = _rep_shingles(spark, sf_dir).withColumn("h", _shingle_hash_spark())
-        sig = sh.groupBy("doc_id").agg(
-            *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
-              for i, (a, b) in enumerate(_AB)]
-        )
-        rows_per_band = len(_AB) // _BANDS
-        band_cols = []
-        for bidx in range(_BANDS):
-            members = [F.col(f"mh{i}").cast("string")
-                       for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
-            band_cols.append(
-                F.struct(F.lit(bidx).alias("band"),
-                         F.md5(F.concat_ws(":", *members)).alias("key"))
-            )
-        return sig.select(
-            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    # the banded signature table is a deterministic per-dataset
-    # structure (the LSH "index"): serving-cached so the salted join's
-    # several references — and repeated invocations — read one
-    # persisted copy; on a cluster this is the parquet signature table
-    # a dedup service refreshes with the corpus
-    banded = shared_df(spark, (sf_dir, "dedup_minhash_bands"), build_bands)
+    banded = _minhash_bands(spark, sf_dir)
     # hot-bucket-balanced LSH self-join (a near-universal band key —
     # e.g. boilerplate docs — is the skew case); identical pairs.
     from codegraph_spark.operators.skew import salted_self_pairs
@@ -457,42 +482,16 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical texts to their min-doc_id representative the same way,
     so no clique expansion is involved.
 
-    Scale shape: signatures come off the cached rep-shingle postings
-    (one map-side-combining groupBy), candidates from the cached band
-    table via the salted self-join, and the exact-Jaccard completion
-    joins shingles on the CANDIDATE pair ids — output-sized, never
+    Scale shape: signatures and the band table are the SAME
+    serving-cached structures dedup_minhash_lsh reads
+    (:func:`_minhash_sig` / :func:`_minhash_bands` — one definition,
+    no drift between the query and its audit), candidates come from
+    the salted self-join, and the exact-Jaccard completion joins
+    shingles on the CANDIDATE pair ids — output-sized, never
     all-pairs. Integer per-mille on both sides of the comparison."""
-    from codegraph_spark.serving import shared_df
-
     sh = _rep_shingles(spark, sf_dir)
-    sig = sh.withColumn("h", _shingle_hash_spark()).groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_AB)
-        ]
-    )
-
-    def build_bands() -> DataFrame:
-        rows_per_band = len(_AB) // _BANDS
-        band_cols = []
-        for bidx in range(_BANDS):
-            members = [
-                F.col(f"mh{i}").cast("string")
-                for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
-            ]
-            band_cols.append(
-                F.struct(
-                    F.lit(bidx).alias("band"),
-                    F.md5(F.concat_ws(":", *members)).alias("key"),
-                )
-            )
-        return sig.select(
-            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    # same serving key as dedup_minhash_lsh: whichever query runs first
-    # builds the band table once per (session, dataset)
-    banded = shared_df(spark, (sf_dir, "dedup_minhash_bands"), build_bands)
+    sig = _minhash_sig(spark, sf_dir)
+    banded = _minhash_bands(spark, sf_dir)
     from codegraph_spark.operators.skew import salted_self_pairs
 
     pairs = (

@@ -375,6 +375,36 @@ def _lsh_bucket_table(
     ).select("vec_id", "q", F.col("bb.band").alias("band"), "bb.bucket")
 
 
+def _quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q): embeddings quantized to milli-unit longs — the
+    single quantization the whole LSH family (bucketing, histogram
+    probe, recall audit) shares, so the probes certify the SAME
+    projection production builds. Rows with NULL embeddings are
+    dropped HERE, on both engines: Spark's per-bit F.when over a NULL
+    aggregate would otherwise bucket NULL rows at the all-zeros
+    signature while the oracle's unnest-based dots CTE silently
+    excludes them — a cross-engine divergence on exactly the input
+    the dim peek guards (round-6 review finding)."""
+    return emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _peek_dim(emb: DataFrame) -> int:
+    """Driver-side dimension peek, guarded for an empty table and a
+    NULL embedding in the first row."""
+    peek = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.size("embedding"))
+        .first()
+    )
+    return peek[0] if peek is not None and peek[0] is not None else 1
+
+
 def lsh_bucket_histogram_volume(
     emb: DataFrame, n_planes: int, bands: int = 1
 ) -> int:
@@ -382,16 +412,8 @@ def lsh_bucket_histogram_volume(
     across-band union BEFORE pair dedup, an upper bound on the deduped
     output — computed from the bucket histogram without materializing
     a single pair. The linearity probe for tests and SCALE.md."""
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * 1000).cast("long"),
-        ).alias("q"),
-    )
-    peek = emb.filter(F.col("embedding").isNotNull()).select(F.size("embedding")).first()
-    dim = peek[0] if peek is not None and peek[0] is not None else 1
-    t = _lsh_bucket_table(q, dim, n_planes, bands)
+    q = _quantized(emb)
+    t = _lsh_bucket_table(q, _peek_dim(emb), n_planes, bands)
     keys = ["band", "bucket"] if bands > 1 else ["bucket"]
     total = (
         t.groupBy(*keys)
@@ -421,19 +443,10 @@ def lsh_candidate_pairs(
 
     Output: single-band → (bucket, vec_a, vec_b, dot_milli2) — the r4
     gate shape; banded → (band, bucket, vec_a, vec_b, dot_milli2)."""
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * 1000).cast("long"),
-        ).alias("q"),
-    )
+    q = _quantized(emb)
     # one driver-side peek sizes the literal weight arrays to the real
-    # dimension (a 256-wide array + per-row slice costs ~4x the query);
-    # guarded for an empty table AND a NULL embedding in the peeked row
-    # (F.size(NULL) is NULL — comparing None > int would raise)
-    peek = emb.filter(F.col("embedding").isNotNull()).select(F.size("embedding")).first()
-    dim = peek[0] if peek is not None and peek[0] is not None else 1
+    # dimension (a 256-wide array + per-row slice costs ~4x the query)
+    dim = _peek_dim(emb)
     if dim > _MAX_DIM:
         raise ValueError(f"embedding dim {dim} exceeds LSH family max {_MAX_DIM}")
     bucketed = _lsh_bucket_table(q, dim, n_planes, bands)
@@ -503,7 +516,8 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bucket) winner via arg_min.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_candidate_pairs(emb, lsh_planes_for(emb.count()), bands=_LSH_BANDS)
+    n = emb.filter(F.col("embedding").isNotNull()).count()  # oracle counts FROM qv
+    return lsh_candidate_pairs(emb, lsh_planes_for(n), bands=_LSH_BANDS)
 
 
 # Oracle with the SAME corpus-adaptive plane count, computed in SQL
@@ -521,6 +535,7 @@ WITH qv AS (
            list_transform(embedding::DOUBLE[],
                           x -> CAST(round(x * 1000) AS BIGINT)) AS q
     FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 p AS (
     SELECT greatest({_LSH_MIN_PLANES}, least({_LSH_MAX_PLANES},
@@ -739,6 +754,7 @@ WITH qv AS (
            list_transform(embedding::DOUBLE[],
                           x -> CAST(round(x * 1000) AS BIGINT)) AS q
     FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 d AS (
     SELECT vec_id, q,
@@ -815,15 +831,9 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidate stage is shared with :func:`sim_lsh_cosine` and
     serves a production rollout the way ANN recall dashboards do."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = emb.filter(F.col("embedding").isNotNull()).count()  # oracle counts FROM qv
     mod = _recall_mod_for(n)
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * 1000).cast("long"),
-        ).alias("q"),
-    )
+    q = _quantized(emb)
     probes = q.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
     )
@@ -864,6 +874,7 @@ WITH qv AS (
            list_transform(embedding::DOUBLE[],
                           x -> CAST(round(x * 1000) AS BIGINT)) AS q
     FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 cand AS ({_LSH_SQL}),
 pm AS (

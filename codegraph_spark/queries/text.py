@@ -668,9 +668,18 @@ def text_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, so language skew cannot create a fat sort partition.
     Percentile convention: value at rank ⌈p·n/100⌉ of the sorted
     multiset (discrete, no interpolation) — identical arithmetic in
-    the oracle, no engine quantile-convention coupling."""
+    the oracle, no engine quantile-convention coupling. Rows with
+    NULL n_chars are excluded on BOTH engines before the cumsum:
+    Spark windows sort NULLS FIRST and DuckDB NULLS LAST, so an
+    unknown length left in the histogram would shift every rank by
+    the engines' opposite null placement (round-6 review finding);
+    n_docs therefore counts docs with a known length."""
     docs = load_table(spark, sf_dir, "documents")
-    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    hist = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy("lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     w = (
         Window.partitionBy("lang")
         .orderBy("n_chars")
@@ -698,6 +707,7 @@ _LENGTH_PROFILE_SQL = f"""
 WITH hist AS (
     SELECT lang, n_chars, count(*) AS c
     FROM documents
+    WHERE n_chars IS NOT NULL
     GROUP BY lang, n_chars
 ),
 cum AS (

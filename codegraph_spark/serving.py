@@ -87,8 +87,13 @@ def shared_df(
         if eager:
             df.count()
         _CACHE[k] = df
-        _evict_lru_datasets()
+    # touch BEFORE evicting: group LRU rank comes from first-occurrence
+    # order, so an old entry of the dataset being served would otherwise
+    # rank it least-recent and evict the DataFrame just built/returned
+    # (the active dataset would then thrash on every call while idle
+    # datasets stayed cached)
     _touch_dataset(_dataset_of(k))
+    _evict_lru_datasets()
     return df
 
 

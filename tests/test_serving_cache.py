@@ -88,3 +88,29 @@ def test_invalidate_drops_only_that_dataset_and_rebuilds(spark):
     assert calls["n"] == 2  # rebuilt after invalidation
     serving.clear()
     assert _entries() == []
+
+
+def test_active_dataset_with_old_entry_is_not_self_evicted(spark):
+    """Regression (round-6 review): group LRU rank comes from
+    first-occurrence order, so a dataset holding an OLD cache entry
+    must be re-ranked most-recent BEFORE eviction runs when a new
+    entry is added for it — otherwise the insert itself evicts the
+    DataFrame being returned and the active dataset thrashes."""
+    serving.clear()
+    # D gets an early entry...
+    serving.shared_df(spark, ("/fake/act-D", "a"), lambda: spark.range(400))
+    # ...then _MAX_DATASETS - 1 other datasets age it to the LRU front
+    for i in range(serving._MAX_DATASETS - 1):
+        serving.shared_df(spark, (f"/fake/act-{i}", "a"), lambda i=i: spark.range(500 + i))
+    # a SECOND entry for D must keep D (and both its entries) cached
+    df = serving.shared_df(spark, ("/fake/act-D", "b"), lambda: spark.range(450))
+    live = {k[1] for k in serving._CACHE}
+    assert "/fake/act-D" in live
+    assert df.storageLevel.useMemory
+    assert sum(1 for k in serving._CACHE if k[1] == "/fake/act-D") == 2
+    # the victim is the oldest OTHER dataset... none evicted yet (4 groups)
+    serving.shared_df(spark, ("/fake/act-new", "a"), lambda: spark.range(600))
+    live = {k[1] for k in serving._CACHE}
+    assert "/fake/act-D" in live          # D stayed (recently touched)
+    assert "/fake/act-0" not in live      # true LRU evicted
+    serving.clear()

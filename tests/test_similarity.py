@@ -231,3 +231,48 @@ def test_recall_probe_sample_is_bounded():
         assert mod & (mod - 1) == 0  # power of two (oracle pow(2,k) exact)
         assert n / mod <= 2048       # bounded probe sample
         assert n / mod >= 512        # and non-vacuous
+
+
+def test_lsh_family_null_embeddings_match_oracle(spark, tmp_path_factory):
+    """Round-6 review regression: rows with NULL embeddings used to
+    land in the all-zeros Spark LSH bucket while the oracle's
+    unnest-based dots CTE silently dropped them — phantom candidate
+    pairs on exactly the input the dim peek guards. Both engines now
+    exclude NULL-embedding rows (and size the plane family from the
+    non-null count); parity must hold on a corpus containing them."""
+    import os
+
+    import duckdb
+
+    from codegraph_spark.queries import collect
+    from codegraph_spark.sources.tables import load_table
+    from tests.conftest import TEST_SF_DIR
+    from tests.test_oracle_parity import _normalize
+
+    d = str(tmp_path_factory.mktemp("sf_null_emb"))
+    emb = load_table(spark, TEST_SF_DIR, "embeddings").limit(120)
+    (
+        emb.select(
+            "vec_id",
+            F.when(F.col("vec_id") % 5 == 0, F.lit(None))
+            .otherwise(F.col("embedding")).alias("embedding"),
+            "label",
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(d, "embeddings.parquet"))
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'embeddings.parquet')}/*.parquet')"
+    )
+    queries, oracles = collect()
+    try:
+        for name in ("sim_lsh_cosine", "sim_lsh_recall"):
+            spark_pd = queries[name](spark, d).toPandas()
+            duck_pd = con.execute(oracles[name]).fetchdf()
+            cols = sorted(spark_pd.columns)
+            assert cols == sorted(duck_pd.columns), name
+            assert _normalize(spark_pd, cols) == _normalize(duck_pd, cols), name
+    finally:
+        con.close()
