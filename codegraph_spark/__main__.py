@@ -106,6 +106,16 @@ def _build_parser() -> argparse.ArgumentParser:
         "status", help="engine connection status (cmd/codegraph/main.go:98-128)"
     )
 
+    ex = sub.add_parser(
+        "export", help="training-data export sinks"
+    ).add_subparsers(dest="what", required=True)
+    ew = ex.add_parser(
+        "webdataset",
+        help="write the documents table as WebDataset tar shards (sinks.py)",
+    )
+    ew.add_argument("--out", required=True)
+    ew.add_argument("--per-shard", type=int, default=1000)
+
     sq = sub.add_parser("sql", help="run ANSI SQL over the warehouse views")
     sq.add_argument("statement")
     sq.add_argument("--limit", type=int, default=100,
@@ -213,6 +223,27 @@ def run_command(args: argparse.Namespace, spark) -> Any:
             from codegraph_spark.sources.docs_index import document_stats
 
             out["stats"] = document_stats(g)
+    elif args.cmd == "export":
+        from pyspark.sql import functions as F
+
+        from codegraph_spark.sinks import write_webdataset
+        from codegraph_spark.sources.tables import load_table
+
+        if not args.sf_dir:
+            raise SystemExit("export needs --sf-dir DIR (the corpus root)")
+        docs = load_table(spark, args.sf_dir, "documents").select(
+            F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("key"),
+            F.col("text").alias("txt"),
+            F.to_json(F.struct("lang", "source", "n_chars")).alias("json"),
+        )
+        manifest = write_webdataset(
+            docs, args.out, samples_per_shard=args.per_shard
+        ).collect()
+        out = {
+            "out": args.out,
+            "shards": [r.asDict() for r in manifest],
+            "n_samples": sum(r.n_samples for r in manifest),
+        }
     elif args.cmd == "sql":
         from codegraph_spark.sql import sql as run_sql
 

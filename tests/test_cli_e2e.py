@@ -112,3 +112,23 @@ def test_cli_search_then_lsp_then_analyze_same_session(spark, cli_graphs):
 
     status = _run(spark, ["status"])
     assert status["connected"] is True
+
+
+def test_cli_export_webdataset(spark, tmp_path):
+    import os
+    import tarfile
+
+    out = str(tmp_path / "wds")
+    res = _run(
+        spark,
+        ["--sf-dir", os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                                    "/root/testdata/sf0.001"),
+         "export", "webdataset", "--out", out, "--per-shard", "100"],
+    )
+    assert res["n_samples"] > 0
+    assert res["shards"]
+    first = res["shards"][0]
+    with tarfile.open(os.path.join(out, f"shard-{first['shard']:05d}.tar")) as tar:
+        names = tar.getnames()
+    assert any(n.endswith(".txt") for n in names)
+    assert any(n.endswith(".json") for n in names)
