@@ -58,23 +58,35 @@ def write_webdataset(
     out_dir: str,
     samples_per_shard: int = 1000,
     key_col: str = "key",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Write ``samples`` as ``shard-%05d.tar`` files under ``out_dir``.
 
-    Every column except ``key_col`` becomes a tar member named
-    ``<key>.<column>`` — binary columns verbatim, everything else
-    utf-8 text (the WebDataset convention: ``.txt``/``.json``/``.cls``
-    members next to ``.jpg``). Returns the shard manifest
-    (shard, n_samples, n_bytes, sha256) as a DataFrame; the write has
-    already happened when it is materialized."""
+    Every column except ``key_col`` (and ``shard_col``) becomes a tar
+    member named ``<key>.<column>`` — binary columns verbatim,
+    everything else utf-8 text (the WebDataset convention:
+    ``.txt``/``.json``/``.cls`` members next to ``.jpg``). Returns the
+    shard manifest (shard, n_samples, n_bytes, sha256) as a DataFrame;
+    the write has already happened when it is materialized.
+
+    ``shard_col`` names a PRECOMPUTED integer shard assignment (e.g.
+    the token-budgeted packing of ``corpus_pack_shards``) to use
+    instead of the default xxhash64 assignment — the curation operator
+    decides the packing, the sink only materializes it."""
     os.makedirs(out_dir, exist_ok=True)
-    n = samples.count()
-    n_shards = max(1, -(-n // samples_per_shard))
-    fields = [c for c in samples.columns if c != key_col]
-    assigned = samples.withColumn(
-        "_shard",
-        (F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))).cast("int"),
-    )
+    if shard_col is not None:
+        assigned = samples.withColumn("_shard", F.col(shard_col).cast("int"))
+        if shard_col != "_shard":
+            assigned = assigned.drop(shard_col)
+        n_shards = max(1, assigned.select("_shard").distinct().count())
+    else:
+        n = samples.count()
+        n_shards = max(1, -(-n // samples_per_shard))
+        assigned = samples.withColumn(
+            "_shard",
+            (F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))).cast("int"),
+        )
+    fields = [c for c in assigned.columns if c not in (key_col, "_shard")]
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:

@@ -97,3 +97,45 @@ def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
     out2 = str(tmp_path / "w2")
     m2 = write_webdataset(docs, out2, samples_per_shard=4).collect()
     assert {(r.shard, r.sha256) for r in m1} == {(r.shard, r.sha256) for r in m2}
+
+
+def test_webdataset_read_back_roundtrip(spark, tmp_path):
+    """read_webdataset(write_webdataset(df)) == df, bytes and all."""
+    from codegraph_spark.sinks import write_webdataset
+    from codegraph_spark.sources.webdataset import read_webdataset
+
+    docs = spark.createDataFrame(
+        [(f"k{i}", f"body {i}", bytes([i * 3, i * 3 + 1])) for i in range(9)],
+        "key string, txt string, bin binary",
+    )
+    out = str(tmp_path / "rt")
+    write_webdataset(docs, out, samples_per_shard=3)
+    back = read_webdataset(spark, out)
+    assert sorted(back.columns) == ["bin", "key", "txt"]
+    rows = {r.key: r for r in back.collect()}
+    assert set(rows) == {f"k{i}" for i in range(9)}
+    for i in range(9):
+        assert bytes(rows[f"k{i}"].txt).decode() == f"body {i}"
+        assert bytes(rows[f"k{i}"].bin) == bytes([i * 3, i * 3 + 1])
+
+
+def test_webdataset_honors_precomputed_shard_assignment(spark, tmp_path):
+    """shard_col routes samples by the curation operator's packing
+    instead of the hash default (corpus_pack_shards integration)."""
+    import tarfile as _tar
+
+    from codegraph_spark.sinks import write_webdataset
+
+    docs = spark.createDataFrame(
+        [(f"k{i}", f"t{i}", i % 2) for i in range(6)],
+        "key string, txt string, my_shard int",
+    )
+    out = str(tmp_path / "packed")
+    m = write_webdataset(docs, out, shard_col="my_shard").collect()
+    assert {r.shard for r in m} == {0, 1}
+    with _tar.open(os.path.join(out, "shard-00000.tar")) as tar:
+        keys = {n.rsplit(".", 1)[0] for n in tar.getnames()}
+    assert keys == {"k0", "k2", "k4"}
+    # the shard column itself is NOT written as a member
+    with _tar.open(os.path.join(out, "shard-00001.tar")) as tar:
+        assert all(n.endswith(".txt") for n in tar.getnames())
