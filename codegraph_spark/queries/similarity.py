@@ -585,12 +585,14 @@ GROUP BY vec_a, vec_b
 """
 
 
-def _ivf_kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Unrolled-CTE oracle for :func:`sim_ivf_kmeans`, generated like
-    graph._pagerank_sql(): the trained quantizer is deterministic, so
-    seeding becomes k-1 chained argmin CTEs and each Lloyd round an
-    assign+mean CTE pair. Multiply-referenced states are MATERIALIZED
-    (plain inlining doubles the plan per step)."""
+def _ivf_inv_cte_parts(k: int = 8, iters: int = 2) -> list[str]:
+    """CTE chain (list of ``name AS (...)`` strings) that trains the
+    deterministic IVF quantizer and ends at ``inv(vec_id, v, cluster)``
+    — the nearest-centroid assignment of every corpus vector. Shared
+    prefix of the :func:`sim_ivf_kmeans` and :func:`dedup_semantic`
+    oracles: seeding becomes k-1 chained argmin CTEs and each Lloyd
+    round an assign+mean CTE pair. Multiply-referenced states are
+    MATERIALIZED (plain inlining doubles the plan per step)."""
     parts = [
         "ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         """s1 AS MATERIALIZED (
@@ -630,6 +632,14 @@ def _ivf_kmeans_sql(k: int = 8, iters: int = 2) -> str:
     ) GROUP BY cluster)""")
         cents = f"m{r}"
     parts.append(assign.format(name="inv", cents=cents))
+    return parts
+
+
+def _ivf_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-CTE oracle for :func:`sim_ivf_kmeans`: the shared
+    trained-quantizer prefix (:func:`_ivf_inv_cte_parts`) plus the
+    probe/top-5 tail."""
+    parts = _ivf_inv_cte_parts(k, iters)
     tail = """
 SELECT q_id, probe_cluster, neighbor_id, floor(cos * 10000) / 10000 AS cosine, rn
 FROM (
@@ -915,6 +925,75 @@ ORDER BY t.probe_id
 """
 
 
+# --- dedup_semantic: SemDeDup cluster-then-cosine embedding dedup -------------
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): k-means the embedding space with the TRAINED IVF
+    quantizer, restrict near-dup candidate pairs to WITHIN a cluster,
+    and resolve each duplicate to its smallest-id canonical member.
+
+    This is the scale path for embedding dedup: the quadratic pair
+    space shrinks from n² to Σ|cluster|² — with balanced clusters,
+    n²/k — and the per-cluster self-join is an equi-join on the
+    cluster id, never a cross join. ``dedup_embedding_cosine`` (label
+    buckets) keeps the simple one-join shape; this one exercises the
+    learned bucketer, shared ingest-time training and all
+    (:func:`_trained_inverted_file` — the same cached inverted file
+    sim_ivf_kmeans probes).
+
+    The synthetic embeddings are random (max natural within-cluster
+    cosine ≈0.47 at sf0.01), so the corpus is augmented with the same
+    deterministic planted duplicates as dedup_embedding_cosine — every
+    40th vector cloned under ``vec_id + 1_000_000``. A clone's vector
+    is identical to its source's, so its nearest centroid is identical
+    too: the clone inherits the source's cluster directly instead of
+    re-running assignment (one broadcast-free projection).
+
+    Output: one row per PRUNED vector — (cluster, pruned_id, kept_id,
+    cosine) where kept_id is the smallest-id ≥-threshold neighbor and
+    cosine the similarity to that keeper."""
+    inv = _trained_inverted_file(spark, sf_dir).select("vec_id", "v", "cluster")
+    clones = inv.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v", "cluster"
+    )
+    aug = inv.unionByName(clones)
+    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cluster")
+    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "cluster")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.9)
+    )
+    return (
+        pairs.groupBy("cluster", F.col("vec_b").alias("pruned_id"))
+        .agg(
+            F.min("vec_a").alias("kept_id"),
+            F.round(F.min_by("cos", "vec_a"), 2).alias("cosine"),
+        )
+        .select("cluster", "pruned_id", "kept_id", "cosine")
+    )
+
+
+_SEMANTIC_SQL = (
+    "WITH "
+    + ",\n".join(_ivf_inv_cte_parts())
+    + """,
+aug AS (
+    SELECT vec_id, v, cluster FROM inv
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, v, cluster FROM inv WHERE vec_id % 40 = 0
+)
+SELECT a.cluster AS cluster, b.vec_id AS pruned_id,
+       min(a.vec_id) AS kept_id,
+       round(arg_min(list_cosine_similarity(a.v, b.v), a.vec_id), 2) AS cosine
+FROM aug a JOIN aug b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+GROUP BY a.cluster, b.vec_id
+"""
+)
+
+
 QUERIES = {
     "emb_norm_profile": emb_norm_profile,
     "emb_quantize_int8": emb_quantize_int8,
@@ -923,9 +1002,11 @@ QUERIES = {
     "sim_ivf_kmeans": sim_ivf_kmeans,
     "sim_lsh_cosine": sim_lsh_cosine,
     "sim_lsh_recall": sim_lsh_recall,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLES = {
+    "dedup_semantic": _SEMANTIC_SQL,
     "emb_norm_profile": _NORM_SQL,
     "emb_quantize_int8": _QUANT_SQL,
     "sim_topk_bruteforce": _BRUTE_SQL,

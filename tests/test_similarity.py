@@ -276,3 +276,29 @@ def test_lsh_family_null_embeddings_match_oracle(spark, tmp_path_factory):
             assert _normalize(spark_pd, cols) == _normalize(duck_pd, cols), name
     finally:
         con.close()
+
+
+def test_dedup_semantic_prunes_every_clone_to_its_source(spark, sf_dir):
+    """Every planted clone (vec_id+1M, identical vector) must appear as
+    a pruned row whose keeper is its source at cosine 1.0, in the
+    source's cluster — and no un-cloned natural pair may cross the 0.9
+    threshold on the random fixture (max natural cosine ~0.47)."""
+    from codegraph_spark.queries.similarity import (
+        _trained_inverted_file,
+        dedup_semantic,
+    )
+
+    out = dedup_semantic(spark, sf_dir)
+    rows = {r["pruned_id"]: r for r in out.collect()}
+    inv = {
+        r["vec_id"]: r["cluster"]
+        for r in _trained_inverted_file(spark, sf_dir).collect()
+    }
+    clone_ids = [v + 1_000_000 for v in inv if v % 40 == 0]
+    assert clone_ids, "fixture must plant at least one clone"
+    assert set(rows) == set(clone_ids)  # all clones pruned, nothing else
+    for cid in clone_ids:
+        r = rows[cid]
+        assert r["kept_id"] == cid - 1_000_000
+        assert r["cosine"] == 1.0
+        assert r["cluster"] == inv[cid - 1_000_000]
