@@ -72,6 +72,7 @@ _REVERIFY: dict[str, int] = {
     "sim_lsh_cosine": 6,   # round 6: banded OR-union, ceiling removed
     "graph_kcore": 6,      # round 6: fixpoint peel (was fixed 8 rounds)
     "dedup_semantic": 6,   # round 6: new (SemDeDup cluster-then-cosine)
+    "text_cross_doc_coverage": 6,  # round 6: new (cross-doc span coverage)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

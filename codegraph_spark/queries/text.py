@@ -728,6 +728,137 @@ ORDER BY lang
 """
 
 
+# --- text_cross_doc_coverage: repeated-substring span coverage ---------------
+#: positional n-gram width for the cross-document span detector (Lee
+#: et al. 2022 use 50 tokens at web scale; 8 keeps the synthetic
+#: fixture non-vacuous while exercising the identical plan shape)
+_XDOC_N = 8
+
+
+def text_cross_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv 2107.06499):
+    for every document, the fraction of its tokens lying inside a
+    token-8-gram that also occurs verbatim in ANOTHER document —
+    the positional, span-level complement of the set-level
+    ``text_dup_ngram_coverage`` (a doc quoting one long passage scores
+    high here even when its distinct-shingle overlap is low).
+
+    Published systems build a corpus suffix array; the Spark-native
+    equivalent is a positional-gram posting join — the same signal at
+    fixed n without the global sorted structure:
+
+    1. positional 8-grams (one map-side transform over the token
+       array — rows = token mass, no shuffle);
+    2. cross-doc grams: GROUP BY gram content, keep df ≥ 2 docs
+       (map-side-combining two-phase distinct; shuffle keyed by gram);
+    3. left-semi back on the gram (a hot boilerplate gram contributes
+       its occurrence count, linear — never a pair join);
+    4. per-doc interval union of the surviving [p, p+7] spans via
+       gaps-and-islands (doc-partitioned window, never global).
+
+    Output per doc: token count, covered-token count, per-mille
+    coverage (integer — no float hash surface)."""
+    n = _XDOC_N
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.concat_ws(" ", F.slice("toks", p, n)).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.select("gram", "doc_id").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    cov = grams.join(dup, "gram", "left_semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = (
+        cov.withColumn("prev", F.lag("p").over(w))
+        .withColumn(
+            "brk",
+            (F.col("prev").isNull() | (F.col("p") - F.col("prev") >= n)).cast("int"),
+        )
+        .withColumn("isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    cov_doc = (
+        isl.groupBy("doc_id", "isl")
+        .agg((F.max("p") - F.min("p") + n).alias("clen"))
+        .groupBy("doc_id")
+        .agg(F.sum("clen").cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        toks.join(cov_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.floor(
+                F.coalesce("covered_tokens", F.lit(0)) * 1000
+                / F.col("n_tokens").cast("double")
+            ).cast("bigint").alias("covered_pm"),
+        )
+    )
+
+
+_XDOC_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT doc_id, p, array_to_string(list_slice(toks, p, p + {_XDOC_N - 1}), ' ') AS gram
+    FROM (SELECT doc_id, toks, unnest(range(1, n_tokens - {_XDOC_N - 2})) AS p FROM toks)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT doc_id, p FROM grams WHERE gram IN (SELECT gram FROM dup)),
+isl AS (
+    SELECT doc_id, p,
+           CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w >= {_XDOC_N}
+                THEN 1 ELSE 0 END AS brk
+    FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+isl2 AS (
+    SELECT doc_id, p,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM isl
+),
+cov_doc AS (
+    SELECT doc_id, CAST(sum(clen) AS BIGINT) AS covered_tokens FROM (
+        SELECT doc_id, isl, max(p) - min(p) + {_XDOC_N} AS clen
+        FROM isl2 GROUP BY doc_id, isl
+    ) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CAST(floor(COALESCE(c.covered_tokens, 0) * 1000
+            / CAST(t.n_tokens AS DOUBLE)) AS BIGINT) AS covered_pm
+FROM toks t LEFT JOIN cov_doc c USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_length_profile": text_length_profile,
@@ -743,9 +874,11 @@ QUERIES = {
     "text_pii_flag": text_pii_flag,
     "text_repetition": text_repetition,
     "corpus_pack_shards": corpus_pack_shards,
+    "text_cross_doc_coverage": text_cross_doc_coverage,
 }
 
 ORACLES = {
+    "text_cross_doc_coverage": _XDOC_SQL,
     "text_length_profile": _LENGTH_PROFILE_SQL,
     "text_lm_score": _LM_SQL,
     "text_dup_ngram_coverage": _dup_coverage_sql(),

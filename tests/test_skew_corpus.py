@@ -37,8 +37,10 @@ SKEW_SET = [
     "dedup_cluster_cc",
     "text_contamination",
     "text_dup_ngram_coverage",
+    "text_cross_doc_coverage",
     "text_lm_score",
     "sim_lsh_cosine",
+    "dedup_semantic",
     "sim_lsh_recall",
     "emb_quantize_int8",
     "ev_asof_join",
