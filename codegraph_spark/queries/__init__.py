@@ -73,6 +73,7 @@ _REVERIFY: dict[str, int] = {
     "graph_kcore": 6,      # round 6: fixpoint peel (was fixed 8 rounds)
     "dedup_semantic": 6,   # round 6: new (SemDeDup cluster-then-cosine)
     "text_cross_doc_coverage": 6,  # round 6: new (cross-doc span coverage)
+    "stream_interval_join": 6,     # round 6: new (stream-stream interval join)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

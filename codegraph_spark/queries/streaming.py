@@ -213,6 +213,75 @@ GROUP BY user_id, session_id
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (§2.8) — the
+    ad-attribution shape: each click joins every view by the SAME user
+    within the preceding 4 hours. Both sides are event-time watermarked
+    and the join predicate carries an explicit time-range bound, so the
+    engine derives a finite state-retention window per side (a view is
+    droppable once the click watermark passes v_ts + horizon; a click
+    once the view watermark passes c_ts) — state stays bounded by the
+    horizon at any input rate, sharded by the user_id equi-key: the
+    1000-executor layout is the join shuffle itself. Inner join +
+    append mode emits each match exactly once as it forms; the drained
+    result must equal the batch interval join however the input splits
+    into micro-batches. Lag is reported in integer microseconds
+    (engine-exact, no float hash surface)."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        interval_join_views_clicks(ev), output_mode="append", state_partitions=8
+    )
+
+
+def interval_join_views_clicks(
+    ev: DataFrame, horizon: str = "4 hours", watermark: str = "8 hours"
+) -> DataFrame:
+    """The view←click interval join over a (possibly streaming) events
+    DataFrame — shared by :func:`stream_interval_join` and the
+    cross-micro-batch tests."""
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts"
+            f" AND c_ts <= v_ts + interval {horizon}"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+
+
+_STREAM_INTERVAL_SQL = """
+SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+FROM events v JOIN events c
+  ON c.user_id = v.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+"""
+
+
 def _asof_oracle() -> str:
     from codegraph_spark.queries.events import _ASOF_SQL
 
@@ -226,8 +295,10 @@ QUERIES = {
     "stream_running_totals": stream_running_totals,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_sessionize": stream_sessionize,
+    "stream_interval_join": stream_interval_join,
 }
 ORACLES = {
+    "stream_interval_join": _STREAM_INTERVAL_SQL,
     "stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "stream_hourly_counts": _STREAM_HOURLY_SQL,
     "stream_funnel": _STREAM_FUNNEL_SQL,

@@ -165,3 +165,43 @@ def test_streaming_asof_preserves_snowflake_scale_ids(spark, tmp_path):
            for r in run_available_now(streaming_asof(stream),
                                       output_mode="append").collect()}
     assert out[big_purchase] == (big_view, 7)
+
+
+def test_stream_interval_join_matches_across_batches(spark, tmp_path):
+    """A view in micro-batch 1 must join a click arriving in batch 2
+    (join state carries across batches); clicks outside the horizon or
+    before the view must not match."""
+    import datetime as dt
+
+    from codegraph_spark.queries.streaming import interval_join_views_clicks
+    from codegraph_spark.streaming.incremental import run_available_now
+
+    src = str(tmp_path / "ij")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+    # batch 1: user 1 views at t0; user 2 clicks at t1 (no prior view)
+    spark.createDataFrame(
+        [(10, 1, "view", t(0)), (20, 2, "click", t(1))], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    # batch 2: user 1 clicks inside the 10-min horizon (MATCH, cross-
+    # batch), again outside it (no match), and user 2 views AFTER its
+    # click (no match — clicks only look back)
+    spark.createDataFrame(
+        [(11, 1, "click", t(5)), (12, 1, "click", t(30)),
+         (21, 2, "view", t(6))],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    rows = run_available_now(
+        interval_join_views_clicks(stream, horizon="10 minutes"),
+        output_mode="append",
+    ).collect()
+    assert [(r.user_id, r.view_id, r.click_id, r.lag_us) for r in rows] == [
+        (1, 10, 11, 300_000_000)
+    ]
