@@ -74,6 +74,8 @@ _REVERIFY: dict[str, int] = {
     "dedup_semantic": 6,   # round 6: new (SemDeDup cluster-then-cosine)
     "text_cross_doc_coverage": 6,  # round 6: new (cross-doc span coverage)
     "stream_interval_join": 6,     # round 6: new (stream-stream interval join)
+    "corpus_temperature_mix": 6,   # round 6: new (temperature-sampled mix)
+    "vocab_bpe_merges": 6,         # round 6: new (iterative BPE training)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

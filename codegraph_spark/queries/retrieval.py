@@ -278,14 +278,166 @@ GROUP BY doc_id
 """
 
 
+# --- vocab_bpe_merges: iterative BPE tokenizer training -----------------------
+_BPE_ROUNDS = 4
+
+
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv 1508.07909):
+    ``_BPE_ROUNDS`` full merge iterations — count adjacent symbol
+    pairs, merge the winner corpus-wide, recount — returning the merge
+    table (rank, lhs, rhs, merged, n) a tokenizer consumes.
+    ``vocab_bpe_pairs`` is one counting round; this is the loop.
+
+    Scale shape: training runs on the WORD HISTOGRAM, not the corpus —
+    the classic reduction (Zipf: distinct words ≪ token mass), so one
+    corpus-mass shuffle builds (word, freq) and every merge round
+    touches histogram-sized data only. Per round: pair counts are a
+    (pair)-keyed map-side-combining agg weighted by freq; the winner is
+    TakeOrderedAndProject (never a global sort); the merge rewrite is
+    word-partitioned windows — leftmost-non-overlapping occurrences
+    selected by run parity ((i - run_start) % 2 = 0; runs of
+    overlapping matches only exist when lhs = rhs). Pair counting
+    counts overlapping occurrences, exactly like the reference
+    Counter over zip(word, word[1:]).
+
+    The trained rounds are deterministic (total-order tie-break
+    n DESC, lhs, rhs), so the oracle unrolls into chained CTEs
+    (:func:`_bpe_merges_sql`) like the k-means quantizer's."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn(
+            "sym",
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        )
+    )
+    merges: list[DataFrame] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        e = w.select("word", "freq", F.posexplode("sym").alias("i", "s"))
+        win = Window.partitionBy("word").orderBy("i")
+        p = e.withColumn("nx", F.lead("s").over(win))
+        cnt = (
+            p.filter(F.col("nx").isNotNull())
+            .groupBy(F.col("s").alias("la"), F.col("nx").alias("lb"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = cnt.orderBy(F.desc("n"), "la", "lb").limit(1).localCheckpoint(eager=False)
+        merges.append(
+            best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("la").alias("lhs"),
+                F.col("lb").alias("rhs"),
+                F.concat("la", "lb").alias("merged"),
+                "n",
+            )
+        )
+        if r == _BPE_ROUNDS:
+            break
+        b = F.broadcast(best.select(F.col("la").alias("_a"), F.col("lb").alias("_b")))
+        m = p.crossJoin(b).withColumn(
+            "m",
+            F.coalesce(
+                (F.col("s") == F.col("_a")) & (F.col("nx") == F.col("_b")),
+                F.lit(False),
+            ),
+        )
+        wg = Window.partitionBy("word", "m").orderBy("i")
+        wr = Window.partitionBy("word", "m", "grp")
+        m = (
+            m.withColumn("grp", F.col("i") - F.row_number().over(wg))
+            .withColumn(
+                "take", F.col("m") & (((F.col("i") - F.min("i").over(wr)) % 2) == 0)
+            )
+            .withColumn("keep", ~F.coalesce(F.lag("take").over(win), F.lit(False)))
+            .withColumn(
+                "so", F.when(F.col("take"), F.concat("_a", "_b")).otherwise(F.col("s"))
+            )
+        )
+        w = (
+            m.filter("keep")
+            .groupBy("word", "freq")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "so"))).alias("ps"))
+            .select("word", "freq", F.transform("ps", lambda st: st.so).alias("sym"))
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_merges_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled-CTE oracle for :func:`vocab_bpe_merges` — per round:
+    pair count + argmax CTE, then the parity-rule merge rewrite.
+    DuckDB positions are 1-based vs posexplode's 0-based; the parity
+    and run grouping use only position DIFFERENCES, so the offset
+    cancels."""
+    parts = [
+        """w1 AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS sym
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""e{r} AS MATERIALIZED (
+    SELECT word, freq, i, s, lead(s) OVER (PARTITION BY word ORDER BY i) AS nx
+    FROM (SELECT word, freq, generate_subscripts(sym, 1) AS i, unnest(sym) AS s
+          FROM w{r}))""")
+        parts.append(f"""best{r} AS MATERIALIZED (
+    SELECT s AS la, nx AS lb, CAST(SUM(freq) AS BIGINT) AS n
+    FROM e{r} WHERE nx IS NOT NULL
+    GROUP BY s, nx ORDER BY n DESC, la, lb LIMIT 1)""")
+        if r < rounds:
+            parts.append(f"""k{r} AS MATERIALIZED (
+    SELECT word, freq, i,
+           NOT coalesce(lag(take) OVER (PARTITION BY word ORDER BY i), false) AS keep,
+           CASE WHEN take THEN (SELECT la || lb FROM best{r}) ELSE s END AS so
+    FROM (
+        SELECT word, freq, i, s,
+               m AND ((i - min(i) OVER (PARTITION BY word, m, grp)) % 2 = 0) AS take
+        FROM (
+            SELECT word, freq, i, s, m,
+                   i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp
+            FROM (
+                SELECT word, freq, i, s,
+                       coalesce(s = (SELECT la FROM best{r})
+                                AND nx = (SELECT lb FROM best{r}), false) AS m
+                FROM e{r}
+            )
+        )
+    ))""")
+            parts.append(f"""w{r + 1} AS MATERIALIZED (
+    SELECT word, freq, list(so ORDER BY i) AS sym
+    FROM k{r} WHERE keep GROUP BY word, freq)""")
+    tail = (
+        "\n"
+        + "\nUNION ALL ".join(
+            f"SELECT {r} AS merge_rank, la AS lhs, lb AS rhs, la || lb AS merged, n"
+            f" FROM best{r}"
+            for r in range(1, rounds + 1)
+        )
+        + "\nORDER BY merge_rank"
+    )
+    return "WITH " + ",\n".join(parts) + tail
+
+
 QUERIES = {
     "text_bm25_search": text_bm25_search,
     "vocab_top_df": vocab_top_df,
     "vocab_bpe_pairs": vocab_bpe_pairs,
+    "vocab_bpe_merges": vocab_bpe_merges,
     "vocab_oov_rate": vocab_oov_rate,
 }
 
 ORACLES = {
+    "vocab_bpe_merges": _bpe_merges_sql(),
     "text_bm25_search": _BM25_SQL,
     "vocab_top_df": _VOCAB_SQL,
     "vocab_bpe_pairs": _BPE_SQL,

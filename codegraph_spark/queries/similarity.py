@@ -941,6 +941,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_trained_inverted_file` — the same cached inverted file
     sim_ivf_kmeans probes).
 
+    Scale contract — k TRACKS CORPUS SIZE, it is not a constant: at
+    fixed k, n²/k is still quadratic (the 10× probe measures ~21×,
+    SCALE.md), so the production setting is k ≈ n / occupancy — the
+    whole train/assign path is already k-parametric
+    (``train_ivf_kmeans(emb, k)``), which holds Σ|cluster|² at
+    ~occupancy·n, LINEAR in n (SemDeDup itself trains 50k clusters
+    on embedding corpora for exactly this reason;
+    tests/test_similarity.py pins per-row pair volume bounded under
+    adaptive k). The oracle gate runs fixed k=8 because the unrolled
+    seeding CTEs are structural in k — the gate verifies the
+    algorithm; the k policy is the documented 100 TB swap, same
+    pattern as vocab_top_df's approx_count_distinct.
+
     The synthetic embeddings are random (max natural within-cluster
     cosine ≈0.47 at sf0.01), so the corpus is augmented with the same
     deterministic planted duplicates as dedup_embedding_cosine — every

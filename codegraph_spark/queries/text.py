@@ -252,6 +252,71 @@ ORDER BY lang
 """
 
 
+# --- corpus_temperature_mix: temperature-sampled mixture weights --------------
+#: sampling temperature (XLM-R / mBERT convention: p_i ∝ m_i^T flattens
+#: the natural language distribution toward uniform as T → 0)
+_MIX_TEMP = 0.7
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled mixture weights per language — the data-mix
+    step of a multilingual training run (Conneau et al. 2020, XLM-R,
+    arXiv 1911.02116: sample language i with probability ∝ m_i^T so
+    low-resource strata are upsampled relative to their token mass).
+
+    Numeric discipline: the only float op is the scalar ``pow`` on each
+    stratum's EXACT integer token mass, immediately snapped to an
+    integer milli-unit weight; the normalization is then pure integer
+    arithmetic (BIGINT multiply + integer division — never a float
+    SUM, which is partition-order-dependent across engines). One
+    aggregation keyed by lang; the weight table is broadcast-sized at
+    any corpus scale (strata = languages, not rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", F.size(F.split(F.col("text"), " ")).alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    powed = per.withColumn(
+        "wi",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_TEMP)) * 1000
+        ).cast("bigint"),
+    )
+    tot = powed.select(
+        F.sum("n_tokens").alias("tt"), F.sum("wi").alias("tw")
+    )
+    return (
+        powed.crossJoin(tot)
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV tt").alias("natural_ppm"),
+            F.expr("wi * 1000000 DIV tw").alias("temp_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMP_MIX_SQL = f"""
+WITH per AS (
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+powed AS (
+    SELECT *, CAST(ROUND(pow(CAST(n_tokens AS DOUBLE), {_MIX_TEMP}) * 1000) AS BIGINT) AS wi
+    FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // CAST(SUM(n_tokens) OVER () AS BIGINT) AS BIGINT) AS natural_ppm,
+       CAST(wi * 1000000 // CAST(SUM(wi) OVER () AS BIGINT) AS BIGINT) AS temp_ppm
+FROM powed
+ORDER BY lang
+"""
+
+
 # --- corpus_pack_shards: token-budgeted sequence packing ----------------------
 _PACK_BUDGET = 4096   # tokens per training shard
 _PACK_BUCKETS = 32    # prefix-sum parallelism (executor-count-sized at scale)
@@ -875,10 +940,12 @@ QUERIES = {
     "text_repetition": text_repetition,
     "corpus_pack_shards": corpus_pack_shards,
     "text_cross_doc_coverage": text_cross_doc_coverage,
+    "corpus_temperature_mix": corpus_temperature_mix,
 }
 
 ORACLES = {
     "text_cross_doc_coverage": _XDOC_SQL,
+    "corpus_temperature_mix": _TEMP_MIX_SQL,
     "text_length_profile": _LENGTH_PROFILE_SQL,
     "text_lm_score": _LM_SQL,
     "text_dup_ngram_coverage": _dup_coverage_sql(),

@@ -302,3 +302,31 @@ def test_dedup_semantic_prunes_every_clone_to_its_source(spark, sf_dir):
         assert r["kept_id"] == cid - 1_000_000
         assert r["cosine"] == 1.0
         assert r["cluster"] == inv[cid - 1_000_000]
+
+
+def test_semantic_dedup_pair_volume_stays_linear_with_adaptive_k(spark):
+    """dedup_semantic's scale contract: with k tracking corpus size
+    (k = n / occupancy), the within-cluster candidate-pair volume
+    Σ C(|cluster|, 2) stays ~linear in n — pairs-per-row bounded by a
+    small multiple of the occupancy target — instead of the n²/k
+    growth a fixed k would give. Measured from the real trained
+    quantizer's cluster histogram (no pair materialization)."""
+    from codegraph_spark.queries.similarity import assign_ivf, train_ivf_kmeans
+
+    occupancy = 128
+    per_row = {}
+    for n in (1024, 4096):
+        emb = _synthetic_embeddings(spark, n, dim=16).select(
+            "vec_id", F.col("embedding").alias("v")
+        )
+        k = max(8, n // occupancy)
+        cents = train_ivf_kmeans(emb, k=k, iters=1)
+        sizes = assign_ivf(emb, cents).groupBy("cluster").count().collect()
+        pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+        per_row[n] = pairs / n
+    # k-means on a well-spread corpus is not perfectly balanced; allow
+    # generous imbalance but pin the SHAPE: pairs-per-row must not grow
+    # with n (fixed k would multiply it ~4x here) and must stay within
+    # a small multiple of the occupancy target.
+    assert per_row[4096] <= 2.0 * per_row[1024]
+    assert per_row[4096] <= 4 * occupancy

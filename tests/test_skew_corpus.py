@@ -38,6 +38,8 @@ SKEW_SET = [
     "text_contamination",
     "text_dup_ngram_coverage",
     "text_cross_doc_coverage",
+    "corpus_temperature_mix",
+    "vocab_bpe_merges",
     "text_lm_score",
     "sim_lsh_cosine",
     "dedup_semantic",

@@ -54,12 +54,34 @@ PROBES = [
     "vocab_oov_rate",
     "ev_inactive_gap",
     "corpus_split",
+    "dedup_semantic",
+    "text_cross_doc_coverage",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
 #: data ratio (10x) — the empirical "hidden quadratic" line; host noise
 #: and fixed overheads keep honest linear pipelines well under it.
 FLAG_FACTOR = 2.5
+
+#: named causes for probes that sit between the data ratio and the flag
+#: line — a generic "fixed overheads" gloss would hide real
+#: scale-design conditions (the r5 lesson: name the cause, then fix or
+#: contract it).
+PROBE_NOTES = {
+    "dedup_containment": (
+        "output growth — the 10x replica's near-dup density multiplies "
+        "qualifying pairs, and verify work is output-sized"
+    ),
+    "dedup_semantic": (
+        "the probe runs the oracle-gate configuration (fixed k=8 "
+        "clusters), where within-cluster pair volume is n²/k — "
+        "quadratic by construction; the production contract sets "
+        "k ∝ n/occupancy (train_ivf_kmeans is k-parametric), which "
+        "holds pair volume linear — pinned by "
+        "tests/test_similarity.py::"
+        "test_semantic_dedup_pair_volume_stays_linear_with_adaptive_k"
+    ),
+}
 
 
 def build_scaled(spark) -> None:
@@ -306,9 +328,11 @@ def main() -> None:
         if between:
             f.write(
                 f"- Above the data ratio but under the {FLAG_FACTOR:.1f}x-of-data\n"
-                f"  flag line (fixed overheads / output growth, not plan\n"
-                f"  shape): {', '.join('`%s`' % n for n in between)}.\n"
+                f"  flag line: {', '.join('`%s`' % n for n in between)}.\n"
             )
+            for n in between:
+                if n in PROBE_NOTES:
+                    f.write(f"  - `{n}`: {PROBE_NOTES[n]}\n")
         if flagged:
             f.write(
                 f"- **FLAGGED superlinear (> {REPLICAS * FLAG_FACTOR:.0f}x):** "
