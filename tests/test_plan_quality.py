@@ -36,6 +36,11 @@ _UNKEYED_JOIN_OK = {
     "sim_lsh_recall",           # broadcast probe sample, BOUNDED by the
                                 # corpus-adaptive stride (~1-2k rows at any n)
     "dedup_embedding_cosine",
+    "dedup_semantic",           # broadcast k centroids (shared trained
+                                # inverted file) + 1-row threshold scalars
+    "corpus_temperature_mix",   # crossJoin(1-row integer weight totals)
+    "vocab_bpe_merges",         # per-round crossJoin(broadcast 1-row
+                                # winning pair)
     "j8_mentions_topk",         # substring θ-join — non-equi BY SEMANTICS,
                                 # small name-dim side broadcast (docs scan in place)
     "join_bloom_semi",          # crossJoin(1-row bloom bitmap)
