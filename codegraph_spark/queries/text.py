@@ -252,6 +252,106 @@ ORDER BY lang
 """
 
 
+# --- corpus_split_leakage: cross-split n-gram leakage audit -------------------
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→heldout leakage audit: for each heldout split (val/test,
+    by ``corpus_split``'s hash rule), how many documents share at least
+    one word-3-gram with ANY train document — the pre-release
+    complement of ``text_contamination`` (that one checks a designated
+    eval SOURCE; this one checks the split boundary itself, which is
+    where random-split pipelines actually leak via boilerplate and
+    near-dup clusters straddling the hash partition).
+
+    One corpus-mass shuffle keyed by shingle content (train side
+    reduced to DISTINCT grams first — map-side combine), a left-semi
+    back on the gram, and a doc-level distinct; per-split output rows
+    with integer per-mille leak rate. Linear at any corpus size; the
+    usual hot-gram df-cutoff applies at 100 TB (dropping hot grams
+    only lowers the leak count — the release gate re-verifies flagged
+    docs exactly, same contract as text_contamination)."""
+    from codegraph_spark.queries.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000
+    )
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    )
+    census = (
+        docs.select(split.alias("split"))
+        .filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    sh = _shingles(spark, sf_dir).withColumn("split", split)
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    leaked = (
+        sh.filter(F.col("split") != "train")
+        .join(train_sh, "shingle", "left_semi")
+        .select("split", "doc_id")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    return (
+        census.join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+            F.floor(
+                F.coalesce("n_leaked", F.lit(0)) * 1000
+                / F.col("n_docs").cast("double")
+            ).cast("bigint").alias("leaked_pm"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from codegraph_spark.queries.dedup import _SHINGLES_CTE
+
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sp AS (
+    SELECT doc_id,
+           CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1000 AS b
+        FROM documents
+    )
+),
+census AS (
+    SELECT split, count(*) AS n_docs FROM sp WHERE split <> 'train'
+    GROUP BY split
+),
+train_sh AS (
+    SELECT DISTINCT s.shingle
+    FROM shingles s JOIN sp ON sp.doc_id = s.doc_id
+    WHERE sp.split = 'train'
+),
+leaked AS (
+    SELECT sp.split, count(DISTINCT s.doc_id) AS n_leaked
+    FROM shingles s
+    JOIN sp ON sp.doc_id = s.doc_id
+    WHERE sp.split <> 'train'
+      AND s.shingle IN (SELECT shingle FROM train_sh)
+    GROUP BY sp.split
+)
+SELECT c.split, c.n_docs,
+       CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+       CAST(FLOOR(COALESCE(l.n_leaked, 0) * 1000
+            / CAST(c.n_docs AS DOUBLE)) AS BIGINT) AS leaked_pm
+FROM census c LEFT JOIN leaked l USING (split)
+ORDER BY c.split
+"""
+
+
 # --- corpus_temperature_mix: temperature-sampled mixture weights --------------
 #: sampling temperature (XLM-R / mBERT convention: p_i ∝ m_i^T flattens
 #: the natural language distribution toward uniform as T → 0)
@@ -941,9 +1041,11 @@ QUERIES = {
     "corpus_pack_shards": corpus_pack_shards,
     "text_cross_doc_coverage": text_cross_doc_coverage,
     "corpus_temperature_mix": corpus_temperature_mix,
+    "corpus_split_leakage": corpus_split_leakage,
 }
 
 ORACLES = {
+    "corpus_split_leakage": _split_leakage_sql(),
     "text_cross_doc_coverage": _XDOC_SQL,
     "corpus_temperature_mix": _TEMP_MIX_SQL,
     "text_length_profile": _LENGTH_PROFILE_SQL,

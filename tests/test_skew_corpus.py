@@ -40,6 +40,7 @@ SKEW_SET = [
     "text_cross_doc_coverage",
     "corpus_temperature_mix",
     "vocab_bpe_merges",
+    "corpus_split_leakage",
     "text_lm_score",
     "sim_lsh_cosine",
     "dedup_semantic",
