@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from codegraph_spark.queries.similarity import CLONE_EVERY, CLONE_OFFSET
 from codegraph_spark.sources.tables import load_table
 
 # MinHash parameters: k=16 hash functions h_i(x) = (a_i*x + b_i) mod P,
@@ -705,11 +706,10 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus property, deterministic and oracle-matched); a production
     deployment uses 64-bit fingerprints, where radius-3 balls are
     sparse, with the identical band-join + popcount-verify plan."""
+    from codegraph_spark.queries.similarity import plant_clones
+
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    clones = base.filter(F.col("doc_id") % 40 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    fp = _simhash_fingerprints(base.unionByName(clones))
+    fp = _simhash_fingerprints(plant_clones(base, "doc_id"))
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -744,10 +744,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_hamming_sql() -> str:
-    docs = """docs AS (
+    docs = f"""docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+    SELECT doc_id + {CLONE_OFFSET}, text FROM documents
+    WHERE doc_id % {CLONE_EVERY} = 0
 )"""
     return f"""WITH {docs},
 {_simhash_core_sql("docs")},
@@ -774,13 +775,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted duplicates — every 40th vector cloned under ``vec_id +
     1_000_000`` — making the gate exercise the join and the cosine math
     instead of passing vacuously on an empty result."""
+    from codegraph_spark.queries.similarity import plant_clones
+
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
-    clones = base.filter(F.col("vec_id") % 40 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v", "label"
-    )
-    emb = base.unionByName(clones)
+    emb = plant_clones(base, "vec_id")
     a, b = emb.alias("a"), emb.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -800,11 +800,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_SQL = """
+_EMB_SQL = f"""
 WITH emb AS (
     SELECT vec_id, embedding, label FROM embeddings
     UNION ALL
-    SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id % 40 = 0
+    SELECT vec_id + {CLONE_OFFSET}, embedding, label FROM embeddings
+    WHERE vec_id % {CLONE_EVERY} = 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 2) AS cosine

@@ -316,6 +316,10 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sym",
             F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
         )
+        # checkpoint the histogram too: round 1's argmax and round 1's
+        # merge rewrite are separate physical plans — without this the
+        # corpus-mass explode+groupBy executes twice
+        .localCheckpoint(eager=False)
     )
     merges: list[DataFrame] = []
     for r in range(1, _BPE_ROUNDS + 1):

@@ -32,6 +32,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the ONE planted-duplicate rule for synthetic-corpus dedup gates
+#: (dedup_simhash*, dedup_embedding_cosine, dedup_semantic): every
+#: CLONE_EVERY-th row cloned under id + CLONE_OFFSET. Shared so the
+#: "same deterministic planted duplicates" coupling the docstrings
+#: promise cannot drift between operators; the SQL oracles interpolate
+#: the same constants.
+CLONE_EVERY = 40
+CLONE_OFFSET = 1_000_000
+
+
+def plant_clones(df: DataFrame, id_col: str) -> DataFrame:
+    """``df`` plus a deterministic clone of every CLONE_EVERY-th row
+    (by ``id_col``), the clone keeping every other column verbatim."""
+    clones = df.filter(F.col(id_col) % CLONE_EVERY == 0).select(
+        *[
+            (F.col(c) + CLONE_OFFSET).alias(c) if c == id_col else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return df.unionByName(clones)
+
+
 # --- brute force: exact top-k for a small query set ---------------------------
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors for query vectors (vec_id < 3) against the
@@ -966,10 +988,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine) where kept_id is the smallest-id ≥-threshold neighbor and
     cosine the similarity to that keeper."""
     inv = _trained_inverted_file(spark, sf_dir).select("vec_id", "v", "cluster")
-    clones = inv.filter(F.col("vec_id") % 40 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v", "cluster"
-    )
-    aug = inv.unionByName(clones)
+    aug = plant_clones(inv, "vec_id")
     a = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cluster")
     b = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "cluster")
     pairs = (
@@ -991,11 +1010,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMANTIC_SQL = (
     "WITH "
     + ",\n".join(_ivf_inv_cte_parts())
-    + """,
+    + f""",
 aug AS (
     SELECT vec_id, v, cluster FROM inv
     UNION ALL
-    SELECT vec_id + 1000000 AS vec_id, v, cluster FROM inv WHERE vec_id % 40 = 0
+    SELECT vec_id + {CLONE_OFFSET} AS vec_id, v, cluster FROM inv
+    WHERE vec_id % {CLONE_EVERY} = 0
 )
 SELECT a.cluster AS cluster, b.vec_id AS pruned_id,
        min(a.vec_id) AS kept_id,

@@ -177,38 +177,47 @@ SELECT doc_id, lang, bucket, rate_pm FROM (
 
 
 # --- corpus_split: deterministic train/val/test assignment --------------------
+#: the ONE hash-split rule (980/10/10 per-mille on md5(doc_id)) —
+#: corpus_split publishes it, corpus_split_leakage audits its boundary;
+#: both MUST read these helpers so the audited boundary can never
+#: drift from the published one.
+def _split_col():
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000
+    )
+    return (
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    )
+
+
+_SPLIT_CASE_SQL = """CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 980 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 990 THEN 'val'
+            ELSE 'test' END"""
+
+
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment (980/10/10 per-mille) by md5 hash of
     the doc id — the split every training run pins: shuffle-free (a
     pure map over the scan), reproducible across engines and reruns,
     and stable under corpus growth (a document's split never changes
     when other documents arrive, unlike row-number slicing). Output is
-    the per-(split, lang) census the run manifest records."""
+    the per-(split, lang) census the run manifest records. The rule
+    itself lives in :func:`_split_col` / ``_SPLIT_CASE_SQL``, shared
+    with the ``corpus_split_leakage`` audit."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 1000
-    )
-    split = (
-        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
-    )
     return (
-        docs.select(split.alias("split"), "lang")
+        docs.select(_split_col().alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
 
 
-_SPLIT_SQL = """
-SELECT CASE WHEN bucket < 980 THEN 'train'
-            WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+_SPLIT_SQL = f"""
+SELECT {_SPLIT_CASE_SQL} AS split,
        lang, count(*) AS n_docs
-FROM (
-    SELECT lang,
-           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
-    FROM documents
-)
+FROM documents
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
@@ -268,17 +277,14 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with integer per-mille leak rate. Linear at any corpus size; the
     usual hot-gram df-cutoff applies at 100 TB (dropping hot grams
     only lowers the leak count — the release gate re-verifies flagged
-    docs exactly, same contract as text_contamination)."""
+    docs exactly, same contract as text_contamination). The split rule
+    is read from the same :func:`_split_col` / ``_SPLIT_CASE_SQL``
+    ``corpus_split`` publishes — the audited boundary IS the published
+    boundary by construction."""
     from codegraph_spark.queries.dedup import _shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 1000
-    )
-    split = (
-        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
-    )
+    split = _split_col()
     census = (
         docs.select(split.alias("split"))
         .filter(F.col("split") != "train")
@@ -316,15 +322,8 @@ def _split_leakage_sql() -> str:
     return f"""
 WITH {_SHINGLES_CTE.strip()},
 sp AS (
-    SELECT doc_id,
-           CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val'
-                ELSE 'test' END AS split
-    FROM (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                   % 1000 AS b
-        FROM documents
-    )
+    SELECT doc_id, {_SPLIT_CASE_SQL} AS split
+    FROM documents
 ),
 census AS (
     SELECT split, count(*) AS n_docs FROM sp WHERE split <> 'train'
@@ -367,10 +366,14 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Numeric discipline: the only float op is the scalar ``pow`` on each
     stratum's EXACT integer token mass, immediately snapped to an
     integer milli-unit weight; the normalization is then pure integer
-    arithmetic (BIGINT multiply + integer division — never a float
-    SUM, which is partition-order-dependent across engines). One
-    aggregation keyed by lang; the weight table is broadcast-sized at
-    any corpus scale (strata = languages, not rows)."""
+    arithmetic — never a float SUM, which is partition-order-dependent
+    across engines. ⌊x·10⁶/t⌋ is computed by TWO-STEP long division
+    (⌊x·10³/t⌋·10³ + ⌊(x·10³ mod t)·10³/t⌋ — algebraically identical),
+    so every intermediate product stays under 2⁶³ out to ~10¹⁵-token
+    strata: a 100 TB corpus (~10¹³ tokens) cannot overflow int64,
+    where a direct ·10⁶ multiply would. One aggregation keyed by lang;
+    the weight table is broadcast-sized at any corpus scale (strata =
+    languages, not rows)."""
     docs = load_table(spark, sf_dir, "documents")
     per = (
         docs.select("lang", F.size(F.split(F.col("text"), " ")).alias("n"))
@@ -386,16 +389,32 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = powed.select(
         F.sum("n_tokens").alias("tt"), F.sum("wi").alias("tw")
     )
+
+    def ppm(num: str, den: str) -> str:
+        # exact ⌊num·10⁶/den⌋ without overflowing int64 (see docstring)
+        return (
+            f"(({num} * 1000) DIV {den}) * 1000"
+            f" + ((({num} * 1000) % {den}) * 1000) DIV {den}"
+        )
+
     return (
         powed.crossJoin(tot)
         .select(
             "lang",
             "n_docs",
             "n_tokens",
-            F.expr("n_tokens * 1000000 DIV tt").alias("natural_ppm"),
-            F.expr("wi * 1000000 DIV tw").alias("temp_ppm"),
+            F.expr(ppm("n_tokens", "tt")).alias("natural_ppm"),
+            F.expr(ppm("wi", "tw")).alias("temp_ppm"),
         )
         .orderBy("lang")
+    )
+
+
+def _ppm_sql(num: str, den: str) -> str:
+    """DuckDB twin of the overflow-safe two-step ⌊num·10⁶/den⌋."""
+    return (
+        f"CAST((({num} * 1000) // {den}) * 1000"
+        f" + ((({num} * 1000) % {den}) * 1000) // {den} AS BIGINT)"
     )
 
 
@@ -408,11 +427,15 @@ WITH per AS (
 powed AS (
     SELECT *, CAST(ROUND(pow(CAST(n_tokens AS DOUBLE), {_MIX_TEMP}) * 1000) AS BIGINT) AS wi
     FROM per
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt, CAST(SUM(wi) AS BIGINT) AS tw
+    FROM powed
 )
 SELECT lang, n_docs, n_tokens,
-       CAST(n_tokens * 1000000 // CAST(SUM(n_tokens) OVER () AS BIGINT) AS BIGINT) AS natural_ppm,
-       CAST(wi * 1000000 // CAST(SUM(wi) OVER () AS BIGINT) AS BIGINT) AS temp_ppm
-FROM powed
+       {_ppm_sql("n_tokens", "tt")} AS natural_ppm,
+       {_ppm_sql("wi", "tw")} AS temp_ppm
+FROM powed, tot
 ORDER BY lang
 """
 
