@@ -189,22 +189,52 @@ class PropertyGraph:
         ``edge_types`` defaults to every type present in the graph —
         one distinct-scan at ingest, never on the query path.
         """
+        # base caches first (everything below reads them — materializing
+        # them once up front keeps the concurrent jobs from racing to
+        # compute the same InMemoryRelation)
         self.nodes.count()
         self.edges.count()
         if edge_types is None:
             edge_types = [
                 r[0] for r in self.edges.select("type").distinct().collect()
             ]
-        for et in edge_types:
-            self.typed_edges(et).count()
+        # full closures build SEQUENTIALLY and FIRST: each is an
+        # iterative multi-job chain that fills the cluster by itself,
+        # and the rooted slices below memoize through self.closure()
+        # (concurrent first-builds of one memo key would race the
+        # check-then-set and leak a persisted duplicate). Rooted slices
+        # whose parent closure is not in the warm list get it seeded
+        # here for the same reason.
         for et, depth in closures:
             self.closure(et, max_depth=depth).count()
+        for _, et, depth, _ in rooted_slices:
+            self.closure(et, max_depth=depth)
+        # the remaining derived caches are independent and memoize under
+        # distinct keys: materialize them CONCURRENTLY from driver
+        # threads (the supported Spark pattern — the small warehouse
+        # build stages leave most of the cluster idle when run
+        # back-to-back, and the scheduler interleaves them).
+        from concurrent.futures import ThreadPoolExecutor
+
+        builds = []
+        for et in edge_types:
+            builds.append(lambda et=et: self.typed_edges(et).count())
         for prefix, et, depth, hops in rooted_slices:
-            self.closure_from(prefix, et, max_depth=depth, hops_leq=hops).count()
+            builds.append(
+                lambda p=prefix, et=et, d=depth, h=hops: self.closure_from(
+                    p, et, max_depth=d, hops_leq=h
+                ).count()
+            )
         for lbl in hot_labels:
-            self.by_label(lbl, cached=True).count()
+            builds.append(lambda lbl=lbl: self.by_label(lbl, cached=True).count())
         if trigram_fields:
-            self.trigram_index(tuple(trigram_fields)).count()
+            builds.append(
+                lambda tf=tuple(trigram_fields): self.trigram_index(tf).count()
+            )
+        if builds:
+            with ThreadPoolExecutor(max_workers=min(8, len(builds))) as ex:
+                for fut in [ex.submit(b) for b in builds]:
+                    fut.result()  # surface the first failure, wait for all
 
     def cached_view(self, name: str, build) -> DataFrame:
         """Named materialized view on the graph: built once by

@@ -280,9 +280,20 @@ def warm_views(spark: SparkSession, sf_dir: str) -> None:
         hot_labels=("Order",),
         trigram_fields=("name", "symbol"),
     )
-    member_symbols_view(g).count()
-    j6_deps_view(g).count()
-    j4_impact_view(g).count()
+    # the three query-layer views are independent and their shared
+    # bases (closure slice, typed edges, label subsets) are warm after
+    # warm_serving_caches — materialize them concurrently (distinct
+    # cached_view keys, so the memo check-then-set cannot race on one
+    # entry; same pattern as warm_serving_caches' parallel stage)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        for fut in [
+            ex.submit(lambda: member_symbols_view(g).count()),
+            ex.submit(lambda: j6_deps_view(g).count()),
+            ex.submit(lambda: j4_impact_view(g).count()),
+        ]:
+            fut.result()
 
 
 # --- j6: service dependency discovery (query.go:288-323) ----------------------
