@@ -208,7 +208,11 @@ class PropertyGraph:
         for et, depth in closures:
             self.closure(et, max_depth=depth).count()
         for _, et, depth, _ in rooted_slices:
-            self.closure(et, max_depth=depth)
+            # count, not just construct: an unmaterialized parent would
+            # have the concurrent slice builds below racing to compute
+            # the same InMemoryRelation partitions (when the closures
+            # list already built it, this is one cached-scan count)
+            self.closure(et, max_depth=depth).count()
         # the remaining derived caches are independent and memoize under
         # distinct keys: materialize them CONCURRENTLY from driver
         # threads (the supported Spark pattern — the small warehouse

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from codegraph_spark.queries.similarity import CLONE_EVERY, CLONE_OFFSET
+from codegraph_spark.queries.similarity import (
+    CLONE_EVERY,
+    CLONE_OFFSET,
+    plant_clones,
+)
 from codegraph_spark.sources.tables import load_table
 
 # MinHash parameters: k=16 hash functions h_i(x) = (a_i*x + b_i) mod P,
@@ -706,8 +710,6 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus property, deterministic and oracle-matched); a production
     deployment uses 64-bit fingerprints, where radius-3 balls are
     sparse, with the identical band-join + popcount-verify plan."""
-    from codegraph_spark.queries.similarity import plant_clones
-
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fp = _simhash_fingerprints(plant_clones(base, "doc_id"))
     bands = fp.select(
@@ -775,8 +777,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted duplicates — every 40th vector cloned under ``vec_id +
     1_000_000`` — making the gate exercise the join and the cosine math
     instead of passing vacuously on an empty result."""
-    from codegraph_spark.queries.similarity import plant_clones
-
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )

@@ -280,20 +280,18 @@ def warm_views(spark: SparkSession, sf_dir: str) -> None:
         hot_labels=("Order",),
         trigram_fields=("name", "symbol"),
     )
-    # the three query-layer views are independent and their shared
-    # bases (closure slice, typed edges, label subsets) are warm after
-    # warm_serving_caches — materialize them concurrently (distinct
-    # cached_view keys, so the memo check-then-set cannot race on one
-    # entry; same pattern as warm_serving_caches' parallel stage)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        for fut in [
-            ex.submit(lambda: member_symbols_view(g).count()),
-            ex.submit(lambda: j6_deps_view(g).count()),
-            ex.submit(lambda: j4_impact_view(g).count()),
-        ]:
-            fut.result()
+    # the three query-layer views build SEQUENTIALLY, deliberately NOT
+    # on the warm_serving_caches thread pool: j4_impact_view's
+    # bfs_reachable scopes session-GLOBAL conf (_tiny_shuffle: one
+    # shuffle partition, AQE off) around its round loop, which would
+    # poison any plan another thread compiles in that window; and
+    # j6_deps_view's build memoizes through member_symbols_view, so the
+    # two would contest one cached_view key (the check-then-set race
+    # graph.py engineers around). The parallel win lives in the flat
+    # warm_serving_caches stage above; these three are one chain.
+    member_symbols_view(g).count()
+    j6_deps_view(g).count()
+    j4_impact_view(g).count()
 
 
 # --- j6: service dependency discovery (query.go:288-323) ----------------------
