@@ -114,3 +114,17 @@ def test_active_dataset_with_old_entry_is_not_self_evicted(spark):
     assert "/fake/act-D" in live          # D stayed (recently touched)
     assert "/fake/act-0" not in live      # true LRU evicted
     serving.clear()
+
+
+def test_warm_views_restores_session_conf(spark, sf_dir):
+    """The warehouse build must leave session-global planning conf
+    exactly as it found it: bfs_reachable's _tiny_shuffle scope toggles
+    shuffle partitions + AQE, and a leak here silently de-optimizes
+    every subsequently compiled plan in the session (the class of bug
+    that made the concurrent view build unsafe)."""
+    from codegraph_spark.queries.traversals import warm_views
+
+    keys = ["spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"]
+    before = {k: spark.conf.get(k) for k in keys}
+    warm_views(spark, sf_dir)
+    assert {k: spark.conf.get(k) for k in keys} == before
