@@ -1027,6 +1027,124 @@ GROUP BY a.cluster, b.vec_id
 )
 
 
+# --- emb_alignment_audit: text↔embedding contract audit -----------------------
+#: planted-fault moduli (deterministic, mirrored in the oracle): drop
+#: every 17th embedding, NULL every 23rd, orphan every 31st under an
+#: id no document carries — so the audit's detectors are exercised
+#: instead of reporting zeros on the perfectly-aligned fixture
+_AUDIT_DROP, _AUDIT_NULL, _AUDIT_ORPHAN = 17, 23, 31
+
+
+def emb_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text↔embedding ALIGNMENT audit a multimodal pipeline runs
+    before training: every document must have exactly one embedding
+    row, no embedding may point at a missing document, and vectors
+    must be non-NULL with the corpus's modal dimensionality. One
+    summary row: doc/vector counts, missing / orphan / NULL-vector /
+    dim-mismatch counts.
+
+    Faults are PLANTED deterministically (the clone-plant pattern:
+    drop %17, NULL %23, orphan %31 under id+2M) because the synthetic
+    fixture is perfectly aligned — the gate then checks the detectors,
+    not a vacuous zero row.
+
+    Scale shape: two anti-joins keyed by the id (the missing and
+    orphan detectors — at 100 TB these are the same broadcast- or
+    shuffle-hash joins any integrity check pays), one modal-dim
+    histogram (group by vector length, rows = #distinct dims), and
+    single-row count aggregates; no pair stage anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb0 = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    kept = emb0.filter(F.col("vec_id") % _AUDIT_DROP != 0).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % _AUDIT_NULL == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    orphans = emb0.filter(F.col("vec_id") % _AUDIT_ORPHAN == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    emb = kept.unionByName(orphans)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_vecs = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    missing = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_missing"))
+    orphan = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphan"))
+    n_null = emb.agg(
+        F.sum(F.col("embedding").isNull().cast("long")).alias("n_null_emb")
+    )
+    # argmax as a 1-row AGGREGATE (min_by over a (-count, dim) struct),
+    # not orderBy().limit(1): the aggregate still yields its one row
+    # (NULL mode) on an empty corpus, so the summary row survives —
+    # limit(1) on an empty histogram would erase the whole crossJoin
+    # chain while the oracle's scalar subqueries still return a row
+    mode_dim = (
+        emb.filter(F.col("embedding").isNotNull())
+        .groupBy(F.size("embedding").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.min_by(
+                "dim", F.struct((-F.col("c")).alias("nc"), F.col("dim"))
+            ).cast("bigint").alias("mode_dim")
+        )
+    )
+    mismatch = (
+        emb.filter(F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(mode_dim))
+        .agg(
+            F.sum((F.size("embedding") != F.col("mode_dim")).cast("long")).alias(
+                "n_dim_mismatch"
+            )
+        )
+    )
+    return (
+        n_docs.crossJoin(n_vecs)
+        .crossJoin(missing)
+        .crossJoin(orphan)
+        .crossJoin(n_null)
+        .crossJoin(F.broadcast(mode_dim))
+        .crossJoin(mismatch)
+        .select(
+            "n_docs", "n_vecs", "n_missing", "n_orphan",
+            F.coalesce("n_null_emb", F.lit(0)).cast("bigint").alias("n_null_emb"),
+            "mode_dim",
+            F.coalesce("n_dim_mismatch", F.lit(0)).cast("bigint").alias("n_dim_mismatch"),
+        )
+    )
+
+
+_ALIGN_SQL = f"""
+WITH emb AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % {_AUDIT_NULL} = 0 THEN NULL ELSE embedding END AS embedding
+    FROM embeddings WHERE vec_id % {_AUDIT_DROP} <> 0
+    UNION ALL
+    SELECT vec_id + 2000000, embedding FROM embeddings
+    WHERE vec_id % {_AUDIT_ORPHAN} = 0
+),
+md AS (
+    SELECT CAST(dim AS BIGINT) AS mode_dim FROM (
+        SELECT len(embedding) AS dim, count(*) AS c FROM emb
+        WHERE embedding IS NOT NULL GROUP BY 1
+    ) ORDER BY c DESC, dim LIMIT 1
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM emb) AS n_vecs,
+       (SELECT count(*) FROM documents d
+         WHERE d.doc_id NOT IN (SELECT vec_id FROM emb)) AS n_missing,
+       (SELECT count(*) FROM emb e
+         WHERE e.vec_id NOT IN (SELECT doc_id FROM documents)) AS n_orphan,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM emb) AS n_null_emb,
+       (SELECT mode_dim FROM md) AS mode_dim,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN len(embedding) <> md.mode_dim THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM emb, md WHERE embedding IS NOT NULL) AS n_dim_mismatch
+"""
+
+
 QUERIES = {
     "emb_norm_profile": emb_norm_profile,
     "emb_quantize_int8": emb_quantize_int8,
@@ -1036,10 +1154,12 @@ QUERIES = {
     "sim_lsh_cosine": sim_lsh_cosine,
     "sim_lsh_recall": sim_lsh_recall,
     "dedup_semantic": dedup_semantic,
+    "emb_alignment_audit": emb_alignment_audit,
 }
 
 ORACLES = {
     "dedup_semantic": _SEMANTIC_SQL,
+    "emb_alignment_audit": _ALIGN_SQL,
     "emb_norm_profile": _NORM_SQL,
     "emb_quantize_int8": _QUANT_SQL,
     "sim_topk_bruteforce": _BRUTE_SQL,

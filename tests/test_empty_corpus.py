@@ -35,6 +35,7 @@ _REQUIRES_DATA: set[str] = set()
 #: run and report zero/NULL counts, not that they vanish.
 _GLOBAL_ROWS = {
     "a6_stats_summary",
+    "emb_alignment_audit",
     "corpus_dedup_rate",
     "a7_health_counts",
     "corpus_filter_funnel",

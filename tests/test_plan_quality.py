@@ -39,6 +39,7 @@ _UNKEYED_JOIN_OK = {
     "dedup_semantic",           # broadcast k centroids (shared trained
                                 # inverted file) + 1-row threshold scalars
     "corpus_temperature_mix",   # crossJoin(1-row integer weight totals)
+    "emb_alignment_audit",      # summary row = crossJoin chain of 1-row aggregates
     "vocab_bpe_merges",         # per-round crossJoin(broadcast 1-row
                                 # winning pair)
     "j8_mentions_topk",         # substring θ-join — non-equi BY SEMANTICS,

@@ -46,6 +46,7 @@ SKEW_SET = [
     "dedup_semantic",
     "sim_lsh_recall",
     "emb_quantize_int8",
+    "emb_alignment_audit",
     "ev_asof_join",
     "ev_funnel",
     "ev_retention",
