@@ -78,6 +78,7 @@ _REVERIFY: dict[str, int] = {
     "vocab_bpe_merges": 6,         # round 6: new (iterative BPE training)
     "corpus_split_leakage": 6,     # round 6: new (cross-split leakage audit)
     "emb_alignment_audit": 6,      # round 6: new (text-embedding alignment audit)
+    "text_gopher_quality": 6,      # round 6: new (Gopher rule-bundle filter)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

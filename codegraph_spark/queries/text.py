@@ -1047,8 +1047,110 @@ FROM toks t LEFT JOIN cov_doc c USING (doc_id)
 """
 
 
+# --- text_gopher_quality: the Gopher rule-bundle quality filter --------------
+#: Rae et al. 2021 (arXiv 2112.11446, table A1) document-level filter
+#: rules, restated over the word stream (the fixture is single-line, so
+#: the line-shape rules — bullet/ellipsis line fractions — are vacuous
+#: here and omitted; the word rules carry the discriminating power:
+#: 223/500 sf0.01 docs fail the word-count floor, 183/500 the stopword
+#: rule). Thresholds are the published ones.
+_GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "that", "with", "be"]
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter audit: evaluate each published rule per
+    document, report per-language fail counts and the surviving-doc
+    count — the go/no-go summary a corpus curation run reads before
+    committing a filter config.
+
+    Rules (all integer-exact — cross-multiplied instead of ratios, so
+    the oracle hash cannot drift on float division):
+
+    - word count in [50, 100 000]
+    - mean word length in [3, 10]  (3·n ≤ Σlen ≤ 10·n over words)
+    - ≥ 80% of words contain an alphabetic character (5·alpha ≥ 4·n)
+    - symbol-to-word ratio ≤ 0.1 for '#'/'...' (10·sym ≤ n)
+    - ≥ 2 distinct stopwords from the 8-word list
+
+    Scale shape: one pass over documents, per-row column programs only
+    (split / filter / array_intersect — whole-stage codegen), then a
+    lang-keyed map-side-combining aggregate. No joins, no windows; the
+    single shuffle moves |langs| partial rows per map task."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    wchars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    sym = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.lower(F.col("text")), " ")),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    flagged = docs.select(
+        "lang",
+        ((nw < 50) | (nw > 100_000)).cast("long").alias("f_wc"),
+        ((3 * nw > wchars) | (wchars > 10 * nw)).cast("long").alias("f_mwl"),
+        (5 * alpha < 4 * nw).cast("long").alias("f_alpha"),
+        (10 * sym > nw).cast("long").alias("f_sym"),
+        (stops < 2).cast("long").alias("f_stop"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_wc").alias("n_fail_word_count"),
+            F.sum("f_mwl").alias("n_fail_mean_word_len"),
+            F.sum("f_alpha").alias("n_fail_alpha_ratio"),
+            F.sum("f_sym").alias("n_fail_symbol_ratio"),
+            F.sum("f_stop").alias("n_fail_stopwords"),
+            F.sum(
+                (
+                    (F.col("f_wc") + F.col("f_mwl") + F.col("f_alpha")
+                     + F.col("f_sym") + F.col("f_stop")) == 0
+                ).cast("long")
+            ).alias("n_pass"),
+        )
+        .orderBy("lang")
+    )
+
+
+_GOPHER_SQL = r"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_wc) AS BIGINT) AS n_fail_word_count,
+       CAST(sum(f_mwl) AS BIGINT) AS n_fail_mean_word_len,
+       CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha_ratio,
+       CAST(sum(f_sym) AS BIGINT) AS n_fail_symbol_ratio,
+       CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+       CAST(sum(CASE WHEN f_wc + f_mwl + f_alpha + f_sym + f_stop = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM (
+    SELECT lang,
+           CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_wc,
+           CASE WHEN 3 * nw > wchars OR wchars > 10 * nw THEN 1 ELSE 0 END AS f_mwl,
+           CASE WHEN 5 * alpha < 4 * nw THEN 1 ELSE 0 END AS f_alpha,
+           CASE WHEN 10 * sym > nw THEN 1 ELSE 0 END AS f_sym,
+           CASE WHEN stops < 2 THEN 1 ELSE 0 END AS f_stop
+    FROM (
+        SELECT lang,
+               len(string_split(text, ' ')) AS nw,
+               length(replace(text, ' ', '')) AS wchars,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+               len(regexp_extract_all(text, '#|\.\.\.', 0)) AS sym,
+               len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                   ['the', 'a', 'of', 'to', 'and', 'that', 'with', 'be'])) AS stops
+        FROM documents
+    )
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
+    "text_gopher_quality": text_gopher_quality,
     "text_length_profile": text_length_profile,
     "text_lm_score": text_lm_score,
     "text_dup_ngram_coverage": text_dup_ngram_coverage,
@@ -1068,6 +1170,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_gopher_quality": _GOPHER_SQL,
     "corpus_split_leakage": _split_leakage_sql(),
     "text_cross_doc_coverage": _XDOC_SQL,
     "corpus_temperature_mix": _TEMP_MIX_SQL,
