@@ -304,10 +304,18 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trained rounds are deterministic (total-order tie-break
     n DESC, lhs, rhs), so the oracle unrolls into chained CTEs
     (:func:`_bpe_merges_sql`) like the k-means quantizer's."""
-    from pyspark.sql import Window
+    merges, _ = _bpe_train(_bpe_word_histogram(spark, sf_dir), _BPE_ROUNDS)
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out.orderBy("merge_rank")
 
+
+def _bpe_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, sym) histogram — the one corpus-mass shuffle BPE
+    training/encoding ever pays (Zipf: distinct words ≪ token mass)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = (
+    return (
         docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -321,8 +329,18 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-mass explode+groupBy executes twice
         .localCheckpoint(eager=False)
     )
+
+
+def _bpe_train(w: DataFrame, rounds: int) -> tuple[list[DataFrame], DataFrame]:
+    """The BPE merge loop over a (word, freq, sym) histogram. Returns
+    ``(merges, final)``: the per-round winner DataFrames and the symbol
+    table AFTER all ``rounds`` rewrites (what an ENCODER needs). All
+    lazy — ``vocab_bpe_merges`` ignores ``final``, so the last rewrite
+    plan is built but never executed there."""
+    from pyspark.sql import Window
+
     merges: list[DataFrame] = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         e = w.select("word", "freq", F.posexplode("sym").alias("i", "s"))
         win = Window.partitionBy("word").orderBy("i")
         p = e.withColumn("nx", F.lead("s").over(win))
@@ -341,8 +359,6 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
-        if r == _BPE_ROUNDS:
-            break
         b = F.broadcast(best.select(F.col("la").alias("_a"), F.col("lb").alias("_b")))
         m = p.crossJoin(b).withColumn(
             "m",
@@ -370,10 +386,7 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word", "freq", F.transform("ps", lambda st: st.so).alias("sym"))
             .localCheckpoint(eager=False)
         )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionByName(mdf)
-    return out.orderBy("merge_rank")
+    return merges, w
 
 
 def _bpe_merges_sql(rounds: int = _BPE_ROUNDS) -> str:
@@ -432,16 +445,151 @@ def _bpe_merges_sql(rounds: int = _BPE_ROUNDS) -> str:
     return "WITH " + ",\n".join(parts) + tail
 
 
+# --- vocab_bpe_encode: apply the trained merges (the tokenizer itself) --------
+
+
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the merges :func:`vocab_bpe_merges` trains —
+    the tokenizer-apply step a data pipeline runs to budget token
+    counts before training. Per (lang, source) stratum: documents,
+    words, emitted BPE tokens, word characters, and chars-per-token
+    compression in ppm — the number that decides packing and cost.
+
+    Scale shape: encoding touches the corpus exactly TWICE and the
+    word histogram ``rounds`` more times —
+
+    1. corpus-mass map-side-combining agg to (lang, source, word, cnt)
+       (histogram-sized output; the same Zipf reduction training uses);
+    2. the trained symbol table ``w_final`` (histogram-sized, token
+       counts = array lengths) joins that on ``word`` — a
+       histogram⋈histogram equi-join, never corpus⋈histogram;
+    3. n_docs per stratum from one more corpus pass (cheap count
+       distinct).
+
+    No per-token work ever leaves the histogram: a 100 TB corpus with a
+    10M-word vocabulary encodes through a 10M-row join."""
+    w0 = _bpe_word_histogram(spark, sf_dir)
+    _, final = _bpe_train(w0, _BPE_ROUNDS)
+    tok = final.select(
+        "word",
+        F.size("sym").cast("bigint").alias("n_tok"),
+        F.length("word").cast("bigint").alias("n_chr"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "lang", "source", "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    gw = dw.groupBy("lang", "source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    nd = dw.groupBy("lang", "source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    enc = (
+        gw.join(tok, "word")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_chr")).alias("n_chars"),
+        )
+    )
+    return (
+        enc.join(nd, ["lang", "source"])
+        .select(
+            "lang", "source", "n_docs", "n_words", "n_tokens", "n_chars",
+            # chars*1e6 stays < 2^53 far past petabyte scale per stratum;
+            # IEEE double divide + floor is bit-identical across engines
+            F.floor(F.col("n_chars") * F.lit(1000000.0) / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("chars_per_tok_ppm"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled-CTE oracle for :func:`vocab_bpe_encode`: the training
+    CTEs of :func:`_bpe_merges_sql` extended through the FINAL round's
+    rewrite (w{rounds+1} = the encoder's symbol table), then the
+    histogram join + stratum rollup."""
+    parts = [
+        """w1 AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS sym
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""e{r} AS MATERIALIZED (
+    SELECT word, freq, i, s, lead(s) OVER (PARTITION BY word ORDER BY i) AS nx
+    FROM (SELECT word, freq, generate_subscripts(sym, 1) AS i, unnest(sym) AS s
+          FROM w{r}))""")
+        parts.append(f"""best{r} AS MATERIALIZED (
+    SELECT s AS la, nx AS lb, CAST(SUM(freq) AS BIGINT) AS n
+    FROM e{r} WHERE nx IS NOT NULL
+    GROUP BY s, nx ORDER BY n DESC, la, lb LIMIT 1)""")
+        parts.append(f"""k{r} AS MATERIALIZED (
+    SELECT word, freq, i,
+           NOT coalesce(lag(take) OVER (PARTITION BY word ORDER BY i), false) AS keep,
+           CASE WHEN take THEN (SELECT la || lb FROM best{r}) ELSE s END AS so
+    FROM (
+        SELECT word, freq, i, s,
+               m AND ((i - min(i) OVER (PARTITION BY word, m, grp)) % 2 = 0) AS take
+        FROM (
+            SELECT word, freq, i, s, m,
+                   i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp
+            FROM (
+                SELECT word, freq, i, s,
+                       coalesce(s = (SELECT la FROM best{r})
+                                AND nx = (SELECT lb FROM best{r}), false) AS m
+                FROM e{r}
+            )
+        )
+    ))""")
+        parts.append(f"""w{r + 1} AS MATERIALIZED (
+    SELECT word, freq, list(so ORDER BY i) AS sym
+    FROM k{r} WHERE keep GROUP BY word, freq)""")
+    parts.append(f"""tok AS (
+    SELECT word, CAST(len(sym) AS BIGINT) AS n_tok,
+           CAST(length(word) AS BIGINT) AS n_chr FROM w{rounds + 1})""")
+    parts.append("""dw AS (
+    SELECT lang, source, doc_id, word FROM (
+        SELECT lang, source, doc_id,
+               unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ) WHERE word <> '')""")
+    parts.append("""enc AS (
+    SELECT lang, source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * n_chr) AS BIGINT) AS n_chars
+    FROM (SELECT lang, source, word, count(*) AS cnt
+          FROM dw GROUP BY lang, source, word) g
+    JOIN tok USING (word) GROUP BY lang, source)""")
+    parts.append("""nd AS (
+    SELECT lang, source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM dw GROUP BY lang, source)""")
+    tail = """
+SELECT enc.lang, enc.source, n_docs, n_words, n_tokens, n_chars,
+       CAST(floor(n_chars * 1000000.0 / n_tokens) AS BIGINT) AS chars_per_tok_ppm
+FROM enc JOIN nd USING (lang, source)
+ORDER BY lang, source"""
+    return "WITH " + ",\n".join(parts) + tail
+
+
 QUERIES = {
     "text_bm25_search": text_bm25_search,
     "vocab_top_df": vocab_top_df,
     "vocab_bpe_pairs": vocab_bpe_pairs,
     "vocab_bpe_merges": vocab_bpe_merges,
+    "vocab_bpe_encode": vocab_bpe_encode,
     "vocab_oov_rate": vocab_oov_rate,
 }
 
 ORACLES = {
     "vocab_bpe_merges": _bpe_merges_sql(),
+    "vocab_bpe_encode": _bpe_encode_sql(),
     "text_bm25_search": _BM25_SQL,
     "vocab_top_df": _VOCAB_SQL,
     "vocab_bpe_pairs": _BPE_SQL,
