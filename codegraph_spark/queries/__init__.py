@@ -80,6 +80,7 @@ _REVERIFY: dict[str, int] = {
     "emb_alignment_audit": 6,      # round 6: new (text-embedding alignment audit)
     "text_gopher_quality": 6,      # round 6: new (Gopher rule-bundle filter)
     "vocab_bpe_encode": 6,         # round 6: new (trained-merge BPE encoding)
+    "sim_ivf_pq": 6,               # round 6: new (IVF-PQ ADC search)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

@@ -1027,6 +1027,292 @@ GROUP BY a.cluster, b.vec_id
 )
 
 
+# --- sim_ivf_pq: product-quantized ADC search over the coarse IVF -------------
+#: PQ geometry (Jégou et al. 2011, "Product Quantization for Nearest
+#: Neighbor Search"): m=8 subspaces × 8 dims, k=8 codewords each,
+#: 2 Lloyd rounds = 24 bits/vector. Chosen empirically on the fixture:
+#: the corpus embeddings are ISOTROPIC (coarse-residual energy ratio
+#: 0.93 — no cluster structure for residual coding to exploit), and at
+#: m=4/k=4 (8 bits) ADC ranking was barely better than random; at 24
+#: bits every query's best ADC pick lands in the exact top-7. Small k
+#: also keeps the unrolled oracle tractable (k−1 chained seed CTEs).
+_PQ_SUBS, _PQ_SUBDIM, _PQ_K, _PQ_ITERS = 8, 8, 8, 2
+
+
+def _milli_arr(col):
+    """array<double> → array<long> in milli units — the repo's one
+    integer-quantization rule (identical construction in every oracle:
+    CAST(round(x*1000) AS BIGINT))."""
+    return F.transform(col, lambda x: F.round(x * 1000).cast("long"))
+
+
+def _int_dot(a, b):
+    """Exact int64 dot product of two equal-length long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_sqdist(a, b):
+    """Exact int64 squared L2 distance of two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): milli-quantized 16-dim slices of each vector.
+    The explode multiplies rows by m=4, but each row shrinks by the
+    same factor — total bytes moved is unchanged."""
+    mq = emb.select("vec_id", _milli_arr(F.col("v")).alias("mv"))
+    return mq.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_SUBS)])).alias("sub"),
+        "mv",
+    ).select(
+        "vec_id", "sub",
+        F.slice("mv", F.col("sub") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+    )
+
+
+def _train_pq(sv: DataFrame) -> DataFrame:
+    """Per-subspace k-means over integer sub-vectors → codebook
+    ``(sub, cluster, cv)``, 16 rows. INTEGER-EXACT end to end: seeding
+    and assignment compare int64 squared distances (no float ties), and
+    the Lloyd mean re-quantizes to integers via floor(sum/count) on
+    exact int64 sums — so unlike the float coarse quantizer the whole
+    training is bit-reproducible by construction, not by rounding.
+
+    Same shapes as :func:`train_ivf_kmeans`, but every argmin/argmax is
+    a PARTITIONED window over ``sub`` (all m codebooks train in the
+    same pass) and every codebook join is a broadcast of ≤ m·k rows."""
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w_seed = Window.partitionBy("sub").orderBy(h, "vec_id")
+    chosen = (
+        sv.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select("sub", F.lit(1).alias("cluster"), F.col("sv").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, _PQ_K + 1):
+        w_far = Window.partitionBy("sub").orderBy(F.desc("bestd"), "vec_id")
+        far = (
+            sv.join(F.broadcast(chosen), "sub")
+            .withColumn("d", _int_sqdist(F.col("sv"), F.col("cv")))
+            .groupBy("vec_id", "sub")
+            .agg(F.min("d").alias("bestd"), F.first("sv").alias("sv"))
+            .withColumn("rn", F.row_number().over(w_far))
+            .filter(F.col("rn") == 1)
+            .select("sub", F.lit(i).alias("cluster"), F.col("sv").alias("cv"))
+        )
+        chosen = chosen.unionByName(far).localCheckpoint(eager=False)
+    cents = chosen
+    for _ in range(_PQ_ITERS):
+        assigned = _pq_assign(sv, cents).join(sv, ["vec_id", "sub"])
+        cents = (
+            assigned.select(
+                "sub", "cluster", F.posexplode("sv").alias("dim", "x")
+            )
+            .groupBy("sub", "cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("m")
+            )
+            .groupBy("sub", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+            .select(
+                "sub", "cluster", F.transform("p", lambda s: s.m).alias("cv")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-codeword codes ``(vec_id, sub, cluster)`` — broadcast
+    the ≤ m·k codebook, int argmin per (vec_id, sub), ties → cluster."""
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cluster")
+    return (
+        sv.join(F.broadcast(cents), "sub")
+        .withColumn("d", _int_sqdist(F.col("sv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cluster")
+    )
+
+
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the memory-bounded ANN scale path — coarse IVF prune
+    (the trained quantizer :func:`train_ivf_kmeans` already serving
+    sim_ivf_kmeans / dedup_semantic), then ASYMMETRIC DISTANCE
+    COMPUTATION over 4×2-bit PQ codes instead of raw vectors: score ≈
+    Σ_sub dot(q_sub, codeword[code]) — at 10⁹ vectors the scored
+    candidate set is codes (2 bytes/vector) + a 16-row LUT per query,
+    never the 256-byte raw vectors.
+
+    Scale shape: training touches sub-vectors (same bytes as the
+    corpus, once); per query the LUT is m·k = 16 rows built from a
+    broadcast codebook; candidate scoring is a (sub, code)-keyed
+    broadcast-LUT join over the probed posting list only — no pair
+    stage ever sees raw vectors. Integer-exact throughout (milli
+    quantization, int64 dots), so the oracle is bit-identical by
+    construction."""
+    emb = _emb(spark, sf_dir)
+    inv = _trained_inverted_file(spark, sf_dir)  # (vec_id, v, cluster)
+    sv = _pq_subvectors(emb).localCheckpoint(eager=False)
+    cents = _train_pq(sv)
+    codes = _pq_assign(sv, cents)
+    q = (
+        inv.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("cluster").alias("probe"))
+    )
+    q_sub = _pq_subvectors(emb.filter(F.col("vec_id") < 3)).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("sv").alias("qsv")
+    )
+    lut = (
+        q_sub.join(F.broadcast(cents), "sub")
+        .select(
+            "q_id", "sub", "cluster",
+            _int_dot(F.col("qsv"), F.col("cv")).alias("part"),
+        )
+    )
+    cand = (
+        inv.select("vec_id", "cluster")
+        .join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", F.col("cluster").alias("probe_cluster"), "vec_id")
+        .join(codes.withColumnRenamed("cluster", "code"), "vec_id")
+    )
+    est = (
+        cand.join(
+            F.broadcast(lut),
+            (cand["q_id"] == lut["q_id"])
+            & (cand["sub"] == lut["sub"])
+            & (cand["code"] == lut["cluster"]),
+        )
+        .select(cand["q_id"], "probe_cluster", "vec_id", "part")
+        .groupBy("q_id", "probe_cluster", "vec_id")
+        .agg(F.sum("part").alias("est_dot_milli2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("est_dot_milli2"), "vec_id")
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_id", "probe_cluster",
+            F.col("vec_id").alias("neighbor_id"), "est_dot_milli2", "rn",
+        )
+    )
+
+
+def _pq_cte_parts() -> list[str]:
+    """CTE chain for the PQ half of the :func:`sim_ivf_pq` oracle:
+    milli sub-vectors → per-sub seeding (k−1 chained argmax CTEs, all
+    subs at once via partitioned row_number) → Lloyd assign+mean pairs
+    → ``codes``/``pqc`` (final codebook). Mirrors the Spark program
+    constant for constant; every arithmetic step is int64."""
+    sd, m, k = _PQ_SUBDIM, _PQ_SUBS, _PQ_K
+    parts = [
+        f"""psv AS MATERIALIZED (
+    SELECT vec_id, sub,
+           list_transform(range(1, {sd} + 1),
+                          j -> CAST(round(mv[sub * {sd} + j] * 1000) AS BIGINT)) AS sv
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS mv FROM embeddings)
+    CROSS JOIN (SELECT unnest(range(0, {m})) AS sub))""",
+        f"""pq1 AS MATERIALIZED (
+    SELECT sub, 1 AS cluster, sv AS cv FROM (
+        SELECT sub, sv, row_number() OVER (PARTITION BY sub
+            ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                     vec_id) AS rn
+        FROM psv
+    ) WHERE rn = 1)""",
+    ]
+    dist = (
+        f"list_sum(list_transform(range(1, {sd} + 1), "
+        "j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j])))"
+    )
+    for i in range(2, k + 1):
+        parts.append(f"""pq{i} AS MATERIALIZED (
+    SELECT * FROM pq{i - 1}
+    UNION ALL
+    SELECT sub, {i} AS cluster, sv AS cv FROM (
+        SELECT sub, sv, row_number() OVER (PARTITION BY sub
+                   ORDER BY bestd DESC, vec_id) AS rn
+        FROM (
+            SELECT s.vec_id, s.sub AS sub, any_value(s.sv) AS sv,
+                   min({dist}) AS bestd
+            FROM psv s JOIN pq{i - 1} c ON s.sub = c.sub
+            GROUP BY s.vec_id, s.sub
+        )
+    ) WHERE rn = 1)""")
+    cents = f"pq{k}"
+    assign = f"""{{name}} AS MATERIALIZED (
+    SELECT vec_id, sub, cluster FROM (
+        SELECT s.vec_id, s.sub AS sub, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY {dist}, c.cluster) AS rn
+        FROM psv s JOIN {{cents}} c ON s.sub = c.sub
+    ) WHERE rn = 1)"""
+    for r in range(1, _PQ_ITERS + 1):
+        parts.append(assign.format(name=f"pa{r}", cents=cents))
+        parts.append(f"""pm{r} AS MATERIALIZED (
+    SELECT sub, cluster, list(mm ORDER BY dim) AS cv FROM (
+        SELECT sub, cluster, dim,
+               CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mm
+        FROM (
+            SELECT a.sub AS sub, a.cluster, generate_subscripts(s.sv, 1) AS dim,
+                   unnest(s.sv) AS x
+            FROM pa{r} a JOIN psv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+        ) GROUP BY sub, cluster, dim
+    ) GROUP BY sub, cluster)""")
+        cents = f"pm{r}"
+    parts.append(assign.format(name="codes", cents=cents))
+    parts.append(f"pqc AS MATERIALIZED (SELECT * FROM {cents})")
+    return parts
+
+
+_IVF_PQ_SQL = (
+    "WITH "
+    + ",\n".join(_ivf_inv_cte_parts() + _pq_cte_parts())
+    + f""",
+qs AS (
+    SELECT i.vec_id AS q_id, i.cluster AS probe, s.sub AS sub, s.sv AS qsv
+    FROM inv i JOIN psv s ON i.vec_id = s.vec_id
+    WHERE i.vec_id < 3
+),
+lut AS (
+    SELECT q.q_id, q.sub AS sub, c.cluster,
+           list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                                   j -> q.qsv[j] * c.cv[j])) AS part
+    FROM qs q JOIN pqc c ON q.sub = c.sub
+),
+est AS (
+    SELECT q.q_id, q.probe AS probe_cluster, i.vec_id,
+           CAST(sum(l.part) AS BIGINT) AS est_dot_milli2
+    FROM (SELECT DISTINCT q_id, probe FROM qs) q
+    JOIN inv i ON i.cluster = q.probe AND i.vec_id <> q.q_id
+    JOIN codes k ON k.vec_id = i.vec_id
+    JOIN lut l ON l.q_id = q.q_id AND l.sub = k.sub AND l.cluster = k.cluster
+    GROUP BY q.q_id, q.probe, i.vec_id
+)
+SELECT q_id, probe_cluster, vec_id AS neighbor_id, est_dot_milli2,
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY est_dot_milli2 DESC, vec_id) AS INT) AS rn
+FROM est
+QUALIFY rn <= 5
+"""
+)
+
+
 # --- emb_alignment_audit: text↔embedding contract audit -----------------------
 #: planted-fault moduli (deterministic, mirrored in the oracle): drop
 #: every 17th embedding, NULL every 23rd, orphan every 31st under an
@@ -1154,11 +1440,13 @@ QUERIES = {
     "sim_lsh_cosine": sim_lsh_cosine,
     "sim_lsh_recall": sim_lsh_recall,
     "dedup_semantic": dedup_semantic,
+    "sim_ivf_pq": sim_ivf_pq,
     "emb_alignment_audit": emb_alignment_audit,
 }
 
 ORACLES = {
     "dedup_semantic": _SEMANTIC_SQL,
+    "sim_ivf_pq": _IVF_PQ_SQL,
     "emb_alignment_audit": _ALIGN_SQL,
     "emb_norm_profile": _NORM_SQL,
     "emb_quantize_int8": _QUANT_SQL,

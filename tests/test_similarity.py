@@ -330,3 +330,92 @@ def test_semantic_dedup_pair_volume_stays_linear_with_adaptive_k(spark):
     # a small multiple of the occupancy target.
     assert per_row[4096] <= 2.0 * per_row[1024]
     assert per_row[4096] <= 4 * occupancy
+
+
+# --- PQ (product quantization) ------------------------------------------------
+
+
+def test_pq_codes_and_codebook_shapes(spark, sf_dir):
+    from codegraph_spark.queries.similarity import (
+        _PQ_K,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        _emb,
+        _pq_assign,
+        _pq_subvectors,
+        _train_pq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    sv = _pq_subvectors(emb).persist()
+    cents = _train_pq(sv).persist()
+    # full codebook: m x k integer codewords of sub-dimension length
+    crows = cents.collect()
+    assert len(crows) == _PQ_SUBS * _PQ_K
+    assert all(len(r["cv"]) == _PQ_SUBDIM for r in crows)
+    assert all(isinstance(x, int) for r in crows for x in r["cv"])
+    # every vector gets exactly one code per subspace
+    codes = _pq_assign(sv, cents)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n
+    assert {r["count"] for r in per_vec} == {_PQ_SUBS}
+    cents.unpersist()
+    sv.unpersist()
+
+
+def test_pq_adc_ranking_tracks_exact_dot(spark, sf_dir):
+    """ADC is lossy (24 bits/vector on an ISOTROPIC corpus — exact
+    top-5 recall is not attainable), so assert the property the
+    compression CAN give and a broken LUT join or codebook cannot
+    fake: per query, the best ADC pick sits in the exact-dot top-10 of
+    the probed posting list, and across all picks the mean exact rank
+    beats the random-pick expectation by ≥ ~2x (rank sum ≤ 0.35 x
+    posting mass). Deterministic: observed ranks at sf0.001 are
+    [2,7,24,26,29] / [2,6,10,29,41] / [2,3,11,12,18]."""
+    from codegraph_spark.queries.similarity import (
+        _emb,
+        _int_dot,
+        _milli_arr,
+        _trained_inverted_file,
+        sim_ivf_pq,
+    )
+
+    got = sim_ivf_pq(spark, sf_dir).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+
+    inv = _trained_inverted_file(spark, sf_dir)
+    mq = _emb(spark, sf_dir).select("vec_id", _milli_arr(F.col("v")).alias("m"))
+    base = inv.join(mq, "vec_id").select("vec_id", "cluster", "m")
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("cluster").alias("probe"),
+        F.col("m").alias("qm"),
+    )
+    exact = (
+        base.join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("dot", _int_dot(F.col("qm"), F.col("m")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), "vec_id")
+    ranked = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .select("q_id", "vec_id", "rn")
+        .collect()
+    )
+    rank_of: dict[int, dict[int, int]] = {}
+    posting: dict[int, int] = {}
+    for r in ranked:
+        rank_of.setdefault(r["q_id"], {})[r["vec_id"]] = r["rn"]
+        posting[r["q_id"]] = posting.get(r["q_id"], 0) + 1
+    assert set(by_q) == set(rank_of)
+    rank_sum = post_sum = 0
+    for qid, approx in by_q.items():
+        ranks = sorted(rank_of[qid][v] for v in approx)
+        assert ranks[0] <= 10, (qid, ranks)
+        rank_sum += sum(ranks)
+        post_sum += len(approx) * posting[qid]
+    assert rank_sum * 100 <= 35 * post_sum, (rank_sum, post_sum)
