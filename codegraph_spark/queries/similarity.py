@@ -1313,6 +1313,132 @@ QUALIFY rn <= 5
 )
 
 
+# --- emb_pca_power: dominant principal component by power iteration -----------
+#: fixed corpus embedding dimensionality (the testdata contract; the
+#: oracle interpolates the same constant) and power-iteration rounds.
+_PCA_DIM, _PCA_ROUNDS = 64, 3
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding cloud (power
+    iteration over the uncentered Gram matrix) — the anisotropy
+    diagnostic a pipeline runs before cosine retrieval: a dominant
+    component with a large Rayleigh share means the space has a rogue
+    direction (unnormalized batch, collapsed model) that distance
+    metrics will key on.
+
+    Integer-exact everywhere it matters: the Gram matrix is int64 over
+    milli-quantized components (exact, summation-order-free — the one
+    place a float sum would be partition-order dependent), iterates are
+    re-quantized to milli scale via floor on an IEEE double quotient
+    (bit-identical across engines), and only the per-element arithmetic
+    is floating.
+
+    Scale shape: ONE corpus pass builds the d×d Gram — the tall-skinny
+    trick: explode each vector against a broadcast (i, j) grid and
+    map-side-combine, so the shuffle carries ≤ 4096 partial rows per
+    task, never vectors. Every subsequent step (matvec, rescale,
+    Rayleigh) touches only the 4096-row Gram and a 64-row iterate —
+    corpus-size-free. Sign of the returned direction follows the
+    all-ones start (deterministic)."""
+    emb = _emb(spark, sf_dir)
+    mq = emb.select(_milli_arr(F.col("v")).alias("mv"))
+    ax = spark.range(1, _PCA_DIM + 1)
+    grid = (
+        ax.select(F.col("id").alias("i"))
+        .crossJoin(ax.select(F.col("id").alias("j")))
+    )
+    g = (
+        mq.crossJoin(F.broadcast(grid))
+        .select(
+            "i", "j",
+            F.expr(
+                "element_at(mv, CAST(i AS INT)) * element_at(mv, CAST(j AS INT))"
+            ).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    v = ax.select(F.col("id").alias("dim"), F.lit(1000).cast("long").alias("x"))
+    for _ in range(_PCA_ROUNDS):
+        u = (
+            g.join(F.broadcast(v), g["j"] == v["dim"])
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("g") * F.col("x")).alias("u"))
+        )
+        m = u.agg(F.nullif(F.max(F.abs("u")), F.lit(0)).alias("m"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                F.floor(F.col("u") * F.lit(1000.0) / F.col("m"))
+                .cast("long").alias("x"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    u_fin = (
+        g.join(F.broadcast(v), g["j"] == v["dim"])
+        .groupBy(F.col("i").alias("dim"))
+        .agg(F.sum(F.col("g") * F.col("x")).alias("u"))
+    )
+    ray = (
+        u_fin.join(F.broadcast(v), "dim")
+        .agg(
+            F.sum(F.col("x") * F.col("u")).alias("num"),
+            F.sum(F.col("x") * F.col("x")).alias("den"),
+        )
+        .select(
+            F.floor(F.col("num") * F.lit(1000.0) / F.nullif(F.col("den"), F.lit(0)))
+            .cast("long").alias("rayleigh_milli")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select("dim", F.col("x").alias("comp_milli"), "rayleigh_milli")
+        .orderBy("dim")
+    )
+
+
+def _pca_power_sql(rounds: int = _PCA_ROUNDS) -> str:
+    """Unrolled oracle for :func:`emb_pca_power`: Gram CTE + ``rounds``
+    matvec/rescale pairs + the Rayleigh tail, constants shared with the
+    Spark program."""
+    d = _PCA_DIM
+    parts = [
+        f"""g AS MATERIALIZED (
+    SELECT ii.i AS i, jj.j AS j,
+           CAST(sum(CAST(round(mv[ii.i] * 1000) AS BIGINT)
+                    * CAST(round(mv[jj.j] * 1000) AS BIGINT)) AS BIGINT) AS g
+    FROM (SELECT embedding::DOUBLE[] AS mv FROM embeddings)
+    CROSS JOIN (SELECT unnest(range(1, {d} + 1)) AS i) ii
+    CROSS JOIN (SELECT unnest(range(1, {d} + 1)) AS j) jj
+    GROUP BY ii.i, jj.j)""",
+        f"""v0 AS (SELECT unnest(range(1, {d} + 1)) AS dim,
+            CAST(1000 AS BIGINT) AS x)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""u{r} AS MATERIALIZED (
+    SELECT g.i AS dim, CAST(sum(g.g * v.x) AS BIGINT) AS u
+    FROM g JOIN v{r - 1} v ON g.j = v.dim GROUP BY g.i)""")
+        parts.append(f"""v{r} AS MATERIALIZED (
+    SELECT dim, CAST(floor(CAST(u AS DOUBLE) * 1000.0 / m) AS BIGINT) AS x
+    FROM u{r}, (SELECT nullif(max(abs(u)), 0) AS m FROM u{r}))""")
+    parts.append(f"""uf AS (
+    SELECT g.i AS dim, CAST(sum(g.g * v.x) AS BIGINT) AS u
+    FROM g JOIN v{rounds} v ON g.j = v.dim GROUP BY g.i)""")
+    parts.append(f"""ray AS (
+    SELECT CAST(floor(CAST(sum(v.x * u.u) AS DOUBLE) * 1000.0
+                / nullif(CAST(sum(v.x * v.x) AS DOUBLE), 0)) AS BIGINT)
+               AS rayleigh_milli
+    FROM v{rounds} v JOIN uf u USING (dim))""")
+    tail = f"""
+SELECT v.dim, v.x AS comp_milli, ray.rayleigh_milli
+FROM v{rounds} v CROSS JOIN ray
+ORDER BY v.dim"""
+    return "WITH " + ",\n".join(parts) + tail
+
+
 # --- emb_alignment_audit: text↔embedding contract audit -----------------------
 #: planted-fault moduli (deterministic, mirrored in the oracle): drop
 #: every 17th embedding, NULL every 23rd, orphan every 31st under an
@@ -1441,12 +1567,14 @@ QUERIES = {
     "sim_lsh_recall": sim_lsh_recall,
     "dedup_semantic": dedup_semantic,
     "sim_ivf_pq": sim_ivf_pq,
+    "emb_pca_power": emb_pca_power,
     "emb_alignment_audit": emb_alignment_audit,
 }
 
 ORACLES = {
     "dedup_semantic": _SEMANTIC_SQL,
     "sim_ivf_pq": _IVF_PQ_SQL,
+    "emb_pca_power": _pca_power_sql(),
     "emb_alignment_audit": _ALIGN_SQL,
     "emb_norm_profile": _NORM_SQL,
     "emb_quantize_int8": _QUANT_SQL,

@@ -1148,9 +1148,135 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# --- corpus_dsir_sample: importance-resampled domain selection ----------------
+#: DSIR (Xie et al. 2023, arXiv 2302.03169): reweight raw docs by how
+#: target-domain-typical their n-gram features are, then resample with
+#: probability ∝ the importance weight. Target domain here = the 'en'
+#: stratum (a deterministic in-corpus proxy); features = unigrams.
+#: RATIO_CAP_PM caps a word's target-affinity ratio at 2.0x neutral so
+#: one rare target-only word cannot dominate a doc's weight.
+_DSIR_TARGET_LANG = "en"
+_DSIR_CAP_PM = 2000
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling, integer-exact: per word,
+    tshare_ppm = ⌊(c_target+1)·10⁶/(c_raw+1)⌋ (Laplace-smoothed share
+    of the word's mass that is target-domain); per corpus, norm_ppm =
+    the same share over ALL tokens (the neutral baseline); per word,
+    ratio_pm = ⌊tshare·1000/norm⌋ capped at 2000 (2x neutral); per
+    doc, affinity_pm = the integer-mean ratio over its tokens; keep a
+    doc iff md5(doc_id) mod 2000 < affinity_pm — i.e. P(keep) =
+    min(ratio, 2)/2, a deterministic hash-thresholded resample
+    (reproducible, monotone in the weight, no RNG state).
+
+    Scale shape: two map-side-combining unigram counts (target + raw)
+    make the model; the model joins the token stream on word CONTENT
+    (one row per doc position — hot stopwords stay linear, the
+    text_lm_score argument); one per-doc agg; the 1-row normalizer is
+    a broadcast crossJoin. The divisions use the overflow-safe
+    two-step ⌊n·10⁶/d⌋ (corpus_temperature_mix's rule), exact at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    cr = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
+    ct = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    )
+    model = (
+        cr.join(ct, "word", "left")
+        .select(
+            "word",
+            F.expr(
+                "(((coalesce(c_t, 0) + 1) * 1000) div (c_r + 1)) * 1000"
+                " + ((((coalesce(c_t, 0) + 1) * 1000) % (c_r + 1)) * 1000)"
+                " div (c_r + 1)"
+            ).alias("tshare_ppm"),
+        )
+    )
+    norm = tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r"),
+        F.sum((F.col("lang") == _DSIR_TARGET_LANG).cast("bigint")).alias("n_t"),
+    ).select(
+        F.expr(
+            "(((n_t + 1) * 1000) div (n_r + 1)) * 1000"
+            " + ((((n_t + 1) * 1000) % (n_r + 1)) * 1000) div (n_r + 1)"
+        ).alias("norm_ppm")
+    )
+    scored = (
+        tok.join(model, "word")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "doc_id", "lang",
+            F.least(
+                F.expr("(tshare_ppm * 1000) div norm_ppm"),
+                F.lit(_DSIR_CAP_PM).cast("bigint"),
+            ).alias("ratio_pm"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.expr("sum(ratio_pm) div count(*)").alias("affinity_pm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % _DSIR_CAP_PM
+    )
+    return per_doc.withColumn("bucket", bucket).filter(
+        F.col("bucket") < F.col("affinity_pm")
+    )
+
+
+_DSIR_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang, word FROM (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ) WHERE word <> ''
+),
+model AS (
+    SELECT word,
+           {_ppm_sql("(coalesce(c_t, 0) + 1)", "(c_r + 1)")} AS tshare_ppm
+    FROM (SELECT word, CAST(count(*) AS BIGINT) AS c_r FROM tok GROUP BY word) r
+    LEFT JOIN (SELECT word, CAST(count(*) AS BIGINT) AS c_t FROM tok
+               WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY word) t USING (word)
+),
+norm AS (
+    SELECT {_ppm_sql("(n_t + 1)", "(n_r + 1)")} AS norm_ppm FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_r,
+               CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_t
+        FROM tok
+    )
+),
+per_doc AS (
+    SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ratio_pm) // count(*) AS BIGINT) AS affinity_pm
+    FROM (
+        SELECT doc_id, lang,
+               least((tshare_ppm * 1000) // norm_ppm, {_DSIR_CAP_PM}) AS ratio_pm
+        FROM tok JOIN model USING (word) CROSS JOIN norm
+    )
+    GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_words, affinity_pm,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_DSIR_CAP_PM} AS bucket
+FROM per_doc
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % {_DSIR_CAP_PM} < affinity_pm
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_gopher_quality": text_gopher_quality,
+    "corpus_dsir_sample": corpus_dsir_sample,
     "text_length_profile": text_length_profile,
     "text_lm_score": text_lm_score,
     "text_dup_ngram_coverage": text_dup_ngram_coverage,
@@ -1171,6 +1297,7 @@ QUERIES = {
 
 ORACLES = {
     "text_gopher_quality": _GOPHER_SQL,
+    "corpus_dsir_sample": _DSIR_SQL,
     "corpus_split_leakage": _split_leakage_sql(),
     "text_cross_doc_coverage": _XDOC_SQL,
     "corpus_temperature_mix": _TEMP_MIX_SQL,

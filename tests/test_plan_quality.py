@@ -42,6 +42,9 @@ _UNKEYED_JOIN_OK = {
                                 # inverted file) + 1-row threshold scalars
     "corpus_temperature_mix",   # crossJoin(1-row integer weight totals)
     "emb_alignment_audit",      # summary row = crossJoin chain of 1-row aggregates
+    "corpus_dsir_sample",       # crossJoin(broadcast 1-row normalizer)
+    "emb_pca_power",            # broadcast d^2-row Gram grid + 64-row
+                                # iterate/Rayleigh scalars
     "vocab_bpe_merges",         # per-round crossJoin(broadcast 1-row
                                 # winning pair)
     "j8_mentions_topk",         # substring θ-join — non-equi BY SEMANTICS,

@@ -419,3 +419,42 @@ def test_pq_adc_ranking_tracks_exact_dot(spark, sf_dir):
         rank_sum += sum(ranks)
         post_sum += len(approx) * posting[qid]
     assert rank_sum * 100 <= 35 * post_sum, (rank_sum, post_sum)
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """Vectors = strong fixed direction + small deterministic per-dim
+    wobble: the returned dominant component must align with the
+    planted direction (|cosine| > 0.95) and carry a Rayleigh estimate
+    >> the wobble's."""
+    import math
+
+    from codegraph_spark.queries import similarity as S
+
+    d = S._PCA_DIM
+    base = [math.sin(0.1 * (j + 1)) for j in range(d)]
+    nb = math.sqrt(sum(x * x for x in base))
+    base = [x / nb for x in base]
+    rows = []
+    for i in range(200):
+        scale = 1.0 + (i % 5) * 0.01
+        v = [scale * x for x in base]
+        v[i % d] += 0.02 * ((i % 3) - 1)  # wobble
+        rows.append((i, v, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    import codegraph_spark.sources.tables as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda sp, sf, name: emb  # noqa: ARG005
+        S.load_table = T.load_table
+        out = S.emb_pca_power(spark, "ignored").collect()
+    finally:
+        T.load_table = orig
+        S.load_table = orig
+    assert len(out) == d
+    comp = [r["comp_milli"] for r in sorted(out, key=lambda r: r["dim"])]
+    nc = math.sqrt(sum(x * x for x in comp))
+    cos = abs(sum(c * b for c, b in zip(comp, base)) / nc)
+    assert cos > 0.95, cos
+    assert out[0]["rayleigh_milli"] > 0

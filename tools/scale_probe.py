@@ -56,6 +56,10 @@ PROBES = [
     "corpus_split",
     "dedup_semantic",
     "text_cross_doc_coverage",
+    "text_gopher_quality",
+    "vocab_bpe_encode",
+    "sim_ivf_pq",
+    "emb_alignment_audit",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
