@@ -1273,10 +1273,108 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 """
 
 
+# --- text_cdc_chunks: content-defined chunking duplicate signal ---------------
+#: expected chunk length in words (boundary where md5(word) % DIV == 0)
+#: — the storage-dedup CDC idea (Muthitacharoen et al. 2001, LBFS) at
+#: word granularity: boundaries depend only on LOCAL content, so an
+#: insertion reshapes at most its own chunk and duplicate runs keep
+#: their fingerprints wherever they sit in a document.
+_CDC_DIV = 16
+
+
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup signal: split each document at
+    content-derived word boundaries (md5(word) mod 16 == 0 starts a new
+    chunk), fingerprint each chunk, and report per doc how much of it
+    is built from chunks that also appear in OTHER documents — the
+    chunk-level complement of whole-doc (exact) and shingle-level
+    (jaccard/containment) dedup, robust to block moves and insertions
+    the shingle family dilutes.
+
+    Scale shape: one explode, one doc-partitioned running-sum window
+    (chunk numbering), one (doc, chunk) agg building the fingerprint,
+    one fingerprint-keyed distinct-doc count, one join back keyed by
+    fingerprint, one per-doc rollup — every shuffle keyed on doc_id or
+    chunk content, all linear; no pair stage (duplicate detection is a
+    GROUP BY, never a self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("i", "word")
+    ).filter(F.col("word") != "")
+    brk = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("bigint")
+        % _CDC_DIV == 0
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = tok.select(
+        "doc_id", "i", "word", F.sum(brk).over(w).alias("chunk_no")
+    )
+    chunks = (
+        numbered.groupBy("doc_id", "chunk_no")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "word"))).alias("ps"))
+        .select(
+            "doc_id", "chunk_no",
+            F.md5(F.concat_ws(" ", F.transform("ps", lambda s: s.word))).alias("chash"),
+        )
+    )
+    dup = chunks.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        chunks.join(dup, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs_with") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks",
+            F.expr("(n_dup_chunks * 1000) div n_chunks").alias("dup_pm"),
+        )
+    )
+
+
+_CDC_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, i, word,
+           CASE WHEN CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT)
+                     % {_CDC_DIV} = 0 THEN 1 ELSE 0 END AS brk
+    FROM (
+        SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS word
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+    ) WHERE word <> ''
+),
+numbered AS (
+    SELECT doc_id, i, word,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk_no
+    FROM tok
+),
+chunks AS (
+    SELECT doc_id, chunk_no, md5(string_agg(word, ' ' ORDER BY i)) AS chash
+    FROM numbered GROUP BY doc_id, chunk_no
+),
+dup AS (
+    SELECT chash, count(DISTINCT doc_id) AS n_docs_with FROM chunks GROUP BY chash
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       CAST((sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) * 1000)
+            // count(*) AS BIGINT) AS dup_pm
+FROM chunks JOIN dup USING (chash)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_gopher_quality": text_gopher_quality,
     "corpus_dsir_sample": corpus_dsir_sample,
+    "text_cdc_chunks": text_cdc_chunks,
     "text_length_profile": text_length_profile,
     "text_lm_score": text_lm_score,
     "text_dup_ngram_coverage": text_dup_ngram_coverage,
@@ -1298,6 +1396,7 @@ QUERIES = {
 ORACLES = {
     "text_gopher_quality": _GOPHER_SQL,
     "corpus_dsir_sample": _DSIR_SQL,
+    "text_cdc_chunks": _CDC_SQL,
     "corpus_split_leakage": _split_leakage_sql(),
     "text_cross_doc_coverage": _XDOC_SQL,
     "corpus_temperature_mix": _TEMP_MIX_SQL,
