@@ -1027,6 +1027,105 @@ GROUP BY a.cluster, b.vec_id
 )
 
 
+# --- corpus_split_semantic_leakage: embedding-level decontamination -----------
+
+
+def corpus_split_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination across the train/val/test boundary —
+    the embedding-space counterpart of ``corpus_split_leakage`` (which
+    audits shared n-grams): count val/test docs whose embedding has a
+    ≥0.9-cosine neighbor on the TRAIN side. An eval doc that is a
+    near-copy of a training doc inflates benchmark numbers exactly like
+    verbatim contamination, and n-gram audits miss paraphrases — this
+    is the check SemDeDup-era pipelines run before trusting a held-out
+    split.
+
+    Pieces shared, not re-invented: the ONE hash-split rule
+    (queries/text.py ``_split_col`` — 980/10/10 on md5(id)), the ONE
+    clone-plant rule (:func:`plant_clones` — the corpus embeddings are
+    random, so cross-split near-dups exist only where planted; a
+    clone's id reshuffles its split, putting real pairs across the
+    boundary), and the trained coarse quantizer
+    (:func:`_trained_inverted_file`) whose clusters bound the pair
+    space to within-cluster equi-joins (n²/k; k tracks n at scale —
+    the dedup_semantic contract).
+
+    Output: one row per eval split — n_docs, n_leaked, leak_pm."""
+    inv = _trained_inverted_file(spark, sf_dir).select("vec_id", "v", "cluster")
+    aug = plant_clones(inv, "vec_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000
+    )
+    s = aug.withColumn(
+        "split",
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test"),
+    )
+    tr = s.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("tid"), F.col("v").alias("tv"), "cluster"
+    )
+    ev = s.filter(F.col("split") != "train")
+    leaked = (
+        ev.join(tr, "cluster")
+        .filter(F.col("vec_id") != F.col("tid"))
+        .withColumn("cos", cosine(F.col("v"), F.col("tv")))
+        .filter(F.col("cos") >= 0.9)
+        .select("vec_id")
+        .distinct()
+        .withColumn("lk", F.lit(1).cast("long"))
+    )
+    return (
+        ev.join(leaked, "vec_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("lk"), F.lit(0)).cast("bigint").alias("n_leaked"),
+        )
+        .select(
+            "split", "n_docs", "n_leaked",
+            F.expr("(n_leaked * 1000) div n_docs").alias("leak_pm"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_SEM_CASE = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 1000 < 980 THEN 'train'\n"
+    "     WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 1000 < 990 THEN 'val'\n"
+    "     ELSE 'test' END"
+)
+
+_SPLIT_SEM_SQL = (
+    "WITH "
+    + ",\n".join(_ivf_inv_cte_parts())
+    + f""",
+aug AS (
+    SELECT vec_id, v, cluster FROM inv
+    UNION ALL
+    SELECT vec_id + {CLONE_OFFSET} AS vec_id, v, cluster FROM inv
+    WHERE vec_id % {CLONE_EVERY} = 0
+),
+sp AS (SELECT vec_id, v, cluster, {_SPLIT_SEM_CASE} AS split FROM aug),
+leaked AS (
+    SELECT DISTINCT a.vec_id FROM sp a JOIN sp b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    WHERE a.split <> 'train' AND b.split = 'train'
+      AND list_cosine_similarity(a.v, b.v) >= 0.9
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+           AS n_leaked,
+       CAST((coalesce(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 END), 0) * 1000)
+            // count(*) AS BIGINT) AS leak_pm
+FROM sp LEFT JOIN leaked l USING (vec_id)
+WHERE split <> 'train'
+GROUP BY split ORDER BY split
+"""
+)
+
+
 # --- sim_ivf_pq: product-quantized ADC search over the coarse IVF -------------
 #: PQ geometry (Jégou et al. 2011, "Product Quantization for Nearest
 #: Neighbor Search"): m=8 subspaces × 8 dims, k=8 codewords each,
@@ -1568,6 +1667,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "sim_ivf_pq": sim_ivf_pq,
     "emb_pca_power": emb_pca_power,
+    "corpus_split_semantic_leakage": corpus_split_semantic_leakage,
     "emb_alignment_audit": emb_alignment_audit,
 }
 
@@ -1575,6 +1675,7 @@ ORACLES = {
     "dedup_semantic": _SEMANTIC_SQL,
     "sim_ivf_pq": _IVF_PQ_SQL,
     "emb_pca_power": _pca_power_sql(),
+    "corpus_split_semantic_leakage": _SPLIT_SEM_SQL,
     "emb_alignment_audit": _ALIGN_SQL,
     "emb_norm_profile": _NORM_SQL,
     "emb_quantize_int8": _QUANT_SQL,

@@ -40,6 +40,7 @@ _UNKEYED_JOIN_OK = {
     "dedup_embedding_cosine",
     "dedup_semantic",           # broadcast k centroids (shared trained
                                 # inverted file) + 1-row threshold scalars
+    "corpus_split_semantic_leakage",  # same shared trained inverted file
     "corpus_temperature_mix",   # crossJoin(1-row integer weight totals)
     "emb_alignment_audit",      # summary row = crossJoin chain of 1-row aggregates
     "corpus_dsir_sample",       # crossJoin(broadcast 1-row normalizer)
