@@ -516,7 +516,98 @@ LIMIT 15
     )
 
 
+# --- graph_call_cycles: bounded directed cycle detection ----------------------
+
+
+def graph_call_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed CALLS cycles up to length 4 — the mutual-recursion /
+    circular-dependency detector a code-intelligence platform runs over
+    its call graph (the reference's Cypher library stops at acyclic
+    patterns; a cycle is precisely what ``CALLS*1..10`` traversals must
+    not follow forever). Each simple cycle is reported once in
+    canonical rotation (start = lexicographically smallest node id).
+
+    Scale shape: length-k enumeration is k−1 chained equi-joins on
+    node ids (src/dst keyed — the same co-partitioned hops every
+    traversal pays) closed by one membership filter; candidate volume
+    is the path count Σ out-degree^(k−1), bounded here by the call
+    graph's near-unit out-degree and bounded in production by the
+    standard degree-cap prefilter (the hub-cap escape hatch the
+    traversal operators document). No cross join, no unbounded
+    recursion — k is a structural constant."""
+    from codegraph_spark.graph import PropertyGraph
+
+    e = (
+        PropertyGraph.from_tpch_recast(spark, sf_dir)
+        .typed_edges("CALLS")
+        .select("src", "dst")
+    )
+    ab = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    bc = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    cd = e.select(F.col("src").alias("z"), F.col("dst").alias("w"))
+    c2 = (
+        ab.join(e, (ab["y"] == e["src"]) & (e["dst"] == ab["x"]))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.lit(2).alias("cycle_len"),
+            F.concat_ws("->", "x", "y", "x").alias("cycle"),
+        )
+    )
+    c3 = (
+        ab.join(bc, "y")
+        .join(e.select(F.col("src").alias("z"), F.col("dst").alias("xx")),
+              "z")
+        .filter(
+            (F.col("xx") == F.col("x"))
+            & (F.col("x") < F.col("y")) & (F.col("x") < F.col("z"))
+            & (F.col("y") != F.col("z"))
+        )
+        .select(
+            F.lit(3).alias("cycle_len"),
+            F.concat_ws("->", "x", "y", "z", "x").alias("cycle"),
+        )
+    )
+    c4 = (
+        ab.join(bc, "y")
+        .join(cd, "z")
+        .join(e.select(F.col("src").alias("w"), F.col("dst").alias("xx")), "w")
+        .filter(
+            (F.col("xx") == F.col("x"))
+            & (F.col("x") < F.col("y")) & (F.col("x") < F.col("z"))
+            & (F.col("x") < F.col("w"))
+            & (F.col("y") != F.col("z")) & (F.col("y") != F.col("w"))
+            & (F.col("z") != F.col("w"))
+        )
+        .select(
+            F.lit(4).alias("cycle_len"),
+            F.concat_ws("->", "x", "y", "z", "w", "x").alias("cycle"),
+        )
+    )
+    return c2.unionByName(c3).unionByName(c4).orderBy("cycle_len", "cycle")
+
+
+_CYCLES_SQL = with_recast("""
+SELECT 2 AS cycle_len, a.src || '->' || a.dst || '->' || a.src AS cycle
+FROM calls a JOIN calls b ON a.dst = b.src AND b.dst = a.src
+WHERE a.src < a.dst
+UNION ALL
+SELECT 3, a.src || '->' || b.src || '->' || c.src || '->' || a.src
+FROM calls a JOIN calls b ON a.dst = b.src
+             JOIN calls c ON b.dst = c.src AND c.dst = a.src
+WHERE a.src < b.src AND a.src < c.src AND b.src <> c.src
+UNION ALL
+SELECT 4, a.src || '->' || b.src || '->' || c.src || '->' || d.src || '->' || a.src
+FROM calls a JOIN calls b ON a.dst = b.src
+             JOIN calls c ON b.dst = c.src
+             JOIN calls d ON c.dst = d.src AND d.dst = a.src
+WHERE a.src < b.src AND a.src < c.src AND a.src < d.src
+  AND b.src <> c.src AND b.src <> d.src AND c.src <> d.src
+ORDER BY cycle_len, cycle
+""", extra_ctes="calls AS (SELECT src, dst FROM gedges WHERE type = 'CALLS')")
+
+
 QUERIES = {
+    "graph_call_cycles": graph_call_cycles,
     "graph_triangle_count": graph_triangle_count,
     "graph_kcore": graph_kcore,
     "graph_degree_profile": graph_degree_profile,
@@ -525,6 +616,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_call_cycles": _CYCLES_SQL,
     "graph_triangle_count": _TRIANGLE_SQL,
     "graph_kcore": _kcore_sql(),
     "graph_degree_profile": _DEGREE_SQL,
