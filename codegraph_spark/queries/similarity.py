@@ -1263,11 +1263,31 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage ever sees raw vectors. Integer-exact throughout (milli
     quantization, int64 dots), so the oracle is bit-identical by
     construction."""
+    est = _pq_adc_est(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.desc("est_dot_milli2"), "vec_id")
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_id", "probe_cluster",
+            F.col("vec_id").alias("neighbor_id"), "est_dot_milli2", "rn",
+        )
+    )
+
+
+def _pq_adc_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC estimate per (q_id, probe_cluster, vec_id) over the coarse
+    posting list — shared by :func:`sim_ivf_pq` (top-5 serving) and
+    :func:`sim_pq_recall` (quality dashboard)."""
     emb = _emb(spark, sf_dir)
     inv = _trained_inverted_file(spark, sf_dir)  # (vec_id, v, cluster)
     sv = _pq_subvectors(emb).localCheckpoint(eager=False)
-    cents = _train_pq(sv)
-    codes = _pq_assign(sv, cents)
+    # codebook + codes are ingest-time artifacts (the _IVF_CACHE
+    # pattern): train once per (app, dataset), serve warm thereafter
+    from codegraph_spark.serving import shared_df
+
+    cents = shared_df(spark, (sf_dir, "pq", "codebook"), lambda: _train_pq(sv))
+    codes = shared_df(spark, (sf_dir, "pq", "codes"), lambda: _pq_assign(sv, cents))
     q = (
         inv.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("cluster").alias("probe"))
@@ -1302,14 +1322,57 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "probe_cluster", "vec_id")
         .agg(F.sum("part").alias("est_dot_milli2"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("est_dot_milli2"), "vec_id")
-    return (
-        est.withColumn("rn", F.row_number().over(w))
+    return est
+
+
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall dashboard for the PQ family (the :func:`sim_lsh_recall`
+    counterpart): per query, how many of the ADC top-5 sit in the
+    EXACT integer-dot top-5 over the same probed posting list, plus
+    the exact rank of ADC's best pick and the candidate count — the
+    numbers that justify (or veto) a 24-bit code budget before anyone
+    trains on PQ-retrieved neighbors.
+
+    Scale shape: the exact side is a per-query scan of the probed
+    posting list only (O(posting·d) integer dots — the ground-truth
+    stage every recall audit pays), never the corpus; ADC side reuses
+    the shared estimate. All integer; no new shuffle shapes."""
+    est = _pq_adc_est(spark, sf_dir)
+    w_adc = Window.partitionBy("q_id").orderBy(F.desc("est_dot_milli2"), "vec_id")
+    adc5 = (
+        est.withColumn("rn", F.row_number().over(w_adc))
         .filter(F.col("rn") <= 5)
-        .select(
-            "q_id", "probe_cluster",
-            F.col("vec_id").alias("neighbor_id"), "est_dot_milli2", "rn",
+        .select("q_id", "vec_id")
+    )
+    inv = _trained_inverted_file(spark, sf_dir)
+    mq = _emb(spark, sf_dir).select("vec_id", _milli_arr(F.col("v")).alias("m"))
+    base = inv.join(mq, "vec_id").select("vec_id", "cluster", "m")
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("cluster").alias("probe"),
+        F.col("m").alias("qm"),
+    )
+    ex = (
+        base.join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
         )
+        .select("q_id", "vec_id", _int_dot(F.col("qm"), F.col("m")).alias("dot"))
+    )
+    w_ex = Window.partitionBy("q_id").orderBy(F.desc("dot"), "vec_id")
+    ex_ranked = ex.withColumn("xrn", F.row_number().over(w_ex))
+    n_cand = ex.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    ov = (
+        adc5.join(ex_ranked.select("q_id", "vec_id", "xrn"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(
+            F.sum((F.col("xrn") <= 5).cast("long")).alias("recall5_hits"),
+            F.min("xrn").cast("long").alias("best_adc_exact_rank"),
+        )
+    )
+    return (
+        n_cand.join(ov, "q_id")
+        .select("q_id", "n_cand", "recall5_hits", "best_adc_exact_rank")
+        .orderBy("q_id")
     )
 
 
@@ -1379,11 +1442,7 @@ def _pq_cte_parts() -> list[str]:
     return parts
 
 
-_IVF_PQ_SQL = (
-    "WITH "
-    + ",\n".join(_ivf_inv_cte_parts() + _pq_cte_parts())
-    + f""",
-qs AS (
+_PQ_EST_CTES = f"""qs AS (
     SELECT i.vec_id AS q_id, i.cluster AS probe, s.sub AS sub, s.sv AS qsv
     FROM inv i JOIN psv s ON i.vec_id = s.vec_id
     WHERE i.vec_id < 3
@@ -1394,7 +1453,7 @@ lut AS (
                                    j -> q.qsv[j] * c.cv[j])) AS part
     FROM qs q JOIN pqc c ON q.sub = c.sub
 ),
-est AS (
+est AS MATERIALIZED (
     SELECT q.q_id, q.probe AS probe_cluster, i.vec_id,
            CAST(sum(l.part) AS BIGINT) AS est_dot_milli2
     FROM (SELECT DISTINCT q_id, probe FROM qs) q
@@ -1402,12 +1461,65 @@ est AS (
     JOIN codes k ON k.vec_id = i.vec_id
     JOIN lut l ON l.q_id = q.q_id AND l.sub = k.sub AND l.cluster = k.cluster
     GROUP BY q.q_id, q.probe, i.vec_id
-)
+)"""
+
+_IVF_PQ_SQL = (
+    "WITH "
+    + ",\n".join(_ivf_inv_cte_parts() + _pq_cte_parts() + [_PQ_EST_CTES])
+    + """
 SELECT q_id, probe_cluster, vec_id AS neighbor_id, est_dot_milli2,
        CAST(row_number() OVER (PARTITION BY q_id
             ORDER BY est_dot_milli2 DESC, vec_id) AS INT) AS rn
 FROM est
 QUALIFY rn <= 5
+"""
+)
+
+_PQ_RECALL_SQL = (
+    "WITH "
+    + ",\n".join(_ivf_inv_cte_parts() + _pq_cte_parts() + [_PQ_EST_CTES])
+    + f""",
+adc5 AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY est_dot_milli2 DESC, vec_id) AS rn
+        FROM est
+    ) WHERE rn <= 5
+),
+mq AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 1000) AS BIGINT)) AS m
+    FROM embeddings
+),
+exq AS (
+    SELECT i.vec_id AS q_id, i.cluster AS probe, m.m AS qm
+    FROM inv i JOIN mq m ON i.vec_id = m.vec_id WHERE i.vec_id < 3
+),
+ex AS MATERIALIZED (
+    SELECT q.q_id, i.vec_id,
+           CAST(list_sum(list_transform(range(1, len(q.qm) + 1),
+                                        j -> q.qm[j] * m.m[j])) AS BIGINT) AS dot
+    FROM exq q
+    JOIN inv i ON i.cluster = q.probe AND i.vec_id <> q.q_id
+    JOIN mq m ON m.vec_id = i.vec_id
+),
+exr AS (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS xrn
+    FROM ex
+)
+SELECT n.q_id, n.n_cand, o.recall5_hits, o.best_adc_exact_rank
+FROM (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand FROM ex GROUP BY q_id) n
+JOIN (
+    SELECT a.q_id,
+           CAST(sum(CASE WHEN x.xrn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS recall5_hits,
+           CAST(min(x.xrn) AS BIGINT) AS best_adc_exact_rank
+    FROM adc5 a JOIN exr x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    GROUP BY a.q_id
+) o USING (q_id)
+ORDER BY q_id
 """
 )
 
@@ -1666,6 +1778,7 @@ QUERIES = {
     "sim_lsh_recall": sim_lsh_recall,
     "dedup_semantic": dedup_semantic,
     "sim_ivf_pq": sim_ivf_pq,
+    "sim_pq_recall": sim_pq_recall,
     "emb_pca_power": emb_pca_power,
     "corpus_split_semantic_leakage": corpus_split_semantic_leakage,
     "emb_alignment_audit": emb_alignment_audit,
@@ -1674,6 +1787,7 @@ QUERIES = {
 ORACLES = {
     "dedup_semantic": _SEMANTIC_SQL,
     "sim_ivf_pq": _IVF_PQ_SQL,
+    "sim_pq_recall": _PQ_RECALL_SQL,
     "emb_pca_power": _pca_power_sql(),
     "corpus_split_semantic_leakage": _SPLIT_SEM_SQL,
     "emb_alignment_audit": _ALIGN_SQL,

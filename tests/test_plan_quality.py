@@ -35,6 +35,7 @@ _UNKEYED_JOIN_OK = {
     "sim_ivf_label", "sim_ivf_kmeans", "sim_topk_bruteforce",  # broadcast k centroids / queries
     "sim_ivf_pq",               # broadcast m*k-row PQ codebook + shared
                                 # coarse-quantizer seeding (k-row sides)
+    "sim_pq_recall",            # same shared PQ/coarse artifacts
     "sim_lsh_recall",           # broadcast probe sample, BOUNDED by the
                                 # corpus-adaptive stride (~1-2k rows at any n)
     "dedup_embedding_cosine",
