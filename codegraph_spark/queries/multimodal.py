@@ -333,7 +333,145 @@ GROUP BY doc_id, grp
 """
 
 
+# --- mm_audio_fingerprint: landmark-hash audio near-dup detection -------------
+#: fingerprint parameters: fine windows (64 samples) so a clip carries
+#: 16-24 energy windows, energy quantized to ~coarse-thousands, and a
+#: landmark df-cap (the dedup family's escape hatch) so a stopword-
+#: grade landmark can never create a quadratic bucket.
+_FP_WINDOW, _FP_QUANT, _FP_DF_CAP, _FP_MIN_SHARED = 64, 1000, 64, 2
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style landmark fingerprinting for audio near-dup
+    detection (Wang 2003): windowed energy → local peaks → consecutive
+    peak-pair landmarks (quantized energies + gap, md5-hashed) →
+    audio pairs sharing ≥2 landmarks. The audio-modality counterpart
+    of the text dedup family: a re-encoded / length-shifted copy keeps
+    most of its landmarks even though its bytes differ.
+
+    Clones are PLANTED by the shared rule (every 40th doc under
+    id+1M — queries/similarity.plant_clones): the clone's clip LENGTH
+    differs (doc_id enters n_samples), so this exercises near-match,
+    not byte-identity. Candidate generation is a df-capped landmark
+    equi-join (bucketed, never all-pairs) — the dedup.py shape.
+
+    Scale shape: energy via the Arrow kernel (one corpus pass), peaks
+    and landmarks are per-doc windows, the pair stage joins only
+    same-landmark rows with df ≤ 64 — Σdf² bounded, map-side-combined
+    pair counts."""
+    from codegraph_spark.operators.multimodal import (
+        audio_window_energy,
+        encode_documents_as_audio,
+    )
+    from codegraph_spark.queries.similarity import plant_clones
+    from pyspark.sql import Window
+
+    docs = plant_clones(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    energy = audio_window_energy(encode_documents_as_audio(docs), window=_FP_WINDOW)
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    pk = (
+        energy.withColumn("pe", F.lag("energy").over(w))
+        .withColumn("ne", F.lead("energy").over(w))
+        .filter(
+            (F.col("energy") > F.coalesce(F.col("pe"), F.lit(-1)))
+            & (F.col("energy") >= F.coalesce(F.col("ne"), F.lit(-1)))
+        )
+        .select("doc_id", "win_idx", "energy")
+    )
+    lm = (
+        pk.withColumn("nw", F.lead("win_idx").over(w))
+        .withColumn("ne2", F.lead("energy").over(w))
+        .filter(F.col("nw").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.expr(f"energy div {_FP_QUANT}"),
+                    F.expr(f"ne2 div {_FP_QUANT}"),
+                    (F.col("nw") - F.col("win_idx")).cast("long"),
+                )
+            ).alias("landmark"),
+        )
+        .distinct()
+    )
+    rare = lm.groupBy("landmark").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).filter(F.col("df") <= _FP_DF_CAP).select("landmark")
+    lmr = lm.join(rare, "landmark")
+    a = lmr.select(F.col("doc_id").alias("doc_a"), "landmark")
+    b = lmr.select(F.col("doc_id").alias("doc_b"), "landmark")
+    return (
+        a.join(b, "landmark")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _FP_MIN_SHARED)
+    )
+
+
+_MM_FP_SQL = f"""
+WITH basedocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+),
+auds AS (
+    SELECT doc_id,
+           CAST(1024 + doc_id % 512 AS INT) AS n,
+           substr(
+               repeat(text, CAST(ceil((1024 + doc_id % 512)
+                                      / CAST(length(text) AS DOUBLE)) AS INT) + 1),
+               1, 1024 + doc_id % 512
+           ) AS body
+    FROM basedocs
+),
+samples AS (
+    SELECT doc_id, n,
+           unnest(list_transform(string_split(body, ''), x -> ascii(x))) AS b,
+           unnest(range(0, n)) AS i
+    FROM auds
+),
+energy AS (
+    SELECT doc_id, CAST(i // {_FP_WINDOW} AS INT) AS win_idx,
+           CAST(sum(CAST(b AS BIGINT) * b) AS BIGINT) AS energy
+    FROM samples WHERE i < (n // {_FP_WINDOW}) * {_FP_WINDOW}
+    GROUP BY 1, 2
+),
+pk AS (
+    SELECT doc_id, win_idx, energy FROM (
+        SELECT doc_id, win_idx, energy,
+               lag(energy) OVER w AS pe, lead(energy) OVER w AS ne
+        FROM energy WINDOW w AS (PARTITION BY doc_id ORDER BY win_idx)
+    ) WHERE energy > coalesce(pe, -1) AND energy >= coalesce(ne, -1)
+),
+lm AS (
+    SELECT DISTINCT doc_id,
+           md5(CAST(energy // {_FP_QUANT} AS VARCHAR) || ':'
+               || CAST(ne2 // {_FP_QUANT} AS VARCHAR) || ':'
+               || CAST(nw - win_idx AS VARCHAR)) AS landmark
+    FROM (
+        SELECT doc_id, win_idx, energy,
+               lead(win_idx) OVER w2 AS nw, lead(energy) OVER w2 AS ne2
+        FROM pk WINDOW w2 AS (PARTITION BY doc_id ORDER BY win_idx)
+    ) WHERE nw IS NOT NULL
+),
+rare AS (
+    SELECT landmark FROM lm GROUP BY landmark
+    HAVING count(DISTINCT doc_id) <= {_FP_DF_CAP}
+),
+lmr AS (SELECT doc_id, landmark FROM lm JOIN rare USING (landmark))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM lmr a JOIN lmr b ON a.landmark = b.landmark AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_FP_MIN_SHARED}
+"""
+
+
 QUERIES = {
+    "mm_audio_fingerprint": mm_audio_fingerprint,
     "mm_image_meta": mm_image_meta,
     "mm_audio_vad": mm_audio_vad,
     "mm_dhash": mm_dhash,
@@ -344,6 +482,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_audio_fingerprint": _MM_FP_SQL,
     "mm_image_meta": _MM_META_SQL,
     "mm_audio_vad": _MM_VAD_SQL,
     "mm_dhash": _MM_DHASH_SQL,

@@ -337,3 +337,27 @@ def test_video_av_decode_real_container(tmp_path):
     frames = _decode_video_frames(buf.getvalue(), "h264", frame_len=0)
     assert frames.shape[0] == 6
     assert frames.shape[1] == 16 * 8
+
+
+def test_audio_fingerprint_finds_planted_clones(spark, sf_dir):
+    """The landmark fingerprint must recover (nearly) all planted
+    clone pairs even though each clone's clip LENGTH differs from its
+    source (doc_id enters n_samples): >= 12 of 13 pairs at sf0.001 —
+    the one miss is a clip whose peak layout the length shift disturbs,
+    the expected lossy-fingerprint behavior."""
+    from codegraph_spark.queries.multimodal import mm_audio_fingerprint
+    from codegraph_spark.queries.similarity import CLONE_EVERY, CLONE_OFFSET
+    from codegraph_spark.sources.tables import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+        if r["doc_id"] % CLONE_EVERY == 0
+    ]
+    clone_pairs = {(i, i + CLONE_OFFSET) for i in ids}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm_audio_fingerprint(spark, sf_dir).collect()
+    }
+    found = got & clone_pairs
+    assert len(found) >= len(clone_pairs) - 1, (len(found), len(clone_pairs))
