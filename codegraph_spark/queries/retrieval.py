@@ -510,10 +510,42 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
-    """Unrolled-CTE oracle for :func:`vocab_bpe_encode`: the training
-    CTEs of :func:`_bpe_merges_sql` extended through the FINAL round's
-    rewrite (w{rounds+1} = the encoder's symbol table), then the
+    """Unrolled-CTE oracle for :func:`vocab_bpe_encode`: the trained
+    symbol-table CTEs (:func:`_bpe_trained_cte_parts`), then the
     histogram join + stratum rollup."""
+    parts = _bpe_trained_cte_parts(rounds)
+    parts.append(f"""tok AS (
+    SELECT word, CAST(len(sym) AS BIGINT) AS n_tok,
+           CAST(length(word) AS BIGINT) AS n_chr FROM w{rounds + 1})""")
+    parts.append("""dw AS (
+    SELECT lang, source, doc_id, word FROM (
+        SELECT lang, source, doc_id,
+               unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ) WHERE word <> '')""")
+    parts.append("""enc AS (
+    SELECT lang, source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * n_chr) AS BIGINT) AS n_chars
+    FROM (SELECT lang, source, word, count(*) AS cnt
+          FROM dw GROUP BY lang, source, word) g
+    JOIN tok USING (word) GROUP BY lang, source)""")
+    parts.append("""nd AS (
+    SELECT lang, source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM dw GROUP BY lang, source)""")
+    tail = """
+SELECT enc.lang, enc.source, n_docs, n_words, n_tokens, n_chars,
+       CAST(floor(n_chars * 1000000.0 / n_tokens) AS BIGINT) AS chars_per_tok_ppm
+FROM enc JOIN nd USING (lang, source)
+ORDER BY lang, source"""
+    return "WITH " + ",\n".join(parts) + tail
+
+
+def _bpe_trained_cte_parts(rounds: int = _BPE_ROUNDS) -> list[str]:
+    """Training CTEs of :func:`_bpe_merges_sql` extended through the
+    FINAL round's rewrite: the chain ends at ``w{rounds+1}``, the
+    encoder's symbol table. Shared by the encode and token-pack
+    oracles."""
     parts = [
         """w1 AS MATERIALIZED (
     SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -551,34 +583,116 @@ def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
         parts.append(f"""w{r + 1} AS MATERIALIZED (
     SELECT word, freq, list(so ORDER BY i) AS sym
     FROM k{r} WHERE keep GROUP BY word, freq)""")
-    parts.append(f"""tok AS (
-    SELECT word, CAST(len(sym) AS BIGINT) AS n_tok,
-           CAST(length(word) AS BIGINT) AS n_chr FROM w{rounds + 1})""")
-    parts.append("""dw AS (
-    SELECT lang, source, doc_id, word FROM (
-        SELECT lang, source, doc_id,
-               unnest(string_split(lower(text), ' ')) AS word FROM documents
-    ) WHERE word <> '')""")
-    parts.append("""enc AS (
-    SELECT lang, source,
-           CAST(sum(cnt) AS BIGINT) AS n_words,
-           CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
-           CAST(sum(cnt * n_chr) AS BIGINT) AS n_chars
-    FROM (SELECT lang, source, word, count(*) AS cnt
-          FROM dw GROUP BY lang, source, word) g
-    JOIN tok USING (word) GROUP BY lang, source)""")
-    parts.append("""nd AS (
-    SELECT lang, source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-    FROM dw GROUP BY lang, source)""")
-    tail = """
-SELECT enc.lang, enc.source, n_docs, n_words, n_tokens, n_chars,
-       CAST(floor(n_chars * 1000000.0 / n_tokens) AS BIGINT) AS chars_per_tok_ppm
-FROM enc JOIN nd USING (lang, source)
-ORDER BY lang, source"""
+    return parts
+
+
+def corpus_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard packing with the TRAINED tokenizer's true
+    counts — ``corpus_pack_shards`` linearizes by whitespace-token
+    counts; this one packs by what the model actually consumes (BPE
+    tokens from the :func:`vocab_bpe_merges` merge table), so a 4096
+    budget means 4096 real tokens per shard, not an estimate that
+    drifts with tokenizer compression.
+
+    Composition, not re-invention: per-doc token counts come from the
+    histogram⋈histogram join of :func:`vocab_bpe_encode` (the corpus
+    is scanned once; no per-token rows leave the histogram), and the
+    linearization is the identical two-level prefix sum of
+    corpus_pack_shards (bucketed windows + a broadcast offsets table —
+    no global window at any n). Docs whose text yields no words pack
+    with 0 tokens rather than dropping (left join + coalesce)."""
+    from codegraph_spark.queries.text import _PACK_BUCKETS, _PACK_BUDGET
+
+    _, final = _bpe_train(_bpe_word_histogram(spark, sf_dir), _BPE_ROUNDS)
+    tok = final.select("word", F.size("sym").cast("bigint").alias("n_tok"))
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = (
+        dw.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .join(tok, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("nt"))
+    )
+    base = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nt", F.lit(0)).cast("bigint").alias("n_tokens"),
+            (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(w))
+    totals = local.groupBy("bucket").agg(F.max("local_cum").alias("btotal"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("btotal").over(wb), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(off + local_cum - n_tokens) div {_PACK_BUDGET}").alias("shard_id"),
+            ((F.col("off") + F.col("local_cum") - F.col("n_tokens")) % _PACK_BUDGET)
+            .alias("shard_pos"),
+        )
+    )
+
+
+def _pack_tokens_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Oracle for :func:`corpus_pack_tokens`: trained symbol-table CTEs
+    + per-doc true token counts + the corpus_pack_shards prefix-sum
+    tail (constants imported from queries.text so the two packers can
+    never drift)."""
+    from codegraph_spark.queries.text import _PACK_BUCKETS, _PACK_BUDGET
+
+    parts = _bpe_trained_cte_parts(rounds)
+    parts.append(f"""tokc AS (
+    SELECT word, CAST(len(sym) AS BIGINT) AS n_tok FROM w{rounds + 1})""")
+    parts.append("""gw AS (
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ) WHERE word <> '' GROUP BY doc_id, word)""")
+    parts.append("""dt AS (
+    SELECT d.doc_id, CAST(coalesce(sum(g.cnt * t.n_tok), 0) AS BIGINT) AS n_tokens
+    FROM documents d
+    LEFT JOIN gw g ON g.doc_id = d.doc_id
+    LEFT JOIN tokc t ON t.word = g.word
+    GROUP BY d.doc_id)""")
+    parts.append(f"""base AS (
+    SELECT doc_id, n_tokens, doc_id % {_PACK_BUCKETS} AS bucket FROM dt)""")
+    parts.append("""localcum AS (
+    SELECT doc_id, n_tokens, bucket,
+           sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS local_cum
+    FROM base)""")
+    parts.append("""offsets AS (
+    SELECT bucket,
+           coalesce(sum(btotal) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM (SELECT bucket, max(local_cum) AS btotal FROM localcum GROUP BY bucket))""")
+    tail = f"""
+SELECT l.doc_id, l.n_tokens,
+       CAST((o.off + l.local_cum - l.n_tokens) // {_PACK_BUDGET} AS BIGINT) AS shard_id,
+       CAST((o.off + l.local_cum - l.n_tokens) % {_PACK_BUDGET} AS BIGINT) AS shard_pos
+FROM localcum l JOIN offsets o USING (bucket)"""
     return "WITH " + ",\n".join(parts) + tail
 
 
 QUERIES = {
+    "corpus_pack_tokens": corpus_pack_tokens,
     "text_bm25_search": text_bm25_search,
     "vocab_top_df": vocab_top_df,
     "vocab_bpe_pairs": vocab_bpe_pairs,
@@ -589,6 +703,7 @@ QUERIES = {
 
 ORACLES = {
     "vocab_bpe_merges": _bpe_merges_sql(),
+    "corpus_pack_tokens": _pack_tokens_sql(),
     "vocab_bpe_encode": _bpe_encode_sql(),
     "text_bm25_search": _BM25_SQL,
     "vocab_top_df": _VOCAB_SQL,

@@ -60,6 +60,13 @@ PROBES = [
     "vocab_bpe_encode",
     "sim_ivf_pq",
     "emb_alignment_audit",
+    "text_cdc_chunks",
+    "corpus_dsir_sample",
+    "corpus_split_semantic_leakage",
+    "graph_call_cycles",
+    "sim_pq_recall",
+    "mm_audio_fingerprint",
+    "emb_pca_power",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
