@@ -652,7 +652,119 @@ FROM dau JOIN wau USING (week)
 """
 
 
+# --- ev_cms_topk: Count-Min Sketch heavy hitters + exactness audit ------------
+#: sketch geometry (Cormode & Muthukrishnan 2005): d hash rows × w
+#: buckets. Hashes are md5-derived (the repo's one cross-engine hash
+#: rule), seeded by the row index, so both engines build the identical
+#: sketch bit for bit.
+_CMS_D, _CMS_W, _CMS_TOPK = 4, 256, 10
+
+
+def ev_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a COUNT-MIN SKETCH, with the
+    exact counts alongside as the overestimate audit: build the d×w
+    sketch over event_type, estimate each type as min over rows of its
+    bucket counter, rank top-10 by estimate, and report estimate vs
+    exact (+overestimate in per-mille). The sketch is the bounded-state
+    answer when the key domain is too large to count exactly (URLs,
+    n-grams, IPs) — here the audit shape proves the machinery and
+    MEASURES its error instead of trusting it.
+
+    Scale shape: the sketch build is one explode(×d) + one map-side-
+    combining GROUP BY into d·w = 1024 cells — bounded state
+    regardless of corpus size (the reason the operator exists); the
+    estimate stage joins the DISTINCT key set against the broadcast
+    1024-cell sketch; exact counts ride the same pre-aggregated
+    (type)-keyed rows. Everything int64."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    # one row per (event row, hash row) — the d probes
+    probes = ev.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("hrow"),
+    ).select(
+        "hrow",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("hrow"), F.col("event_type"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint") % _CMS_W
+        ).alias("bucket"),
+    )
+    sketch = probes.groupBy("hrow", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    exact = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    keyed = exact.select(
+        "event_type", "exact_n",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("hrow"),
+    ).select(
+        "event_type", "exact_n", "hrow",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("hrow"), F.col("event_type"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint") % _CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        keyed.join(F.broadcast(sketch), ["hrow", "bucket"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "event_type", "cms_est", "exact_n",
+            F.expr("((cms_est - exact_n) * 1000) div exact_n").alias("overest_pm"),
+        )
+        .orderBy(F.desc("cms_est"), "event_type")
+        .limit(_CMS_TOPK)
+    )
+
+
+_CMS_SQL = f"""
+WITH probes AS (
+    SELECT h.hrow,
+           CAST(('0x' || substr(md5(CAST(h.hrow AS VARCHAR) || ':' || event_type),
+                                1, 15)) AS BIGINT) % {_CMS_W} AS bucket
+    FROM events CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS hrow) h
+),
+sketch AS (
+    SELECT hrow, bucket, CAST(count(*) AS BIGINT) AS cell
+    FROM probes GROUP BY hrow, bucket
+),
+exact AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+    FROM events GROUP BY event_type
+),
+keyed AS (
+    SELECT e.event_type, e.exact_n, h.hrow,
+           CAST(('0x' || substr(md5(CAST(h.hrow AS VARCHAR) || ':' || e.event_type),
+                                1, 15)) AS BIGINT) % {_CMS_W} AS bucket
+    FROM exact e CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS hrow) h
+),
+est AS (
+    SELECT k.event_type, k.exact_n, min(s.cell) AS cms_est
+    FROM keyed k JOIN sketch s ON s.hrow = k.hrow AND s.bucket = k.bucket
+    GROUP BY k.event_type, k.exact_n
+)
+SELECT event_type, CAST(cms_est AS BIGINT) AS cms_est, exact_n,
+       CAST(((cms_est - exact_n) * 1000) // exact_n AS BIGINT) AS overest_pm
+FROM est
+ORDER BY cms_est DESC, event_type
+LIMIT {_CMS_TOPK}
+"""
+
+
 QUERIES = {
+    "ev_cms_topk": ev_cms_topk,
     "ev_hourly_agg": ev_hourly_agg,
     "ev_dau_wau": ev_dau_wau,
     "ev_inactive_gap": ev_inactive_gap,
@@ -671,6 +783,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_cms_topk": _CMS_SQL,
     "ev_hourly_agg": _HOURLY_SQL,
     "ev_dau_wau": _DAU_WAU_SQL,
     "ev_inactive_gap": _INACTIVE_SQL,
