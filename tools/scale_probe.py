@@ -79,6 +79,16 @@ FLAG_FACTOR = 2.5
 #: scale-design conditions (the r5 lesson: name the cause, then fix or
 #: contract it).
 PROBE_NOTES = {
+    "dedup_edit_distance": (
+        "output growth — the replica multiplies near-dup density, pairs "
+        "79 -> 186k (2360x output) while the candidate plan stays "
+        "equi-join-shaped; verify work is output-sized"
+    ),
+    "text_lm_score": (
+        "exactly linear (ratio ~ the 10x data ratio): every stage is "
+        "positions-keyed, and unlike the sublinear probes no fixed "
+        "overhead amortizes it below the data ratio"
+    ),
     "dedup_containment": (
         "output growth — the 10x replica's near-dup density multiplies "
         "qualifying pairs, and verify work is output-sized"
