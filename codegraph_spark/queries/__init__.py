@@ -90,6 +90,7 @@ _REVERIFY: dict[str, int] = {
     "mm_audio_fingerprint": 6,     # round 6: new (landmark audio near-dup)
     "corpus_pack_tokens": 6,       # round 6: new (true-token shard packing)
     "ev_cms_topk": 6,              # round 6: new (count-min heavy hitters)
+    "stream_cms_topk": 6,          # round 6: new (streaming CMS sketch)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

@@ -676,44 +676,49 @@ def ev_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate stage joins the DISTINCT key set against the broadcast
     1024-cell sketch; exact counts ride the same pre-aggregated
     (type)-keyed rows. Everything int64."""
-    ev = load_table(spark, sf_dir, "events").select("event_type")
-    # one row per (event row, hash row) — the d probes
-    probes = ev.select(
+    sketch = cms_probe_rows(
+        load_table(spark, sf_dir, "events").select("event_type")
+    ).groupBy("hrow", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    return cms_topk_from_sketch(spark, sf_dir, sketch)
+
+
+def _cms_bucket() -> "F.Column":
+    """md5-seeded bucket of (hrow, event_type) — identical expression
+    in the batch op, the streaming op, and (interpolated) the oracle."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("hrow"), F.col("event_type"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint") % _CMS_W
+    )
+
+
+def cms_probe_rows(ev: DataFrame) -> DataFrame:
+    """(hrow, bucket) probe stream — one row per (event, hash row);
+    works identically on a batch or streaming DataFrame (stateless
+    projections only)."""
+    return ev.select(
         "event_type",
         F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("hrow"),
-    ).select(
-        "hrow",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("hrow"), F.col("event_type"))),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("bigint") % _CMS_W
-        ).alias("bucket"),
-    )
-    sketch = probes.groupBy("hrow", "bucket").agg(
-        F.count(F.lit(1)).alias("cell")
-    )
+    ).select("hrow", _cms_bucket().alias("bucket"))
+
+
+def cms_topk_from_sketch(
+    spark: SparkSession, sf_dir: str, sketch: DataFrame
+) -> DataFrame:
+    """Estimate + audit phase over a built d×w sketch: min-over-rows
+    estimates for the distinct keys against the broadcast sketch,
+    exact counts alongside, top-10 by estimate."""
     exact = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_n")
     )
     keyed = exact.select(
         "event_type", "exact_n",
         F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("hrow"),
-    ).select(
-        "event_type", "exact_n", "hrow",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("hrow"), F.col("event_type"))),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("bigint") % _CMS_W
-        ).alias("bucket"),
-    )
+    ).select("event_type", "exact_n", "hrow", _cms_bucket().alias("bucket"))
     est = (
         keyed.join(F.broadcast(sketch), ["hrow", "bucket"])
         .groupBy("event_type", "exact_n")

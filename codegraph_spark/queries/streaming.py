@@ -36,6 +36,30 @@ FROM events
 GROUP BY 1, 2
 """
 
+
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min Sketch as a STREAMING aggregate — sketches are
+    mergeable by construction (cell-wise sums), which makes them the
+    canonical bounded-state streaming summary: the d×w cell table is
+    maintained incrementally (complete-mode groupBy over the stateless
+    probe projection, state = exactly 1024 rows at ANY input volume),
+    drained availableNow, and then the batch estimate/audit phase of
+    :func:`codegraph_spark.queries.events.ev_cms_topk` runs over the
+    drained sketch. Oracle = the batch CMS SQL: a hash match proves the
+    incremental sketch converges to the batch sketch bit for bit."""
+    from codegraph_spark.queries.events import cms_probe_rows, cms_topk_from_sketch
+
+    ev = read_events_stream(spark, sf_dir)
+    sketch = run_available_now(
+        cms_probe_rows(ev.select("event_type"))
+        .groupBy("hrow", "bucket")
+        .count()
+        .withColumnRenamed("count", "cell"),
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return cms_topk_from_sketch(spark, sf_dir, sketch)
+
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator end-to-end (§2.8): per-user running
     (count, total) via ``applyInPandasWithState``, drained availableNow;
@@ -288,7 +312,10 @@ def _asof_oracle() -> str:
     return _ASOF_SQL
 
 
+from codegraph_spark.queries.events import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
+
 QUERIES = {
+    "stream_cms_topk": stream_cms_topk,
     "stream_hourly_counts": stream_hourly_counts,
     "stream_funnel": stream_funnel,
     "stream_asof": stream_asof,
@@ -298,6 +325,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
 }
 ORACLES = {
+    "stream_cms_topk": _STREAM_CMS_SQL,
     "stream_interval_join": _STREAM_INTERVAL_SQL,
     "stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "stream_hourly_counts": _STREAM_HOURLY_SQL,

@@ -74,6 +74,7 @@ AUDIT = [
     "mm_audio_fingerprint",
     "corpus_pack_tokens",
     "ev_cms_topk",
+    "stream_cms_topk",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")
