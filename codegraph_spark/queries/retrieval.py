@@ -331,15 +331,19 @@ def _bpe_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train(w: DataFrame, rounds: int) -> tuple[list[DataFrame], DataFrame]:
+def _bpe_train(
+    w: DataFrame, rounds: int
+) -> tuple[list[DataFrame], list[DataFrame]]:
     """The BPE merge loop over a (word, freq, sym) histogram. Returns
-    ``(merges, final)``: the per-round winner DataFrames and the symbol
-    table AFTER all ``rounds`` rewrites (what an ENCODER needs). All
-    lazy — ``vocab_bpe_merges`` ignores ``final``, so the last rewrite
-    plan is built but never executed there."""
+    ``(merges, states)``: the per-round winner DataFrames and the
+    symbol-table states [w after 0 merges, …, w after ``rounds``
+    merges] (states[-1] is what an ENCODER needs; the full list feeds
+    the compression curve). All lazy — ``vocab_bpe_merges`` ignores
+    ``states``, so rewrite plans are built but never executed there."""
     from pyspark.sql import Window
 
     merges: list[DataFrame] = []
+    states: list[DataFrame] = [w]
     for r in range(1, rounds + 1):
         e = w.select("word", "freq", F.posexplode("sym").alias("i", "s"))
         win = Window.partitionBy("word").orderBy("i")
@@ -386,7 +390,8 @@ def _bpe_train(w: DataFrame, rounds: int) -> tuple[list[DataFrame], DataFrame]:
             .select("word", "freq", F.transform("ps", lambda st: st.so).alias("sym"))
             .localCheckpoint(eager=False)
         )
-    return merges, w
+        states.append(w)
+    return merges, states
 
 
 def _bpe_merges_sql(rounds: int = _BPE_ROUNDS) -> str:
@@ -469,8 +474,8 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     No per-token work ever leaves the histogram: a 100 TB corpus with a
     10M-word vocabulary encodes through a 10M-row join."""
     w0 = _bpe_word_histogram(spark, sf_dir)
-    _, final = _bpe_train(w0, _BPE_ROUNDS)
-    tok = final.select(
+    _, states = _bpe_train(w0, _BPE_ROUNDS)
+    tok = states[-1].select(
         "word",
         F.size("sym").cast("bigint").alias("n_tok"),
         F.length("word").cast("bigint").alias("n_chr"),
@@ -603,8 +608,8 @@ def corpus_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 0 tokens rather than dropping (left join + coalesce)."""
     from codegraph_spark.queries.text import _PACK_BUCKETS, _PACK_BUDGET
 
-    _, final = _bpe_train(_bpe_word_histogram(spark, sf_dir), _BPE_ROUNDS)
-    tok = final.select("word", F.size("sym").cast("bigint").alias("n_tok"))
+    _, states = _bpe_train(_bpe_word_histogram(spark, sf_dir), _BPE_ROUNDS)
+    tok = states[-1].select("word", F.size("sym").cast("bigint").alias("n_tok"))
     docs = load_table(spark, sf_dir, "documents")
     dw = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
@@ -691,8 +696,72 @@ FROM localcum l JOIN offsets o USING (bucket)"""
     return "WITH " + ",\n".join(parts) + tail
 
 
+def vocab_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training CONVERGENCE CURVE: total corpus tokens after
+    each merge round (round 0 = characters), with savings vs the
+    character baseline in per-mille — the diminishing-returns plot that
+    decides how many merges a vocabulary budget buys before training
+    the real tokenizer at scale.
+
+    Scale shape: each point is one histogram-sized aggregate
+    (Σ freq·|sym| over the round's symbol table — the same Zipf
+    reduction as training itself); the curve is ``rounds+1`` one-row
+    aggregates unioned, and every state is a lazy checkpoint the encode
+    path already builds — no new corpus passes."""
+    states = _bpe_train(_bpe_word_histogram(spark, sf_dir), _BPE_ROUNDS)[1]
+    points = []
+    for r, st in enumerate(states):
+        points.append(
+            st.agg(
+                F.sum(F.col("freq") * F.size("sym")).alias("total_tokens")
+            ).select(F.lit(r).alias("merge_round"), "total_tokens")
+        )
+    out = points[0]
+    for pdf in points[1:]:
+        out = out.unionByName(pdf)
+    base = points[0].select(F.col("total_tokens").alias("base_tokens"))
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "merge_round",
+            F.coalesce("total_tokens", F.lit(0)).cast("bigint").alias("total_tokens"),
+            F.expr(
+                "coalesce(((base_tokens - total_tokens) * 1000) div nullif(base_tokens, 0), 0)"
+            ).cast("bigint").alias("saved_pm"),
+        )
+        .orderBy("merge_round")
+    )
+
+
+def _bpe_curve_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Oracle for :func:`vocab_bpe_compression_curve`: the trained
+    symbol-table CTEs + one Σ freq·len(sym) point per state."""
+    parts = _bpe_trained_cte_parts(rounds)
+    points = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round,"
+        f" CAST(coalesce(sum(freq * len(sym)), 0) AS BIGINT) AS total_tokens"
+        f" FROM w{r + 1}"
+        for r in range(rounds + 1)
+    )
+    parts.append(f"curve AS ({points})")
+    parts.append(
+        "base AS (SELECT total_tokens AS base_tokens FROM curve WHERE merge_round = 0)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT merge_round, total_tokens,
+       CAST(coalesce(((base_tokens - total_tokens) * 1000) // nullif(base_tokens, 0), 0)
+            AS BIGINT) AS saved_pm
+FROM curve CROSS JOIN base
+ORDER BY merge_round"""
+    )
+
+
 QUERIES = {
     "corpus_pack_tokens": corpus_pack_tokens,
+    "vocab_bpe_compression_curve": vocab_bpe_compression_curve,
     "text_bm25_search": text_bm25_search,
     "vocab_top_df": vocab_top_df,
     "vocab_bpe_pairs": vocab_bpe_pairs,
@@ -703,6 +772,7 @@ QUERIES = {
 
 ORACLES = {
     "vocab_bpe_merges": _bpe_merges_sql(),
+    "vocab_bpe_compression_curve": _bpe_curve_sql(),
     "corpus_pack_tokens": _pack_tokens_sql(),
     "vocab_bpe_encode": _bpe_encode_sql(),
     "text_bm25_search": _BM25_SQL,

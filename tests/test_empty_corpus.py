@@ -36,6 +36,7 @@ _REQUIRES_DATA: set[str] = set()
 _GLOBAL_ROWS = {
     "a6_stats_summary",
     "emb_alignment_audit",
+    "vocab_bpe_compression_curve",
     "corpus_dedup_rate",
     "a7_health_counts",
     "corpus_filter_funnel",

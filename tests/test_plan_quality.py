@@ -49,6 +49,8 @@ _UNKEYED_JOIN_OK = {
                                 # iterate/Rayleigh scalars
     "vocab_bpe_merges",         # per-round crossJoin(broadcast 1-row
                                 # winning pair)
+    "vocab_bpe_compression_curve",  # same per-round 1-row winners +
+                                # crossJoin(1-row character baseline)
     "j8_mentions_topk",         # substring θ-join — non-equi BY SEMANTICS,
                                 # small name-dim side broadcast (docs scan in place)
     "join_bloom_semi",          # crossJoin(1-row bloom bitmap)

@@ -75,6 +75,7 @@ AUDIT = [
     "corpus_pack_tokens",
     "ev_cms_topk",
     "stream_cms_topk",
+    "vocab_bpe_compression_curve",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")
