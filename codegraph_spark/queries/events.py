@@ -768,8 +768,106 @@ LIMIT {_CMS_TOPK}
 """
 
 
+# --- ev_kmv_distinct: K-minimum-values cardinality sketch + audit -------------
+#: KMV (Bar-Yossef et al. 2002): keep the k smallest hash values of a
+#: set; estimate |set| = (k-1)·H/h_k where h_k is the k-th smallest
+#: and H the hash range (16^15 here — the md5-prefix space the repo's
+#: hash rule already uses). Deterministic given the hash, so the
+#: oracle matches bit for bit — the property HyperLogLog (whose
+#: engine internals differ) can never give a cross-engine gate.
+_KMV_K = 32
+_KMV_H = float(16**15)
+
+
+def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality per event_type through a KMV sketch,
+    with exact distinct counts alongside as the error audit — the
+    bounded-state answer when the key domain (users, URLs, n-grams)
+    is too large for exact distinct: the sketch is k int64 values per
+    group, mergeable by keep-smallest-k, the streaming/partial-agg
+    shape approx_count_distinct uses with HLL but deterministic.
+
+    Small groups (< k distinct) report their exact count (the sketch
+    is exact below its capacity). Scale shape: one distinct over
+    (type, user) — the same two-stage distinct every exact count
+    pays — then a per-type k-smallest window (state k rows per
+    group); the estimate arithmetic is a per-row IEEE chain."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.distinct().select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint").alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    small = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    exact = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    est = (
+        exact.join(small, "event_type")
+        .select(
+            "event_type", "n_exact",
+            F.when(F.col("n_kept") < _KMV_K, F.col("n_exact"))
+            .otherwise(
+                F.floor(
+                    F.lit(_KMV_K - 1) * F.lit(_KMV_H) / F.col("hk")
+                ).cast("bigint")
+            )
+            .alias("kmv_est"),
+        )
+    )
+    return (
+        est.select(
+            "event_type", "n_exact", "kmv_est",
+            F.expr("(abs(kmv_est - n_exact) * 1000) div n_exact").alias("err_pm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KMV_SQL = f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events
+),
+small AS (
+    SELECT event_type, CAST(max(h) AS BIGINT) AS hk,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM hashed
+    GROUP BY event_type
+),
+est AS (
+    SELECT e.event_type, e.n_exact,
+           CASE WHEN s.n_kept < {_KMV_K} THEN e.n_exact
+                ELSE CAST(floor({_KMV_K - 1} * {_KMV_H!r} / s.hk) AS BIGINT)
+           END AS kmv_est
+    FROM exact e JOIN small s USING (event_type)
+)
+SELECT event_type, n_exact, kmv_est,
+       CAST((abs(kmv_est - n_exact) * 1000) // n_exact AS BIGINT) AS err_pm
+FROM est
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ev_cms_topk": ev_cms_topk,
+    "ev_kmv_distinct": ev_kmv_distinct,
     "ev_hourly_agg": ev_hourly_agg,
     "ev_dau_wau": ev_dau_wau,
     "ev_inactive_gap": ev_inactive_gap,
@@ -789,6 +887,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_cms_topk": _CMS_SQL,
+    "ev_kmv_distinct": _KMV_SQL,
     "ev_hourly_agg": _HOURLY_SQL,
     "ev_dau_wau": _DAU_WAU_SQL,
     "ev_inactive_gap": _INACTIVE_SQL,

@@ -76,6 +76,7 @@ AUDIT = [
     "ev_cms_topk",
     "stream_cms_topk",
     "vocab_bpe_compression_curve",
+    "ev_kmv_distinct",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")
