@@ -93,6 +93,7 @@ _REVERIFY: dict[str, int] = {
     "stream_cms_topk": 6,          # round 6: new (streaming CMS sketch)
     "vocab_bpe_compression_curve": 6,  # round 6: new (merge convergence curve)
     "ev_kmv_distinct": 6,          # round 6: new (KMV cardinality sketch)
+    "stream_kmv_distinct": 6,      # round 6: new (streaming KMV state op)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

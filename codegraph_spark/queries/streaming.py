@@ -60,6 +60,54 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cms_topk_from_sketch(spark, sf_dir, sketch)
 
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality via the KMV sketch (custom stateful
+    operator #4, :func:`streaming/incremental.streaming_kmv`): state =
+    the ≤ k smallest distinct hashes per key — bounded at any input
+    volume, unlike streaming exact distinct whose state grows with
+    cardinality. The drained final state equals the batch sketch by
+    the keep-smallest-k merge law (pinned in tests/test_sketches.py),
+    so the estimate phase hash-matches ev_kmv_distinct's batch oracle
+    exactly: incremental sketch ≡ batch sketch, bit for bit."""
+    from codegraph_spark.queries.events import _KMV_H, _KMV_K
+    from codegraph_spark.sources.tables import load_table
+    from codegraph_spark.streaming.incremental import streaming_kmv
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        streaming_kmv(ev, _KMV_K), output_mode="update", state_partitions=8
+    )
+    # final state row per key: n_kept only grows; at capacity hk only
+    # shrinks — (max n_kept, min hk) IS the last update
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_kept"), F.asc("hk")
+    )
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "hk", "n_kept")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = exact.join(final, "event_type").select(
+        "event_type", "n_exact",
+        F.when(F.col("n_kept") < _KMV_K, F.col("n_exact"))
+        .otherwise(
+            F.floor(F.lit(_KMV_K - 1) * F.lit(_KMV_H) / F.col("hk")).cast("bigint")
+        )
+        .alias("kmv_est"),
+    )
+    return est.select(
+        "event_type", "n_exact", "kmv_est",
+        F.expr("(abs(kmv_est - n_exact) * 1000) div n_exact").alias("err_pm"),
+    ).orderBy("event_type")
+
+
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator end-to-end (§2.8): per-user running
     (count, total) via ``applyInPandasWithState``, drained availableNow;
@@ -313,9 +361,11 @@ def _asof_oracle() -> str:
 
 
 from codegraph_spark.queries.events import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
+from codegraph_spark.queries.events import _KMV_SQL as _STREAM_KMV_SQL  # noqa: E402
 
 QUERIES = {
     "stream_cms_topk": stream_cms_topk,
+    "stream_kmv_distinct": stream_kmv_distinct,
     "stream_hourly_counts": stream_hourly_counts,
     "stream_funnel": stream_funnel,
     "stream_asof": stream_asof,
@@ -326,6 +376,7 @@ QUERIES = {
 }
 ORACLES = {
     "stream_cms_topk": _STREAM_CMS_SQL,
+    "stream_kmv_distinct": _STREAM_KMV_SQL,
     "stream_interval_join": _STREAM_INTERVAL_SQL,
     "stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "stream_hourly_counts": _STREAM_HOURLY_SQL,

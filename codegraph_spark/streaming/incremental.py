@@ -319,3 +319,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_SCHEMA = "event_type string, hk long, n_kept long"
+KMV_STATE_SCHEMA = "hs array<long>"
+
+
+def streaming_kmv(events: DataFrame, k: int) -> DataFrame:
+    """Per-key KMV cardinality sketch maintained across micro-batches
+    (custom stateful operator #4): state = the k smallest distinct md5
+    hash values seen so far — the keep-smallest-k merge law
+    (tests/test_sketches.py) IS the state update, so the drained final
+    state equals the batch sketch however the input splits. Emits the
+    current (k-th smallest, kept count) per key each batch; the batch
+    estimate/audit phase runs over the final row per key.
+
+    State is exactly ≤ k int64s per key at ANY input volume — the
+    bounded-state contract that distinguishes a sketch from an exact
+    distinct (whose streaming state grows with cardinality)."""
+    import hashlib
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (hs,) = state.get if state.exists else ([],)
+        seen = set(hs)
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                h = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+                seen.add(h)
+        hs = sorted(seen)[:k]
+        state.update((hs,))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "hk": [hs[-1]], "n_kept": [len(hs)]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=KMV_SCHEMA,
+            stateStructType=KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

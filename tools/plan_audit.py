@@ -77,6 +77,7 @@ AUDIT = [
     "stream_cms_topk",
     "vocab_bpe_compression_curve",
     "ev_kmv_distinct",
+    "stream_kmv_distinct",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")
