@@ -54,6 +54,10 @@ SKEW_SET = [
     "ev_dau_wau",
     "a8_first_event_per_user",
     "corpus_pack_shards",
+    "text_cdc_chunks",
+    "mm_audio_fingerprint",
+    "corpus_dsir_sample",
+    "vocab_bpe_encode",
 ]
 
 
