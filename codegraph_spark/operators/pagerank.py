@@ -86,3 +86,87 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank PERSONALIZED to a seed set: the teleport vector is
+    uniform over ``seeds`` instead of all nodes, and dangling mass
+    returns to the seeds — rank measures importance AS SEEN FROM the
+    anchor (random walk with restart), the "what matters around this
+    entry point" twin of global :func:`pagerank`.
+
+    Same scale shape as the global walk: one edges ⋈ ranks equi-join
+    per round, dangling mass as a 1-row broadcast aggregate, lazy
+    checkpoints, zero in-loop actions. The only new piece is a seed
+    indicator joined into the update — seed-count-sized, broadcast.
+
+    :param seeds: DataFrame with an ``id`` column; rows outside
+        ``nodes`` are ignored (intersected first so rank mass stays
+        normalized)."""
+    n = nodes.select("id").distinct().localCheckpoint(eager=True)
+    s = seeds.select("id").distinct().join(n, "id").localCheckpoint(eager=True)
+    s_count = s.count()
+    if s_count == 0:
+        return n.withColumn("rank", F.lit(0.0)).limit(0)
+
+    out_deg = (
+        edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        .select(F.col("src").alias("deg_id"), "out_deg")
+        .localCheckpoint(eager=False)
+    )
+    e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    seed_share = F.broadcast(s.withColumn("_seed", F.lit(1)))
+    restart = (1.0 - damping) / s_count
+
+    ranks = (
+        n.join(seed_share, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_seed") == 1, F.lit(1.0 / s_count))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        with_deg = ranks.join(
+            out_deg, F.col("id") == F.col("deg_id"), "left"
+        ).select("id", "rank", "out_deg")
+        contribs = (
+            with_deg.filter(F.col("out_deg").isNotNull())
+            .join(e, F.col("id") == F.col("e_src"))
+            .select(F.col("e_dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("link_mass"))
+        )
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+        )
+        is_seed = F.col("_seed") == 1
+        ranks = (
+            n.join(seed_share, "id", "left")
+            .join(contribs, "id", "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.when(is_seed, F.lit(restart)).otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("link_mass"), F.lit(0.0))
+                        + F.when(
+                            is_seed, F.col("dangling_mass") / s_count
+                        ).otherwise(F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -94,6 +94,11 @@ _REVERIFY: dict[str, int] = {
     "vocab_bpe_compression_curve": 6,  # round 6: new (merge convergence curve)
     "ev_kmv_distinct": 6,          # round 6: new (KMV cardinality sketch)
     "stream_kmv_distinct": 6,      # round 6: new (streaming KMV state op)
+    "ev_transition_matrix": 6,     # round 6: new (Markov event transitions)
+    "corpus_source_audit": 6,      # round 6: new (per-source curation audit)
+    "corpus_dedup_keep_best": 6,   # round 6: new (quality-aware keeper)
+    "graph_ppr": 6,                # round 6: new (personalized PageRank)
+    "sim_hard_negatives": 6,       # round 6: new (hard-negative mining)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

@@ -834,44 +834,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round), and rounds are bounded by cluster diameter, which for
     dup clusters is tiny. The same alternating pattern is the
     small-star/large-star CC of the MapReduce literature."""
-    docs = load_table(spark, sf_dir, "documents")
-    dk = docs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.concat(F.lit("x:"), F.md5(F.lower(F.col("text")))),
-                F.concat(
-                    F.lit("f:"),
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.array_sort(
-                                F.array_distinct(F.split(F.lower(F.col("text")), " "))
-                            ),
-                        )
-                    ),
-                ),
-            )
-        ).alias("key"),
-    ).localCheckpoint(eager=False)
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    prev_sum = None
-    for _ in range(8):  # diameter bound; dup clusters are shallow
-        key_min = (
-            dk.join(labels, "doc_id")
-            .groupBy("key")
-            .agg(F.min("cluster_id").alias("kmin"))
-        )
-        labels = (
-            dk.join(key_min, "key")
-            .groupBy("doc_id")
-            .agg(F.min("kmin").alias("cluster_id"))
-            .localCheckpoint(eager=False)
-        )
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = _cluster_labels(spark, sf_dir)
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -879,8 +842,58 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTER_SQL = """
-WITH RECURSIVE dk AS (
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, cluster_id)`` — the converged min-label CC assignment
+    of :func:`dedup_cluster_cc`, serving-cached per (app, dataset) so
+    cluster CONSUMERS (keeper selection) don't re-run the peel."""
+    from codegraph_spark.serving import shared_df
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        dk = docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("x:"), F.md5(F.lower(F.col("text")))),
+                    F.concat(
+                        F.lit("f:"),
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.array_sort(
+                                    F.array_distinct(F.split(F.lower(F.col("text")), " "))
+                                ),
+                            )
+                        ),
+                    ),
+                )
+            ).alias("key"),
+        ).localCheckpoint(eager=False)
+        labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        prev_sum = None
+        for _ in range(8):  # diameter bound; dup clusters are shallow
+            key_min = (
+                dk.join(labels, "doc_id")
+                .groupBy("key")
+                .agg(F.min("cluster_id").alias("kmin"))
+            )
+            labels = (
+                dk.join(key_min, "key")
+                .groupBy("doc_id")
+                .agg(F.min("kmin").alias("cluster_id"))
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return labels
+
+    return shared_df(spark, (sf_dir, "dedup", "cc_labels"), build)
+
+
+#: the CC reachability CTEs, shared by the cluster and keeper oracles
+_CLUSTER_CTES = """dk AS (
     SELECT doc_id, 'x:' || md5(lower(text)) AS key FROM documents
     UNION ALL
     SELECT doc_id,
@@ -892,9 +905,83 @@ reach(a, b) AS (
     UNION
     SELECT r.a, k2.doc_id
     FROM reach r JOIN dk k1 ON k1.doc_id = r.b JOIN dk k2 ON k2.key = k1.key
-)
+)"""
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTES}
 SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical
 FROM reach GROUP BY a
+"""
+
+
+# --- corpus_dedup_keep_best: quality-aware keeper selection -------------------
+def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick WHICH copy of each duplicate cluster to keep — by QUALITY,
+    not by id. :func:`dedup_cluster_cc` answers "which docs are the
+    same"; a curation pipeline then keeps the best-written copy (the
+    near-dup members differ in quality: truncation, boilerplate,
+    encoding damage), so the keeper is argmax(quality cents, then min
+    doc_id for a total order) within each multi-member cluster.
+
+    Output: one row per dup cluster — members, best quality, keeper.
+
+    Scale shape: the cluster assignment is served from the shared CC
+    cache (built once per session, output-sized); quality cents are
+    one codegen scan of the corpus; the argmax is TWO cluster-keyed
+    partial aggregations (stats, then min-id-at-best via a self-join
+    on cluster_id + qc) — every join is an equi-join keyed by
+    cluster_id, so a 100 TB corpus pays one scan and cluster-sized
+    shuffles, never a pair join."""
+    from codegraph_spark.queries.text import quality_cents
+
+    docs = load_table(spark, sf_dir, "documents")
+    member = _cluster_labels(spark, sf_dir).join(
+        docs.select("doc_id", quality_cents().alias("qc")), "doc_id"
+    )
+    stats = (
+        member.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("qc").alias("best_qc"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    best = (
+        member.join(stats.select("cluster_id", "best_qc"), "cluster_id")
+        .filter(F.col("qc") == F.col("best_qc"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    return (
+        stats.join(best, "cluster_id")
+        .select("cluster_id", "n_members", "best_qc", "keep_doc_id")
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_sql() -> str:
+    from codegraph_spark.queries.text import QC_EXPR_SQL
+
+    return f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+member AS (
+    SELECT l.cluster_id, l.doc_id, {QC_EXPR_SQL} AS qc
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+),
+stats AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           max(qc) AS best_qc
+    FROM member GROUP BY cluster_id HAVING count(*) > 1
+),
+best AS (
+    SELECT m.cluster_id, min(m.doc_id) AS keep_doc_id
+    FROM member m JOIN stats s ON s.cluster_id = m.cluster_id AND m.qc = s.best_qc
+    GROUP BY m.cluster_id
+)
+SELECT s.cluster_id, s.n_members, s.best_qc, b.keep_doc_id
+FROM stats s JOIN best b ON b.cluster_id = s.cluster_id
+ORDER BY s.cluster_id
 """
 
 
@@ -1244,6 +1331,7 @@ ORDER BY doc_a, doc_b
 
 
 QUERIES = {
+    "corpus_dedup_keep_best": corpus_dedup_keep_best,
     "dedup_exact": dedup_exact,
     "corpus_dedup_rate": corpus_dedup_rate,
     "dedup_minhash_est": dedup_minhash_est,
@@ -1259,6 +1347,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dedup_keep_best": _keep_best_sql(),
     "corpus_dedup_rate": _DEDUP_RATE_SQL,
     "dedup_minhash_est": _minhash_est_sql(),
     "dedup_edit_distance": _LEV_SQL,

@@ -865,7 +865,67 @@ ORDER BY event_type
 """
 
 
+# --- ev_transition_matrix: event-type Markov transitions ----------------------
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the product-analytics fixture behind next-action
+    prediction and anomalous-flow detection (a sudden shift in the
+    matrix is the pipeline-drift alarm): for each ordered pair of
+    event types, how often does one IMMEDIATELY follow the other in
+    the same user's timeline, and what row-normalized probability does
+    that give (per-mille, integer — float normalization is summation-
+    order dependent across engines, integer div is not).
+
+    Scale shape: ONE window shuffle partitioned by user_id builds the
+    (type, next_type) stream via ``lead`` (per-user state, never
+    global), the pair counts are a map-side-combining aggregate over a
+    key space of |types|² (tiny — the agg output is matrix-sized
+    regardless of corpus size), and the row totals join back as a
+    broadcast. At 100 TB the only data-sized work is the one per-user
+    window every sessionization already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n_trans").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n_trans",
+            F.expr("CAST(n_trans * 1000 div row_total AS BIGINT)").alias("p_pm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_TRANSITION_SQL = """
+SELECT from_type, to_type, n_trans,
+       CAST(n_trans * 1000 // sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+           AS p_pm
+FROM (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+    FROM (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS to_type
+        FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
+    "ev_transition_matrix": ev_transition_matrix,
     "ev_cms_topk": ev_cms_topk,
     "ev_kmv_distinct": ev_kmv_distinct,
     "ev_hourly_agg": ev_hourly_agg,
@@ -886,6 +946,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_transition_matrix": _TRANSITION_SQL,
     "ev_cms_topk": _CMS_SQL,
     "ev_kmv_distinct": _KMV_SQL,
     "ev_hourly_agg": _HOURLY_SQL,

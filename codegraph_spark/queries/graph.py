@@ -468,7 +468,92 @@ SELECT id, round(rank, 9) AS rank FROM (
     return with_recast(tail, extra_ctes=",\n".join(ctes))
 
 
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart) anchored at the
+    j4 impact seeds (Customer 1's Orders): where j4's BFS answers
+    "which nodes are reachable", PPR answers "which of them MATTER,
+    weighted by walk probability from the anchor" — the ranked-impact
+    view a blast-radius dashboard shows. Teleport and dangling mass
+    both return to the seed set (operators/pagerank.py
+    personalized_pagerank); nodes the walk never reaches hold rank
+    exactly 0.0 and are filtered. Deterministic (fixed iters/damping,
+    total-order output), so the oracle unrolls into chained CTEs like
+    :func:`_pagerank_sql` with a seed-indicator teleport."""
+    from codegraph_spark.operators.pagerank import personalized_pagerank
+    from codegraph_spark.queries.traversals import _j4_seeds
+
+    g = _graph(spark, sf_dir)
+    calls = g.typed_edges("CALLS")
+    members = (
+        calls.select(F.col("src").alias("id"))
+        .unionByName(calls.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = personalized_pagerank(
+        members, calls.select("src", "dst"), _j4_seeds(g), iters=10
+    )
+    return (
+        ranks.filter(F.col("rank") > 0.0)
+        .orderBy(F.desc("rank"), "id")
+        .limit(20)
+        .select("id", F.round("rank", 9).alias("rank"))
+    )
+
+
+def _ppr_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled-CTE oracle for :func:`graph_ppr` — :func:`_pagerank_sql`
+    with the teleport/dangling vector restricted to the seed set. The
+    restart constant mirrors the operator's PYTHON evaluation order:
+    (1.0 - damping) first (embedded via repr), divided by the seed
+    count in-engine — both engines then run the identical IEEE ops."""
+    damp = f"CAST({damping!r} AS DOUBLE)"
+    restart_num = f"CAST({1.0 - damping!r} AS DOUBLE)"
+    ctes = [
+        "calls AS MATERIALIZED (SELECT src, dst FROM gedges WHERE type = 'CALLS')",
+        """members AS MATERIALIZED (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM calls UNION ALL SELECT dst FROM calls))""",
+        """seeds AS MATERIALIZED (
+    SELECT DISTINCT m.id
+    FROM members m
+    JOIN (SELECT 'orders:' || o_orderkey AS id FROM orders WHERE o_custkey = 1) s
+      ON s.id = m.id)""",
+        "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg FROM calls GROUP BY src)",
+        """r0 AS MATERIALIZED (
+    SELECT m.id,
+           CASE WHEN s.id IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rank
+    FROM members m CROSS JOIN ns LEFT JOIN seeds s ON s.id = m.id)""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""d{i} AS (
+    SELECT coalesce(sum(r.rank), 0.0) AS dm
+    FROM {p} r LEFT JOIN deg d ON d.id = r.id
+    WHERE d.id IS NULL)""")
+        ctes.append(f"""l{i} AS (
+    SELECT c.dst AS id, sum(r.rank / d.out_deg) AS link_mass
+    FROM {p} r JOIN deg d ON d.id = r.id JOIN calls c ON c.src = r.id
+    GROUP BY c.dst)""")
+        ctes.append(f"""r{i} AS MATERIALIZED (
+    SELECT m.id,
+           (CASE WHEN s.id IS NOT NULL THEN {restart_num} / ns.n ELSE 0.0 END)
+           + {damp} * (coalesce(l.link_mass, 0.0)
+                       + CASE WHEN s.id IS NOT NULL THEN dm.dm / ns.n ELSE 0.0 END)
+               AS rank
+    FROM members m CROSS JOIN ns CROSS JOIN d{i} dm
+    LEFT JOIN seeds s ON s.id = m.id
+    LEFT JOIN l{i} l ON l.id = m.id)""")
+    tail = f"""
+SELECT id, round(rank, 9) AS rank FROM (
+    SELECT id, rank FROM r{iters} WHERE rank > 0.0
+    ORDER BY rank DESC, id LIMIT 20
+)"""
+    return with_recast(tail, extra_ctes=",\n".join(ctes))
+
+
 QUERIES = {
+    "graph_ppr": graph_ppr,
     "p1_find_by_label": p1_find_by_label,
     "f6_display_name": f6_display_name,
     "graph_pagerank": graph_pagerank,
@@ -488,6 +573,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_ppr": _ppr_sql(),
     "p1_find_by_label": _P1_SQL,
     "graph_pagerank": _pagerank_sql(),
     "f6_display_name": _F6_SQL,

@@ -1768,7 +1768,96 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 """
 
 
+# --- sim_hard_negatives: contrastive hard-negative mining ---------------------
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (the retrieval-
+    training data op): for each anchor, the top-3 most-similar vectors
+    carrying a DIFFERENT label (the negatives that actually teach the
+    model), each with the anchor's nearest same-label cosine and the
+    resulting margin (fixed-point 1e-4 — floor of the shared IEEE
+    doubles, so both engines agree bit-for-bit). A negative with
+    small or negative margin is the valuable one.
+
+    Scale shape: anchors are a fixed modulus sample → broadcast; the
+    corpus is scanned ONCE, scored against all anchors in the same
+    pass, and both the negative top-3 and the positive top-1 come from
+    windows over that one scored stream (partitioned by anchor, never
+    global). At production scale the scored stream drops behind the
+    IVF/LSH candidate generators (sim_ivf_kmeans / sim_lsh_cosine)
+    exactly as the brute-force baseline does."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    negs = (
+        scored.filter(F.col("label") != F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("cos").alias("p_cos"))
+    )
+    return (
+        negs.join(pos, "q_id", "left")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            "rn",
+            (F.floor(F.col("cos") * 10000) / 10000).alias("neg_cos"),
+            (F.floor(F.col("p_cos") * 10000) / 10000).alias("pos_cos"),
+            F.floor((F.col("p_cos") - F.col("cos")) * 10000)
+            .cast("bigint")
+            .alias("margin_e4"),
+        )
+        .orderBy("q_id", "rn")
+    )
+
+
+_HARD_NEG_SQL = """
+WITH anchors AS (
+    SELECT vec_id AS q_id, label AS q_label, embedding
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+    SELECT a.q_id, a.q_label, c.vec_id, c.label,
+           list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+    FROM anchors a JOIN embeddings c ON c.vec_id <> a.q_id
+),
+negs AS (
+    SELECT q_id, vec_id, label, cos,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rn
+    FROM scored WHERE label <> q_label
+),
+pos AS (
+    SELECT q_id, cos AS p_cos FROM (
+        SELECT q_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored WHERE label = q_label
+    ) WHERE rn = 1
+)
+SELECT n.q_id, n.vec_id AS neighbor_id, n.label AS neg_label, n.rn,
+       floor(n.cos * 10000) / 10000 AS neg_cos,
+       floor(p.p_cos * 10000) / 10000 AS pos_cos,
+       CAST(floor((p.p_cos - n.cos) * 10000) AS BIGINT) AS margin_e4
+FROM negs n LEFT JOIN pos p USING (q_id)
+WHERE n.rn <= 3
+ORDER BY q_id, rn
+"""
+
+
 QUERIES = {
+    "sim_hard_negatives": sim_hard_negatives,
     "emb_norm_profile": emb_norm_profile,
     "emb_quantize_int8": emb_quantize_int8,
     "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -1785,6 +1874,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sim_hard_negatives": _HARD_NEG_SQL,
     "dedup_semantic": _SEMANTIC_SQL,
     "sim_ivf_pq": _IVF_PQ_SQL,
     "sim_pq_recall": _PQ_RECALL_SQL,

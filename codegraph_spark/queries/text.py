@@ -1370,7 +1370,98 @@ GROUP BY doc_id
 """
 
 
+# --- shared quality-cents kernel ---------------------------------------------
+def quality_cents() -> F.Column:
+    """The :func:`text_quality_score` heuristic as INTEGER cents
+    (floor(raw*100)) over ``text`` — the exact-arithmetic form quality
+    CONSUMERS aggregate (float averages are summation-order dependent
+    across engines/partitionings; integer cents are not). Shared by
+    :func:`corpus_source_audit` and dedup's keeper selection."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b(the|a|of)\b"), 0))
+    raw = (
+        F.least(n_words / F.lit(2.0), F.lit(50.0))
+        + (n_distinct / n_words) * 30
+        + F.least((stop_hits / n_words) * 100, F.lit(20.0))
+    )
+    return F.floor(raw * 100).cast("bigint")
+
+
+#: the identical chain in DuckDB SQL (IEEE-identical: same op order)
+QC_EXPR_SQL = (
+    "CAST(floor((least(len(string_split(text, ' ')) / 2.0, 50.0)"
+    " + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' ')) * 30"
+    " + least(CAST(len(regexp_extract_all(text, '\\b(the|a|of)\\b', 0)) AS DOUBLE)"
+    " / len(string_split(text, ' ')) * 100, 20.0)) * 100) AS BIGINT)"
+)
+
+
+# --- corpus_source_audit: per-source curation dashboard -----------------------
+def corpus_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE curation dashboard — the table a crawl-intake review
+    reads before admitting a provider into the training mix (the CCNet
+    / RefinedWeb curation stance: quality and duplication are judged
+    per origin, and a bad source is dropped wholesale): doc count,
+    language spread, within-source exact-duplication rate (per-mille),
+    mean quality (milli-points — integer arithmetic over the same
+    floor(raw*100) cents :func:`text_quality_score` emits, because
+    float averages are summation-order dependent across engines), and
+    mean document length.
+
+    Scale shape: ONE scan computes every per-doc column (hash, quality
+    cents, length) inside whole-stage codegen, then ONE partial-agg
+    shuffle keyed by source; the two countDistincts ride the same
+    shuffle (expand), and the output is source-count-sized. Nothing
+    else touches the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", "lang",
+        F.md5(F.lower(F.col("text"))).alias("h"),
+        quality_cents().alias("qc"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum("qc").alias("sum_qc"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_langs",
+        F.expr("CAST((n_docs - n_unique) * 1000 div n_docs AS BIGINT)").alias("dup_pm"),
+        F.expr("CAST(sum_qc * 10 div n_docs AS BIGINT)").alias("mean_quality_md"),
+        F.expr("CAST(sum_chars div n_docs AS BIGINT)").alias("mean_chars"),
+    ).orderBy("source")
+
+
+_SOURCE_AUDIT_SQL = f"""
+WITH per_doc AS (
+    SELECT source, lang, md5(lower(text)) AS h,
+           {QC_EXPR_SQL} AS qc,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT source, n_docs, n_langs,
+       CAST((n_docs - n_unique) * 1000 // n_docs AS BIGINT) AS dup_pm,
+       CAST(sum_qc * 10 // n_docs AS BIGINT) AS mean_quality_md,
+       CAST(sum_chars // n_docs AS BIGINT) AS mean_chars
+FROM (
+    SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+           count(DISTINCT h) AS n_unique,
+           CAST(sum(qc) AS BIGINT) AS sum_qc,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM per_doc GROUP BY source
+)
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_source_audit": corpus_source_audit,
     "text_langid": text_langid,
     "text_gopher_quality": text_gopher_quality,
     "corpus_dsir_sample": corpus_dsir_sample,
@@ -1394,6 +1485,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_source_audit": _SOURCE_AUDIT_SQL,
     "text_gopher_quality": _GOPHER_SQL,
     "corpus_dsir_sample": _DSIR_SQL,
     "text_cdc_chunks": _CDC_SQL,

@@ -1,0 +1,186 @@
+"""Targeted pins for the round-6 second-wave operators (transition
+matrix, source audit, quality-aware keeper, personalized PageRank,
+hard-negative mining) — semantic properties the registry-wide oracle
+parity can't express (parity re-proves arithmetic; these pin MEANING:
+probabilities normalize, PPR localizes to the anchor's reach, the
+keeper really is the best-quality member)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TEST_SF_DIR
+
+
+# --- personalized pagerank: operator-level semantics -------------------------
+def reference_ppr(node_ids, edge_list, seeds, iters=10, damping=0.85):
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, []).append(d)
+    ns = len(seeds)
+    ranks = {v: (1.0 / ns if v in seeds else 0.0) for v in node_ids}
+    for _ in range(iters):
+        nxt = {v: ((1.0 - damping) / ns if v in seeds else 0.0) for v in node_ids}
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        for v, r in ranks.items():
+            for d in out.get(v, []):
+                nxt[d] += damping * r / len(out[v])
+        for v in seeds:
+            nxt[v] += damping * dangling / ns
+        ranks = nxt
+    return ranks
+
+
+def test_ppr_matches_reference(spark):
+    from codegraph_spark.operators.pagerank import personalized_pagerank
+
+    node_ids = ["a", "b", "c", "d", "e"]
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]  # e isolated
+    seeds = {"a"}
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "id string")
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    seed_df = spark.createDataFrame([(v,) for v in seeds], "id string")
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(nodes, edges, seed_df).collect()
+    }
+    want = reference_ppr(node_ids, edge_list, seeds)
+    assert set(got) == set(want)
+    for v in node_ids:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # mass conservation: walk + restart always lands somewhere
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # personalization: the isolated node is unreachable from the seed
+    assert got["e"] == 0.0
+
+
+def test_ppr_seeds_outside_nodes_ignored(spark):
+    from codegraph_spark.operators.pagerank import personalized_pagerank
+
+    nodes = spark.createDataFrame([("a",), ("b",)], "id string")
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seed_df = spark.createDataFrame([("a",), ("ghost",)], "id string")
+    got = {r["id"]: r["rank"] for r in personalized_pagerank(nodes, edges, seed_df).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_empty_seed_intersection(spark):
+    from codegraph_spark.operators.pagerank import personalized_pagerank
+
+    nodes = spark.createDataFrame([("a",)], "id string")
+    edges = spark.createDataFrame([("a", "a")], "src string, dst string")
+    seed_df = spark.createDataFrame([("ghost",)], "id string")
+    assert personalized_pagerank(nodes, edges, seed_df).count() == 0
+
+
+def test_graph_ppr_subset_of_impact_reach(spark):
+    """Every PPR-ranked node is the seed itself or BFS-reachable from
+    the seeds — PPR localizes to the anchor's component."""
+    from codegraph_spark.queries.graph import graph_ppr
+    from codegraph_spark.queries.traversals import j4_impact_bfs, _j4_seeds, _graph
+
+    ranked = {r["id"] for r in graph_ppr(spark, TEST_SF_DIR).collect()}
+    reach = {r["id"] for r in j4_impact_bfs(spark, TEST_SF_DIR).collect()}
+    seeds = {r["id"] for r in _j4_seeds(_graph(spark, TEST_SF_DIR)).collect()}
+    assert ranked, "PPR returned no rows on the fixture"
+    assert ranked <= (reach | seeds)
+
+
+# --- transition matrix -------------------------------------------------------
+def test_transition_matrix_rows_normalize(spark):
+    from codegraph_spark.queries.events import ev_transition_matrix
+
+    rows = ev_transition_matrix(spark, TEST_SF_DIR).collect()
+    assert rows
+    by_from: dict[str, list] = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for out in by_from.values():
+        # integer floor per-mille: row sums land in (1000 - k, 1000]
+        total = sum(r["p_pm"] for r in out)
+        assert 1000 - len(out) < total <= 1000
+        for r in out:
+            assert r["n_trans"] > 0 and 0 <= r["p_pm"] <= 1000
+
+
+def test_transition_counts_match_manual(spark):
+    """Pin lead() semantics against a hand computation on one user."""
+    from codegraph_spark.queries.events import ev_transition_matrix
+    from codegraph_spark.sources.tables import load_table
+
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    one_user = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()["user_id"]
+    )
+    seq = [
+        r["event_type"]
+        for r in ev.filter(F.col("user_id") == one_user)
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    manual: dict[tuple, int] = {}
+    for a, b in zip(seq, seq[1:]):
+        manual[(a, b)] = manual.get((a, b), 0) + 1
+    got = {
+        (r["from_type"], r["to_type"]): r["n_trans"]
+        for r in ev_transition_matrix(spark, TEST_SF_DIR).collect()
+    }
+    for pair, n in manual.items():
+        assert got.get(pair, 0) >= n  # the corpus-wide count includes this user's
+
+
+# --- source audit ------------------------------------------------------------
+def test_source_audit_totals(spark):
+    from codegraph_spark.queries.text import corpus_source_audit
+    from codegraph_spark.sources.tables import load_table
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    rows = corpus_source_audit(spark, TEST_SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["dup_pm"] <= 1000
+        assert r["n_langs"] >= 1
+        assert r["mean_chars"] > 0
+
+
+# --- quality-aware keeper ----------------------------------------------------
+def test_keep_best_picks_max_quality_member(spark):
+    from codegraph_spark.queries.dedup import corpus_dedup_keep_best, _cluster_labels
+    from codegraph_spark.queries.text import quality_cents
+    from codegraph_spark.sources.tables import load_table
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    members = (
+        _cluster_labels(spark, TEST_SF_DIR)
+        .join(docs.select("doc_id", quality_cents().alias("qc")), "doc_id")
+        .collect()
+    )
+    by_cluster: dict = {}
+    for m in members:
+        by_cluster.setdefault(m["cluster_id"], []).append((m["qc"], m["doc_id"]))
+    out = corpus_dedup_keep_best(spark, TEST_SF_DIR).collect()
+    assert out, "fixture has no multi-member clusters"
+    for r in out:
+        mem = by_cluster[r["cluster_id"]]
+        assert r["n_members"] == len(mem) and len(mem) > 1
+        best_qc = max(q for q, _ in mem)
+        assert r["best_qc"] == best_qc
+        assert r["keep_doc_id"] == min(d for q, d in mem if q == best_qc)
+
+
+# --- hard negatives ----------------------------------------------------------
+def test_hard_negatives_labels_and_margin(spark):
+    from codegraph_spark.queries.similarity import sim_hard_negatives, _emb
+
+    labels = {
+        r["vec_id"]: r["label"] for r in _emb(spark, TEST_SF_DIR).collect()
+    }
+    rows = sim_hard_negatives(spark, TEST_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["neighbor_id"]] == r["neg_label"]
+        assert r["neg_label"] != labels[r["q_id"]]
+        assert r["rn"] in (1, 2, 3)
+        # margin is the fixed-point gap between pos and neg cosines
+        assert r["margin_e4"] <= int(round((r["pos_cos"] - r["neg_cos"]) * 10000)) + 1
