@@ -320,6 +320,72 @@ def dhash_codes(images: DataFrame) -> DataFrame:
     )
 
 
+PHASH_SCHEMA = "doc_id long, phash long"
+_PHASH_K = 8  # keep the top-left 8x8 DCT block (63 AC bits + DC dropped)
+_PHASH_SCALE = 1 << 14  # fixed-point basis: integer math end to end
+
+
+def phash_basis(n: int, k: int = _PHASH_K, scale: int = _PHASH_SCALE):
+    """DCT-II basis rows as FIXED-POINT integers:
+    ``basis[u][x] = round(cos((2x+1)·u·π / 2n) · scale)`` for u < k.
+    Rounded once at build time, the basis is plain int64 data — both
+    engines then run integer-only arithmetic, so the hash is exact
+    everywhere (float cos/matmul would differ in the last ulp between
+    BLAS builds, and a hash flips a whole bit on any ulp)."""
+    import math
+
+    return [
+        [round(math.cos((2 * x + 1) * u * math.pi / (2 * n)) * scale) for x in range(n)]
+        for u in range(k)
+    ]
+
+
+def phash_codes(images: DataFrame, n: int = 32) -> DataFrame:
+    """Perceptual DCT hash (pHash) per image: the n×n gray frame is
+    projected onto the top-left ``_PHASH_K``² fixed-point DCT
+    coefficients (two exact int64 matmuls against :func:`phash_basis`),
+    the DC term is dropped, and bit k−1 is set when AC coefficient k
+    (row-major u·8+v) exceeds the LOWER MEDIAN (32nd smallest of 63 —
+    an exact order statistic, no float mean) — the classic pHash
+    decision rule made integer-exact. dHash sees local gradients;
+    pHash sees the global low-frequency shape, so the two catch
+    different near-dup families.
+
+    Scale: one Arrow ``mapInPandas`` pass, O(n²·k + n·k²) integer ops
+    per image, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        bas = np.array(phash_basis(n), dtype=np.int64)  # (k, n)
+        for pdf in it:
+            rows = []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                width, height, body = _decode_payload(payload, codec)
+                if width != n or height != n:
+                    raise ValueError(
+                        f"phash expects the canonical {n}x{n} frame, got "
+                        f"{width}x{height} (doc {doc_id})"
+                    )
+                img = body.astype(np.int64).reshape(height, width)
+                # C[u, v] = Σ_x Σ_y img[y, x]·bas[u, x]·bas[v, y]
+                coef = bas @ img.T @ bas.T  # exact int64
+                ac = coef.ravel()[1:]  # drop DC (u = v = 0)
+                med = np.partition(ac.copy(), 31)[31]  # 32nd smallest of 63
+                h = 0
+                for pos, c in enumerate(ac):
+                    if c > med:
+                        h += 1 << pos
+                rows.append((doc_id, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return images.select("doc_id", "payload", "codec").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
 AUDIO_ENERGY_SCHEMA = "doc_id long, win_idx int, energy long"
 
 

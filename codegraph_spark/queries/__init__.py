@@ -99,6 +99,8 @@ _REVERIFY: dict[str, int] = {
     "corpus_dedup_keep_best": 6,   # round 6: new (quality-aware keeper)
     "graph_ppr": 6,                # round 6: new (personalized PageRank)
     "sim_hard_negatives": 6,       # round 6: new (hard-negative mining)
+    "stream_transition_matrix": 6,  # round 6: new (stateful transition op #5)
+    "mm_phash": 6,                 # round 6: new (DCT perceptual hash)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

@@ -894,9 +894,22 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
     )
-    totals = pairs.groupBy("from_type").agg(F.sum("n_trans").alias("row_total"))
+    return transition_probabilities(pairs)
+
+
+def transition_probabilities(pairs: DataFrame) -> DataFrame:
+    """Row-normalize ``(from_type, to_type, n_trans)`` counts into
+    integer per-mille probabilities — shared by the batch matrix and
+    its streaming twin (queries/streaming.stream_transition_matrix),
+    so both emit the identical tail over their respective counts."""
+    # totals keeps a RENAMED key: the join below is pairs ⋈ agg(pairs),
+    # and a same-name self-join of a memory-sink view trips analyzer
+    # attribute dedup (observed on the streaming drain path)
+    totals = pairs.groupBy(F.col("from_type").alias("ft")).agg(
+        F.sum("n_trans").alias("row_total")
+    )
     return (
-        pairs.join(F.broadcast(totals), "from_type")
+        pairs.join(F.broadcast(totals), F.col("from_type") == F.col("ft"))
         .select(
             "from_type", "to_type", "n_trans",
             F.expr("CAST(n_trans * 1000 div row_total AS BIGINT)").alias("p_pm"),

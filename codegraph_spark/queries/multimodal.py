@@ -225,6 +225,93 @@ ORDER BY doc_id
 """
 
 
+# --- mm_phash: DCT perceptual hash --------------------------------------------
+_PHASH_N = 32  # canonical n x n frame the DCT projects
+
+
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DCT perceptual hash (pHash) over the image modality —
+    dHash's complement: dHash bits are local brightness gradients,
+    pHash bits are the global low-frequency shape (top-left 8x8 DCT
+    block vs its median), so scaling/blur-style perturbations that
+    flip dHash bits leave pHash stable. Every document renders into
+    the canonical 32x32 frame and the Arrow kernel
+    (operators/multimodal.phash_codes) computes two exact int64
+    matmuls against the fixed-point DCT basis — integer math end to
+    end, so the oracle re-derives the identical 63-bit hash from the
+    text through the same generated basis constants
+    (:func:`_phash_sql`), proving the kernel bit-for-bit."""
+    from codegraph_spark.operators.multimodal import phash_codes
+
+    imgs = encode_documents_as_images(
+        load_table(spark, sf_dir, "documents"), fixed_dims=(_PHASH_N, _PHASH_N)
+    )
+    return phash_codes(imgs, n=_PHASH_N).orderBy("doc_id")
+
+
+def _phash_sql(n: int = _PHASH_N) -> str:
+    """Generated oracle for :func:`mm_phash`: the SAME fixed-point
+    basis integers (phash_basis — rounded once in Python, embedded as
+    a VALUES table) drive two staged integer aggregations (row DCT,
+    then column DCT), the 32nd-smallest-of-63 order statistic, and the
+    bit sum. Integer-only arithmetic ⇒ exact cross-engine parity."""
+    from codegraph_spark.operators.multimodal import phash_basis
+
+    vals = ",\n          ".join(
+        f"({u}, {x}, {c})"
+        for u, row in enumerate(phash_basis(n))
+        for x, c in enumerate(row)
+    )
+    npx = n * n
+    return f"""
+WITH imgs AS (
+    SELECT doc_id,
+           substr(repeat(text, CAST(ceil({npx}
+                                      / CAST(length(text) AS DOUBLE)) AS INT) + 1),
+                  1, {npx}) AS body
+    FROM documents
+),
+px AS (
+    SELECT doc_id,
+           unnest(list_transform(string_split(body, ''), x -> ascii(x))) AS b,
+           unnest(range(0, {npx})) AS i
+    FROM imgs
+),
+bas(k, t, c) AS (
+    VALUES {vals}
+),
+rowdct AS (
+    SELECT p.doc_id, p.i // {n} AS y, bu.k AS u,
+           CAST(sum(p.b * bu.c) AS BIGINT) AS r
+    FROM px p JOIN bas bu ON bu.t = p.i % {n}
+    GROUP BY 1, 2, 3
+),
+coef AS (
+    SELECT r.doc_id, r.u, bv.k AS v, CAST(sum(r.r * bv.c) AS BIGINT) AS c
+    FROM rowdct r JOIN bas bv ON bv.t = r.y
+    GROUP BY 1, 2, 3
+),
+ac AS (
+    SELECT doc_id, u * 8 + v - 1 AS pos, c
+    FROM coef WHERE NOT (u = 0 AND v = 0)
+),
+med AS (
+    SELECT doc_id, c AS med FROM (
+        SELECT doc_id, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+        FROM ac
+    ) WHERE rn = 32
+)
+SELECT a.doc_id,
+       CAST(sum(CASE WHEN a.c > m.med
+                     THEN (CAST(1 AS BIGINT) << a.pos) ELSE 0 END) AS BIGINT)
+           AS phash
+FROM ac a JOIN med m USING (doc_id)
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
 # --- mm_dhash: perceptual image fingerprint -----------------------------------
 _DHASH_W, _DHASH_H = 32, 24  # canonical frame all images normalize to
 
@@ -471,6 +558,7 @@ HAVING count(*) >= {_FP_MIN_SHARED}
 
 
 QUERIES = {
+    "mm_phash": mm_phash,
     "mm_audio_fingerprint": mm_audio_fingerprint,
     "mm_image_meta": mm_image_meta,
     "mm_audio_vad": mm_audio_vad,
@@ -482,6 +570,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_phash": _phash_sql(),
     "mm_audio_fingerprint": _MM_FP_SQL,
     "mm_image_meta": _MM_META_SQL,
     "mm_audio_vad": _MM_VAD_SQL,

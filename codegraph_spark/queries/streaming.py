@@ -360,10 +360,34 @@ def _asof_oracle() -> str:
     return _ASOF_SQL
 
 
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition matrix maintained INCREMENTALLY (custom
+    stateful operator #5, streaming/incremental.streaming_transitions):
+    per-user last-event state pairs each micro-batch's first event with
+    the previous batch's last, the emitted increments sum at drain, and
+    the shared probability tail (events.transition_probabilities) runs
+    over the totals. Oracle = the batch matrix SQL: a hash match proves
+    the incremental pairing reconstructs every per-user adjacency
+    exactly once across batch boundaries."""
+    from codegraph_spark.queries.events import transition_probabilities
+    from codegraph_spark.streaming.incremental import streaming_transitions
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        streaming_transitions(ev), output_mode="update", state_partitions=8
+    )
+    pairs = out.groupBy("from_type", "to_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_trans")
+    )
+    return transition_probabilities(pairs)
+
+
 from codegraph_spark.queries.events import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
 from codegraph_spark.queries.events import _KMV_SQL as _STREAM_KMV_SQL  # noqa: E402
+from codegraph_spark.queries.events import _TRANSITION_SQL as _STREAM_TRANSITION_SQL  # noqa: E402
 
 QUERIES = {
+    "stream_transition_matrix": stream_transition_matrix,
     "stream_cms_topk": stream_cms_topk,
     "stream_kmv_distinct": stream_kmv_distinct,
     "stream_hourly_counts": stream_hourly_counts,
@@ -375,6 +399,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
 }
 ORACLES = {
+    "stream_transition_matrix": _STREAM_TRANSITION_SQL,
     "stream_cms_topk": _STREAM_CMS_SQL,
     "stream_kmv_distinct": _STREAM_KMV_SQL,
     "stream_interval_join": _STREAM_INTERVAL_SQL,

@@ -321,6 +321,71 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+TRANS_SCHEMA = "from_type string, to_type string, cnt long"
+TRANS_STATE_SCHEMA = "last_ts long, last_eid long, last_type string"
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type TRANSITION counting across micro-batches
+    (custom stateful operator #5, the incremental twin of
+    queries/events.ev_transition_matrix): state = the user's LAST event
+    (ts, event_id, type) — O(1) per user at any volume — carried so the
+    first event of batch N+1 pairs with the last event of batch N.
+    Rows within a batch are sorted per user by (ts, event_id) before
+    pairing; across batches the operator relies on the file source's
+    in-order delivery (the same contract streaming_asof documents).
+    Emits the batch's (from_type, to_type) increment counts; the drain
+    aggregation sums them, and the batch probability tail
+    (queries/events.transition_probabilities) runs over the totals —
+    so a hash match against the batch oracle proves the incremental
+    pairing reconstructs every adjacency exactly once."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        types = [str(t) for t in pdf["event_type"]]
+        if state.exists:
+            _, _, last_type = state.get
+            types = [str(last_type)] + types
+        last = pdf.iloc[-1]
+        state.update(
+            (
+                int(pd.Timestamp(last["ts"]).value // 1000),
+                int(last["event_id"]),
+                str(last["event_type"]),
+            )
+        )
+        counts: dict[tuple, int] = {}
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame(
+                {
+                    "from_type": [a for a, _ in ks],
+                    "to_type": [b for _, b in ks],
+                    "cnt": [counts[k] for k in ks],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TRANS_SCHEMA,
+            stateStructType=TRANS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 KMV_SCHEMA = "event_type string, hk long, n_kept long"
 KMV_STATE_SCHEMA = "hs array<long>"
 

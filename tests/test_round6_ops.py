@@ -169,6 +169,95 @@ def test_keep_best_picks_max_quality_member(spark):
         assert r["keep_doc_id"] == min(d for q, d in mem if q == best_qc)
 
 
+# --- pHash -------------------------------------------------------------------
+def reference_phash(text: str, n: int = 32) -> int:
+    """Independent loop-based pHash over the same render + fixed-point
+    basis — no numpy, no matmul, so a kernel indexing bug can't hide."""
+    from codegraph_spark.operators.multimodal import phash_basis
+
+    body = (text * (n * n // len(text) + 2))[: n * n]
+    px = [[ord(body[y * n + x]) for x in range(n)] for y in range(n)]
+    bas = phash_basis(n)
+    coef = [
+        [
+            sum(px[y][x] * bas[u][x] * bas[v][y] for x in range(n) for y in range(n))
+            for v in range(8)
+        ]
+        for u in range(8)
+    ]
+    ac = [coef[u][v] for u in range(8) for v in range(8)][1:]
+    med = sorted(ac)[31]
+    return sum(1 << pos for pos, c in enumerate(ac) if c > med)
+
+
+def test_phash_matches_pure_python(spark):
+    from codegraph_spark.operators.multimodal import (
+        encode_documents_as_images,
+        phash_codes,
+    )
+    from codegraph_spark.sources.tables import load_table
+
+    docs = load_table(spark, TEST_SF_DIR, "documents").filter(F.col("doc_id") < 3)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in phash_codes(
+            encode_documents_as_images(docs, fixed_dims=(32, 32))
+        ).collect()
+    }
+    assert got
+    for doc_id, text in texts.items():
+        assert got[doc_id] == reference_phash(text)
+
+
+def test_phash_popcount_bounded(spark):
+    """At most 31 of 63 AC coefficients exceed the lower median."""
+    from codegraph_spark.queries.multimodal import mm_phash
+
+    rows = mm_phash(spark, TEST_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= bin(r["phash"]).count("1") <= 31
+
+
+# --- streaming transition matrix ---------------------------------------------
+def test_streaming_transitions_carry_state_across_batches(spark, tmp_path):
+    """The first event of batch 2 must pair with the LAST event of
+    batch 1 (B→C below only exists across the boundary)."""
+    import datetime as dt
+    import os
+
+    from codegraph_spark.streaming.incremental import (
+        run_available_now,
+        streaming_transitions,
+    )
+
+    src = str(tmp_path / "trans")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    spark.createDataFrame(
+        [(1, 1, "A", t(1)), (2, 1, "B", t(2))], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    spark.createDataFrame(
+        [(3, 1, "C", t(10)), (4, 1, "A", t(11)),
+         (5, 2, "B", t(5)), (6, 2, "B", t(6))],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    out = run_available_now(streaming_transitions(stream), output_mode="update")
+    got: dict[tuple, int] = {}
+    for r in out.collect():
+        k = (r["from_type"], r["to_type"])
+        got[k] = got.get(k, 0) + r["cnt"]
+    assert got == {("A", "B"): 1, ("B", "C"): 1, ("C", "A"): 1, ("B", "B"): 1}
+
+
 # --- hard negatives ----------------------------------------------------------
 def test_hard_negatives_labels_and_margin(spark):
     from codegraph_spark.queries.similarity import sim_hard_negatives, _emb
