@@ -1778,15 +1778,17 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, so both engines agree bit-for-bit). A negative with
     small or negative margin is the valuable one.
 
-    Scale shape: anchors are a fixed modulus sample → broadcast; the
+    Scale shape: anchors are a FIXED query set (vec_id < 10 — bounded
+    regardless of corpus size, so the broadcast never grows); the
     corpus is scanned ONCE, scored against all anchors in the same
     pass, and both the negative top-3 and the positive top-1 come from
     windows over that one scored stream (partitioned by anchor, never
-    global). At production scale the scored stream drops behind the
-    IVF/LSH candidate generators (sim_ivf_kmeans / sim_lsh_cosine)
-    exactly as the brute-force baseline does."""
+    global). Mining for EVERY vector at production scale drops the
+    scored stream behind the IVF/LSH candidate generators
+    (sim_ivf_kmeans / sim_lsh_cosine) exactly as the brute-force
+    baseline does."""
     emb = _emb(spark, sf_dir)
-    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+    anchors = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("v").alias("qv"),
@@ -1827,7 +1829,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HARD_NEG_SQL = """
 WITH anchors AS (
     SELECT vec_id AS q_id, label AS q_label, embedding
-    FROM embeddings WHERE vec_id % 50 = 0
+    FROM embeddings WHERE vec_id < 10
 ),
 scored AS (
     SELECT a.q_id, a.q_label, c.vec_id, c.label,

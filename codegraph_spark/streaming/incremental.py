@@ -40,14 +40,22 @@ def read_events_stream(
     """File-source stream over the events table (TIMESTAMP(NANOS)
     handled exactly like the batch loader — sources/tables.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    reader = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events*.parquet")
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        # Spark-written layout: events.parquet/ is a directory of part
+        # files — stream the directory itself (a filename glob against
+        # "events*.parquet" would filter every part-*.parquet out).
+        stream_path = path
+    else:
+        # single-file layout (the driver's testdata): stream the
+        # dataset dir, keeping only the events file
+        reader = reader.option("pathGlobFilter", "events*.parquet")
+        stream_path = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
+    df = reader.parquet(stream_path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

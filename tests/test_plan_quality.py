@@ -33,6 +33,7 @@ _UNKEYED_JOIN_OK = {
     "corpus_mix_summary",       # crossJoin(1-row total)
     "graph_pagerank",           # broadcast dangling-mass row
     "sim_ivf_label", "sim_ivf_kmeans", "sim_topk_bruteforce",  # broadcast k centroids / queries
+    "sim_hard_negatives",       # broadcast FIXED anchor set (vec_id < 10)
     "sim_ivf_pq",               # broadcast m*k-row PQ codebook + shared
                                 # coarse-quantizer seeding (k-row sides)
     "sim_pq_recall",            # same shared PQ/coarse artifacts

@@ -58,6 +58,11 @@ SKEW_SET = [
     "mm_audio_fingerprint",
     "corpus_dsir_sample",
     "vocab_bpe_encode",
+    "ev_transition_matrix",
+    "stream_transition_matrix",
+    "corpus_source_audit",
+    "corpus_dedup_keep_best",
+    "sim_hard_negatives",
 ]
 
 

@@ -78,6 +78,13 @@ AUDIT = [
     "vocab_bpe_compression_curve",
     "ev_kmv_distinct",
     "stream_kmv_distinct",
+    "ev_transition_matrix",
+    "corpus_source_audit",
+    "corpus_dedup_keep_best",
+    "graph_ppr",
+    "sim_hard_negatives",
+    "mm_phash",
+    "stream_transition_matrix",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

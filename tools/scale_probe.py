@@ -67,6 +67,11 @@ PROBES = [
     "sim_pq_recall",
     "mm_audio_fingerprint",
     "emb_pca_power",
+    "ev_transition_matrix",
+    "corpus_source_audit",
+    "corpus_dedup_keep_best",
+    "sim_hard_negatives",
+    "mm_phash",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
