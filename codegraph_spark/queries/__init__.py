@@ -101,6 +101,9 @@ _REVERIFY: dict[str, int] = {
     "sim_hard_negatives": 6,       # round 6: new (hard-negative mining)
     "stream_transition_matrix": 6,  # round 6: new (stateful transition op #5)
     "mm_phash": 6,                 # round 6: new (DCT perceptual hash)
+    "mm_audio_zcr": 6,             # round 6: new (zero-crossing rate)
+    "ev_cusum_drift": 6,           # round 6: new (CUSUM drift detection)
+    "ev_outliers_mad": 6,          # round 6: new (median/MAD robust outliers)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

@@ -865,6 +865,197 @@ ORDER BY event_type
 """
 
 
+# --- ev_cusum_drift: CUSUM drift detection over hourly volumes ----------------
+def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event type over hourly
+    volumes — the data-intake alarm for "this stream's rate shifted"
+    (a pipeline feeding a training corpus watches exactly this).
+    Textbook CUSUM is the recurrence S_t = max(0, S_{t−1} + x_t − μ −
+    k), which no window function expresses — but it has the exact
+    prefix identity S_t = P_t − min(0, min_{j≤t} P_j) with
+    P_t = Σ_{i≤t}(x_i − μ − k), so TWO running windows (sum + min)
+    per type compute it exactly. All milli-scaled integers (μ and the
+    slack k = μ/20 via integer div), so both engines agree bit for
+    bit. Output per type: hours observed, μ (milli), the peak CUSUM
+    and its hour, and the FIRST hour the statistic crosses 2μ (the
+    drift alarm; '-' when never).
+
+    Scale shape: the hourly rollup is the only corpus-mass agg; the
+    windows run over hours × types (tiny) — at 100 TB this is a
+    dashboard query over an already-rolled-up table."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    stats = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.expr("sum(x) * 1000 div count(*)").alias("mu_milli")
+    )
+    j = hourly.join(
+        F.broadcast(stats), F.col("event_type") == F.col("et")
+    ).withColumn(
+        "step", F.expr("x * 1000 - mu_milli - (mu_milli div 20)")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        j.withColumn("p", F.sum("step").over(run))
+        .withColumn("minp", F.least(F.min("p").over(run), F.lit(0)))
+        .withColumn("s", F.col("p") - F.col("minp"))
+    )
+    wpk = Window.partitionBy("event_type").orderBy(F.desc("s"), "hour")
+    scored = scored.withColumn("rn", F.row_number().over(wpk))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("mu_milli").alias("mu_milli"),
+            F.max("s").alias("max_cusum_milli"),
+            F.min(
+                F.when(F.col("rn") == 1, F.col("hour").cast("string"))
+            ).alias("peak_hour"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("s") > 2 * F.col("mu_milli"),
+                        F.col("hour").cast("string"),
+                    )
+                ),
+                F.lit("-"),
+            ).alias("first_drift_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CUSUM_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, CAST(sum(x) * 1000 // count(*) AS BIGINT) AS mu_milli
+    FROM hourly GROUP BY event_type
+),
+scored AS (
+    SELECT h.event_type, h.hour, s.mu_milli,
+           sum(h.x * 1000 - s.mu_milli - (s.mu_milli // 20))
+               OVER (PARTITION BY h.event_type ORDER BY h.hour
+                     ROWS UNBOUNDED PRECEDING) AS p
+    FROM hourly h JOIN stats s USING (event_type)
+),
+cusum AS (
+    SELECT event_type, hour, mu_milli,
+           p - least(min(p) OVER (PARTITION BY event_type ORDER BY hour
+                                  ROWS UNBOUNDED PRECEDING), 0) AS s
+    FROM scored
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type ORDER BY s DESC, hour) AS rn
+    FROM cusum
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       max(mu_milli) AS mu_milli,
+       CAST(max(s) AS BIGINT) AS max_cusum_milli,
+       min(CASE WHEN rn = 1 THEN CAST(hour AS VARCHAR) END) AS peak_hour,
+       coalesce(min(CASE WHEN s > 2 * mu_milli
+                         THEN CAST(hour AS VARCHAR) END), '-') AS first_drift_hour
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- ev_outliers_mad: robust (median/MAD) outlier profile ---------------------
+def ev_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median and MAD (median
+    absolute deviation) instead of mean/stddev — the detector that
+    does NOT move when the outliers themselves get bigger (the
+    ev_outliers p99 threshold shifts with tail mass; the MAD is
+    breakdown-point-0.5 stable). Values are floored to integer cents
+    and both medians are LOWER-median order statistics (row_number at
+    (n+1) div 2) — exact, interpolation-free, so both engines agree
+    without a float quantile contract. Flags |x − med| > 3·MAD.
+
+    Scale shape: two per-type sort windows (cents, then deviation
+    cents) over type-partitioned data, then one agg; at 100 TB the
+    order statistic swaps to approx_percentile exactly as
+    ev_value_quantiles documents."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    wv = Window.partitionBy("event_type").orderBy("vc")
+    wc = Window.partitionBy("event_type")
+    med = (
+        vals.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("event_type").alias("met"), F.col("vc").alias("med_cents"))
+    )
+    dev = vals.join(
+        F.broadcast(med), F.col("event_type") == F.col("met")
+    ).withColumn("dc", F.abs(F.col("vc") - F.col("med_cents")))
+    wd = Window.partitionBy("event_type").orderBy("dc")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("event_type").alias("mat"), F.col("dc").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("mat"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                (F.col("dc") > 3 * F.col("mad_cents")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAD_SQL = """
+WITH vals AS (
+    SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+),
+med AS (
+    SELECT event_type, vc AS med_cents FROM (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM vals
+    ) WHERE rn = (n + 1) // 2
+),
+dev AS (
+    SELECT v.event_type, v.vc, m.med_cents, abs(v.vc - m.med_cents) AS dc
+    FROM vals v JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, dc AS mad_cents FROM (
+        SELECT event_type, dc,
+               row_number() OVER (PARTITION BY event_type ORDER BY dc) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ) WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       max(d.med_cents) AS med_cents,
+       max(a.mad_cents) AS mad_cents,
+       CAST(sum(CASE WHEN d.dc > 3 * a.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 # --- ev_transition_matrix: event-type Markov transitions ----------------------
 def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
@@ -938,6 +1129,8 @@ ORDER BY from_type, to_type
 
 
 QUERIES = {
+    "ev_cusum_drift": ev_cusum_drift,
+    "ev_outliers_mad": ev_outliers_mad,
     "ev_transition_matrix": ev_transition_matrix,
     "ev_cms_topk": ev_cms_topk,
     "ev_kmv_distinct": ev_kmv_distinct,
@@ -959,6 +1152,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_cusum_drift": _CUSUM_SQL,
+    "ev_outliers_mad": _MAD_SQL,
     "ev_transition_matrix": _TRANSITION_SQL,
     "ev_cms_topk": _CMS_SQL,
     "ev_kmv_distinct": _KMV_SQL,

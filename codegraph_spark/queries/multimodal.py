@@ -132,8 +132,9 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_energy(encode_documents_as_audio(docs), window=256)
 
 
-_MM_AUDIO_SQL = """
-WITH auds AS (
+#: shared audio-clip reconstruction (the raw-pcm-v1 body as per-sample
+#: codepoints) — prelude of every audio oracle
+_AUDIO_CLIP_CTE = """auds AS (
     SELECT doc_id,
            CAST(1024 + doc_id % 512 AS INT) AS n,
            substr(
@@ -148,11 +149,51 @@ samples AS (
            unnest(list_transform(string_split(body, ''), x -> ascii(x))) AS b,
            unnest(range(0, n)) AS i
     FROM auds
-)
+)"""
+
+_MM_AUDIO_SQL = f"""
+WITH {_AUDIO_CLIP_CTE}
 SELECT doc_id, CAST(i // 256 AS INT) AS win_idx,
        CAST(sum(CAST(b AS BIGINT) * b) AS BIGINT) AS energy
 FROM samples
 WHERE i < (n // 256) * 256
+GROUP BY 1, 2
+"""
+
+
+def mm_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate beside the window energy — the second half
+    of the classic two-feature VAD front-end (high energy + low ZCR ⇒
+    voiced; low energy + high ZCR ⇒ fricative/noise). Same raw-pcm-v1
+    clips, same Arrow kernel family
+    (operators/multimodal.audio_zero_crossings), crossings counted
+    within each 256-sample window against the unsigned-byte 128
+    midline — integer comparisons end to end, oracle recomputes them
+    from the text bytes via one lead() window."""
+    from codegraph_spark.operators.multimodal import (
+        audio_zero_crossings,
+        encode_documents_as_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_zero_crossings(encode_documents_as_audio(docs), window=256)
+
+
+_MM_ZCR_SQL = f"""
+WITH {_AUDIO_CLIP_CTE},
+paired AS (
+    SELECT doc_id, i,
+           CASE WHEN b >= 128 THEN 1 ELSE 0 END AS s,
+           lead(CASE WHEN b >= 128 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS s2
+    FROM samples
+    WHERE i < (n // 256) * 256
+)
+SELECT doc_id, CAST(i // 256 AS INT) AS win_idx,
+       CAST(sum(CASE WHEN s2 IS NOT NULL AND s <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_crossings
+FROM paired
+WHERE i % 256 <> 255
 GROUP BY 1, 2
 """
 
@@ -559,6 +600,7 @@ HAVING count(*) >= {_FP_MIN_SHARED}
 
 QUERIES = {
     "mm_phash": mm_phash,
+    "mm_audio_zcr": mm_audio_zcr,
     "mm_audio_fingerprint": mm_audio_fingerprint,
     "mm_image_meta": mm_image_meta,
     "mm_audio_vad": mm_audio_vad,
@@ -571,6 +613,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_phash": _phash_sql(),
+    "mm_audio_zcr": _MM_ZCR_SQL,
     "mm_audio_fingerprint": _MM_FP_SQL,
     "mm_image_meta": _MM_META_SQL,
     "mm_audio_vad": _MM_VAD_SQL,

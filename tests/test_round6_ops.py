@@ -169,6 +169,60 @@ def test_keep_best_picks_max_quality_member(spark):
         assert r["keep_doc_id"] == min(d for q, d in mem if q == best_qc)
 
 
+# --- CUSUM drift -------------------------------------------------------------
+def test_cusum_prefix_identity_matches_recurrence(spark):
+    """The windowed prefix form S_t = P_t − min(0, min P_j) must equal
+    the textbook recurrence S_t = max(0, S_{t−1} + step_t) — checked by
+    recomputing the recurrence in Python from the same hourly rollup."""
+    from codegraph_spark.queries.events import ev_cusum_drift
+    from codegraph_spark.sources.tables import load_table
+
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("event_type", "hour")
+        .collect()
+    )
+    series: dict[str, list[int]] = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append(r["x"])
+    got = {r["event_type"]: r for r in ev_cusum_drift(spark, TEST_SF_DIR).collect()}
+    assert set(got) == set(series)
+    for et, xs in series.items():
+        mu = sum(xs) * 1000 // len(xs)
+        slack = mu // 20
+        s, smax = 0, 0
+        for x in xs:
+            s = max(0, s + (x * 1000 - mu - slack))
+            smax = max(smax, s)
+        assert got[et]["max_cusum_milli"] == smax
+        assert got[et]["mu_milli"] == mu
+        assert got[et]["n_hours"] == len(xs)
+
+
+# --- MAD outliers ------------------------------------------------------------
+def test_mad_outliers_match_manual(spark):
+    from codegraph_spark.queries.events import ev_outliers_mad
+    from codegraph_spark.sources.tables import load_table
+
+    import math
+
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    vals: dict[str, list[int]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(int(math.floor(r["value"] * 100)))
+    got = {r["event_type"]: r for r in ev_outliers_mad(spark, TEST_SF_DIR).collect()}
+    assert set(got) == set(vals)
+    for et, xs in vals.items():
+        med = sorted(xs)[(len(xs) + 1) // 2 - 1]
+        devs = [abs(x - med) for x in xs]
+        mad = sorted(devs)[(len(devs) + 1) // 2 - 1]
+        assert got[et]["med_cents"] == med
+        assert got[et]["mad_cents"] == mad
+        assert got[et]["n_outliers"] == sum(1 for d in devs if d > 3 * mad)
+
+
 # --- pHash -------------------------------------------------------------------
 def reference_phash(text: str, n: int = 32) -> int:
     """Independent loop-based pHash over the same render + fixed-point

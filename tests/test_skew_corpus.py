@@ -63,6 +63,8 @@ SKEW_SET = [
     "corpus_source_audit",
     "corpus_dedup_keep_best",
     "sim_hard_negatives",
+    "ev_cusum_drift",
+    "ev_outliers_mad",
 ]
 
 

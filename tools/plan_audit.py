@@ -85,6 +85,9 @@ AUDIT = [
     "sim_hard_negatives",
     "mm_phash",
     "stream_transition_matrix",
+    "ev_cusum_drift",
+    "ev_outliers_mad",
+    "mm_audio_zcr",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

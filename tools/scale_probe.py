@@ -72,6 +72,9 @@ PROBES = [
     "corpus_dedup_keep_best",
     "sim_hard_negatives",
     "mm_phash",
+    "ev_cusum_drift",
+    "ev_outliers_mad",
+    "mm_audio_zcr",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
