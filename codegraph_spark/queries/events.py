@@ -887,6 +887,14 @@ def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return cusum_from_hourly(hourly)
+
+
+def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The CUSUM alarm phase over an ``(event_type, hour, x)`` rollup —
+    shared by the batch query and its streaming twin
+    (queries/streaming.stream_cusum_drift), which maintains the rollup
+    incrementally and drains it into this identical tail."""
     stats = hourly.groupBy(F.col("event_type").alias("et")).agg(
         F.expr("sum(x) * 1000 div count(*)").alias("mu_milli")
     )

@@ -360,6 +360,30 @@ def _asof_oracle() -> str:
     return _ASOF_SQL
 
 
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection fed by a STREAMING rollup — the
+    stream_cms_topk pattern: the (event_type, hour) count state is
+    maintained incrementally (complete-mode groupBy; state = one row
+    per hour×type at any input volume), drained availableNow, and the
+    batch alarm phase (events.cusum_from_hourly — the exact prefix-min
+    identity) runs over the drained table. μ is the full-series mean,
+    so the alarm is inherently two-pass: the streaming layer's job is
+    the rollup, the alarm reads the drained state. Oracle = the batch
+    CUSUM SQL: a hash match proves the incremental rollup converges to
+    the batch rollup exactly."""
+    from codegraph_spark.queries.events import cusum_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    hourly = run_available_now(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("x")),
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return cusum_from_hourly(hourly)
+
+
 def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Markov transition matrix maintained INCREMENTALLY (custom
     stateful operator #5, streaming/incremental.streaming_transitions):
@@ -385,9 +409,11 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 from codegraph_spark.queries.events import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
 from codegraph_spark.queries.events import _KMV_SQL as _STREAM_KMV_SQL  # noqa: E402
 from codegraph_spark.queries.events import _TRANSITION_SQL as _STREAM_TRANSITION_SQL  # noqa: E402
+from codegraph_spark.queries.events import _CUSUM_SQL as _STREAM_CUSUM_SQL  # noqa: E402
 
 QUERIES = {
     "stream_transition_matrix": stream_transition_matrix,
+    "stream_cusum_drift": stream_cusum_drift,
     "stream_cms_topk": stream_cms_topk,
     "stream_kmv_distinct": stream_kmv_distinct,
     "stream_hourly_counts": stream_hourly_counts,
@@ -400,6 +426,7 @@ QUERIES = {
 }
 ORACLES = {
     "stream_transition_matrix": _STREAM_TRANSITION_SQL,
+    "stream_cusum_drift": _STREAM_CUSUM_SQL,
     "stream_cms_topk": _STREAM_CMS_SQL,
     "stream_kmv_distinct": _STREAM_KMV_SQL,
     "stream_interval_join": _STREAM_INTERVAL_SQL,

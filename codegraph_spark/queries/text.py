@@ -1399,6 +1399,59 @@ QC_EXPR_SQL = (
 )
 
 
+# --- corpus_ccnet_buckets: per-language perplexity terciles -------------------
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    arXiv 1911.00359): within each language, rank documents by the
+    bigram-LM fluency score (:func:`text_lm_score` — the KenLM-
+    perplexity stand-in) and split into terciles. "head" is what
+    CCNet keeps for training, "tail" what it drops; the bucket column
+    is the selection label a curation pipeline writes back.
+
+    Determinism: rank ties break on doc_id (total order) and the
+    tercile boundary is pure integer arithmetic (rn·3 ≤ n, rn·3 ≤ 2n)
+    over the exact integer ppm scores — no float quantile contract.
+
+    Scale shape: the LM scoring is the corpus-mass work (shapes in
+    text_lm_score); the bucketing adds one per-language sort window —
+    the same order-statistic shape ev_outliers_mad documents, with the
+    same approx-percentile swap at 100 TB."""
+    scores = text_lm_score(spark, sf_dir).select("doc_id", "avg_ppm")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = docs.join(scores, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_ppm"), "doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .select(
+            "doc_id", "lang", "avg_ppm",
+            F.when(F.col("rn") * 3 <= F.col("n"), "head")
+            .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+def _ccnet_buckets_sql() -> str:
+    return f"""
+WITH lm AS ({_LM_SQL}),
+ranked AS (
+    SELECT d.doc_id, d.lang, lm.avg_ppm,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY lm.avg_ppm DESC, d.doc_id) AS rn,
+           count(*) OVER (PARTITION BY d.lang) AS n
+    FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+)
+SELECT doc_id, lang, avg_ppm,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 # --- corpus_source_audit: per-source curation dashboard -----------------------
 def corpus_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE curation dashboard — the table a crawl-intake review
@@ -1461,6 +1514,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "corpus_source_audit": corpus_source_audit,
     "text_langid": text_langid,
     "text_gopher_quality": text_gopher_quality,
@@ -1485,6 +1539,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_ccnet_buckets": _ccnet_buckets_sql(),
     "corpus_source_audit": _SOURCE_AUDIT_SQL,
     "text_gopher_quality": _GOPHER_SQL,
     "corpus_dsir_sample": _DSIR_SQL,

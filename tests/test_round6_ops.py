@@ -201,6 +201,29 @@ def test_cusum_prefix_identity_matches_recurrence(spark):
         assert got[et]["n_hours"] == len(xs)
 
 
+# --- CCNet buckets -----------------------------------------------------------
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    from codegraph_spark.queries.text import corpus_ccnet_buckets
+
+    rows = corpus_ccnet_buckets(spark, TEST_SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, out in by_lang.items():
+        n = len(out)
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in out:
+            sizes[r["bucket"]] += 1
+        assert sizes["head"] == n // 3
+        assert sizes["head"] + sizes["middle"] == 2 * n // 3
+        # every head score >= every tail score
+        if sizes["head"] and sizes["tail"]:
+            min_head = min(r["avg_ppm"] for r in out if r["bucket"] == "head")
+            max_tail = max(r["avg_ppm"] for r in out if r["bucket"] == "tail")
+            assert min_head >= max_tail
+
+
 # --- MAD outliers ------------------------------------------------------------
 def test_mad_outliers_match_manual(spark):
     from codegraph_spark.queries.events import ev_outliers_mad

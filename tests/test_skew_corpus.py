@@ -65,6 +65,8 @@ SKEW_SET = [
     "sim_hard_negatives",
     "ev_cusum_drift",
     "ev_outliers_mad",
+    "corpus_ccnet_buckets",
+    "stream_cusum_drift",
 ]
 
 

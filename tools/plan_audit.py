@@ -88,6 +88,8 @@ AUDIT = [
     "ev_cusum_drift",
     "ev_outliers_mad",
     "mm_audio_zcr",
+    "corpus_ccnet_buckets",
+    "stream_cusum_drift",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

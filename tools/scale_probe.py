@@ -75,6 +75,7 @@ PROBES = [
     "ev_cusum_drift",
     "ev_outliers_mad",
     "mm_audio_zcr",
+    "corpus_ccnet_buckets",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
