@@ -106,6 +106,8 @@ _REVERIFY: dict[str, int] = {
     "ev_outliers_mad": 6,          # round 6: new (median/MAD robust outliers)
     "corpus_ccnet_buckets": 6,     # round 6: new (CCNet perplexity terciles)
     "stream_cusum_drift": 6,       # round 6: new (streaming CUSUM rollup)
+    "corpus_padding_waste": 6,     # round 6: new (batch padding audit)
+    "graph_scc": 6,                # round 6: new (FW-BW coloring SCC)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

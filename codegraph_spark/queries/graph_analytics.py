@@ -606,7 +606,111 @@ ORDER BY cycle_len, cycle
 """, extra_ctes="calls AS (SELECT src, dst FROM gedges WHERE type = 'CALLS')")
 
 
+# --- graph_scc: strongly connected components (circular dependencies) ---------
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY connected components of the directed nation trade-flow
+    dependency graph — the circular-dependency finder
+    (graph_call_cycles enumerates short cycles; an SCC is the full
+    'these all transitively depend on each other' bloc whatever its
+    diameter). Nodes = nations; edge n1 → n2 when customers of n1
+    place ABOVE-MEAN trade volume with suppliers of n2 (strictly above
+    the all-pairs mean — a scale-invariant integer threshold, so the
+    same query is meaningful at any SF). Output: one row per
+    nontrivial SCC (≥ 2 members), labeled by its min member name.
+
+    The algorithm (operators/scc.py: trim the acyclic fringe, then
+    peel by forward/backward min-label coloring to TRUE fixpoints) is
+    the BSP SCC of the distributed-graph literature: every step an
+    id-keyed equi-join, no pair materialization, rounds bounded by the
+    dependency graph's diameter — which is why the query layer feeds
+    it the COARSE dependency graph (the shape circular-dependency
+    questions are asked of) and not the 15k-node call-chain graph,
+    where BSP coloring measurably degenerates (trim peels 2
+    nodes/round; that family needs pointer doubling)."""
+    from codegraph_spark.operators.scc import scc_assignments
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    flows = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_nationkey", "s_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    # strictly-above-mean filter via exact integers: w * n_pairs > total
+    tot = flows.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("np")
+    )
+    edges = (
+        flows.join(F.broadcast(tot))
+        .filter(F.col("w") * F.col("np") > F.col("tw"))
+        .join(nat.select(F.col("n_nationkey").alias("c_nationkey"),
+                         F.col("n_name").alias("src")), "c_nationkey")
+        .join(nat.select(F.col("n_nationkey").alias("s_nationkey"),
+                         F.col("n_name").alias("dst")), "s_nationkey")
+        .select("src", "dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        scc_assignments(nodes, edges)
+        .groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("scc_id")
+    )
+
+
+_SCC_SQL = """
+WITH RECURSIVE flows AS (
+    SELECT c.c_nationkey AS cn, s.s_nationkey AS sn, CAST(count(*) AS BIGINT) AS w
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS np FROM flows),
+edges AS (
+    SELECT nc.n_name AS src, ns.n_name AS dst
+    FROM flows f CROSS JOIN tot
+    JOIN nation nc ON nc.n_nationkey = f.cn
+    JOIN nation ns ON ns.n_nationkey = f.sn
+    WHERE f.w * tot.np > tot.tw
+),
+reach(a, b) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+mutual AS (
+    SELECT r1.a AS id, r1.b AS peer
+    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members FROM (
+    SELECT id, min(least(peer, id)) AS scc_id
+    FROM mutual GROUP BY id
+)
+GROUP BY scc_id HAVING count(*) > 1
+ORDER BY scc_id
+"""
+
+
+
 QUERIES = {
+    "graph_scc": graph_scc,
     "graph_call_cycles": graph_call_cycles,
     "graph_triangle_count": graph_triangle_count,
     "graph_kcore": graph_kcore,
@@ -616,6 +720,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_scc": _SCC_SQL,
     "graph_call_cycles": _CYCLES_SQL,
     "graph_triangle_count": _TRIANGLE_SQL,
     "graph_kcore": _kcore_sql(),

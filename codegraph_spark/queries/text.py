@@ -1399,6 +1399,88 @@ QC_EXPR_SQL = (
 )
 
 
+# --- corpus_padding_waste: length-bucketed batching audit ---------------------
+_BATCH_SIZE = 32
+
+
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for fixed-batch training: when batches pad
+    every sequence to the batch max, how many pad tokens does each
+    batching STRATEGY burn? Compares 'arrival' (batches of 32 in
+    doc_id order — what a naive loader does) against 'sorted'
+    (length-bucketed: batch neighbors have near-equal lengths — the
+    standard fix). One row per (strategy, batch): sizes, token sums,
+    and waste in per-mille of the padded volume — the table that
+    justifies turning on length bucketing.
+
+    Determinism: integer token counts, total-order ranks (ties by
+    doc_id), integer per-mille. Scale shape: one scan for token
+    counts, one rank window per strategy (the global sort is the
+    documented order-statistic shape — production shards the sort by
+    length-bucket prefix), batch-keyed aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tok")
+    )
+    out = []
+    for strategy, order in (
+        ("arrival", [F.col("doc_id")]),
+        ("sorted", [F.desc("tok"), F.col("doc_id")]),
+    ):
+        w = Window.orderBy(*order)
+        batched = toks.withColumn(
+            "batch_id", ((F.row_number().over(w) - 1) / _BATCH_SIZE).cast("bigint")
+        )
+        out.append(
+            batched.groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.max("tok").alias("max_tok"),
+                F.sum("tok").alias("sum_tok"),
+            )
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "batch_id", "n_docs", "max_tok", "sum_tok",
+                (F.col("max_tok") * F.col("n_docs") - F.col("sum_tok")).alias("waste_tok"),
+                F.expr(
+                    "(max_tok * n_docs - sum_tok) * 1000 div (max_tok * n_docs)"
+                ).alias("waste_pm"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("strategy", "batch_id")
+
+
+_PADDING_WASTE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+    FROM documents
+),
+arrival AS (
+    SELECT 'arrival' AS strategy,
+           CAST((row_number() OVER (ORDER BY doc_id) - 1) // {_BATCH_SIZE} AS BIGINT)
+               AS batch_id, tok
+    FROM toks
+),
+sorted_b AS (
+    SELECT 'sorted' AS strategy,
+           CAST((row_number() OVER (ORDER BY tok DESC, doc_id) - 1) // {_BATCH_SIZE} AS BIGINT)
+               AS batch_id, tok
+    FROM toks
+),
+both_b AS (SELECT * FROM arrival UNION ALL SELECT * FROM sorted_b)
+SELECT strategy, batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(tok) AS max_tok,
+       CAST(sum(tok) AS BIGINT) AS sum_tok,
+       CAST(max(tok) * count(*) - sum(tok) AS BIGINT) AS waste_tok,
+       CAST((max(tok) * count(*) - sum(tok)) * 1000
+            // (max(tok) * count(*)) AS BIGINT) AS waste_pm
+FROM both_b
+GROUP BY strategy, batch_id
+ORDER BY strategy, batch_id
+"""
+
+
 # --- corpus_ccnet_buckets: per-language perplexity terciles -------------------
 def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
@@ -1514,6 +1596,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "corpus_padding_waste": corpus_padding_waste,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "corpus_source_audit": corpus_source_audit,
     "text_langid": text_langid,
@@ -1539,6 +1622,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_padding_waste": _PADDING_WASTE_SQL,
     "corpus_ccnet_buckets": _ccnet_buckets_sql(),
     "corpus_source_audit": _SOURCE_AUDIT_SQL,
     "text_gopher_quality": _GOPHER_SQL,

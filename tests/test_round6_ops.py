@@ -201,6 +201,114 @@ def test_cusum_prefix_identity_matches_recurrence(spark):
         assert got[et]["n_hours"] == len(xs)
 
 
+# --- SCC operator ------------------------------------------------------------
+def kosaraju_scc(edge_list):
+    """Pure-Python iterative Kosaraju — the independent reference for
+    the BSP coloring operator. Returns the set of frozensets of
+    nontrivial SCC members."""
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    gr = defaultdict(list)
+    nodes = set()
+    for s, d in edge_list:
+        g[s].append(d)
+        gr[d].append(s)
+        nodes.add(s)
+        nodes.add(d)
+    visited = set()
+    order = []
+    for v in sorted(nodes):
+        if v in visited:
+            continue
+        visited.add(v)
+        stack = [(v, iter(g[v]))]
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in visited:
+                    visited.add(w)
+                    stack.append((w, iter(g[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(node)
+                stack.pop()
+    seen = set()
+    out = []
+    for v in reversed(order):
+        if v in seen:
+            continue
+        seen.add(v)
+        cur = [v]
+        members = []
+        while cur:
+            x = cur.pop()
+            members.append(x)
+            for w in gr[x]:
+                if w not in seen:
+                    seen.add(w)
+                    cur.append(w)
+        if len(members) > 1:
+            out.append(frozenset(members))
+    return set(out)
+
+
+def _spark_scc(spark, edge_list):
+    from codegraph_spark.operators.scc import scc_assignments
+
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    got: dict = {}
+    for r in scc_assignments(nodes, edges).collect():
+        got.setdefault(r["scc_id"], set()).add(r["id"])
+    return {frozenset(v) for v in got.values() if len(v) > 1}
+
+
+def test_scc_peel_required(spark):
+    """SCC {d,e} sees fwd=a ≠ bwd in round 1 (it reaches the smaller
+    component) and must wait for the peel — the case a single coloring
+    round gets wrong."""
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # SCC {a,b,c}
+        ("d", "e"), ("e", "d"), ("d", "a"),   # SCC {d,e}, reaches the first
+        ("f", "g"), ("g", "a"),               # acyclic tail (trimmed)
+    ]
+    assert _spark_scc(spark, edges) == {
+        frozenset({"a", "b", "c"}),
+        frozenset({"d", "e"}),
+    }
+
+
+def test_scc_chain_into_clique_and_self_loop(spark):
+    edges = [
+        ("p", "q"), ("q", "r"),               # pure chain — no SCC
+        ("x", "y"), ("y", "z"), ("z", "x"), ("r", "x"),
+        ("s", "s"),                            # self-loop: trivial, excluded
+    ]
+    assert _spark_scc(spark, edges) == {frozenset({"x", "y", "z"})}
+
+
+def test_scc_matches_kosaraju_on_seeded_random_graph(spark):
+    import random
+
+    rng = random.Random(20260815)
+    n = 30
+    edge_list = sorted(
+        {
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(70)
+        }
+    )
+    edge_list = [(s, d) for s, d in edge_list if s != d]
+    assert _spark_scc(spark, edge_list) == kosaraju_scc(edge_list)
+
+
 # --- CCNet buckets -----------------------------------------------------------
 def test_ccnet_buckets_are_ordered_terciles(spark):
     from codegraph_spark.queries.text import corpus_ccnet_buckets

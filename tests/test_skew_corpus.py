@@ -67,6 +67,7 @@ SKEW_SET = [
     "ev_outliers_mad",
     "corpus_ccnet_buckets",
     "stream_cusum_drift",
+    "corpus_padding_waste",
 ]
 
 

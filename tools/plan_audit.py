@@ -90,6 +90,8 @@ AUDIT = [
     "mm_audio_zcr",
     "corpus_ccnet_buckets",
     "stream_cusum_drift",
+    "corpus_padding_waste",
+    "graph_scc",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

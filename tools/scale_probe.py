@@ -76,6 +76,7 @@ PROBES = [
     "ev_outliers_mad",
     "mm_audio_zcr",
     "corpus_ccnet_buckets",
+    "corpus_padding_waste",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
