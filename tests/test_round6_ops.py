@@ -1,9 +1,12 @@
-"""Targeted pins for the round-6 second-wave operators (transition
-matrix, source audit, quality-aware keeper, personalized PageRank,
-hard-negative mining) — semantic properties the registry-wide oracle
-parity can't express (parity re-proves arithmetic; these pin MEANING:
-probabilities normalize, PPR localizes to the anchor's reach, the
-keeper really is the best-quality member)."""
+"""Targeted pins for the round-6 third-wave operators (transition
+matrix — batch and streaming, source audit, quality-aware keeper,
+personalized PageRank, hard-negative mining, pHash, CUSUM, MAD
+outliers, CCNet buckets, SCC) — semantic properties the registry-wide
+oracle parity can't express (parity re-proves arithmetic; these pin
+MEANING: probabilities normalize, PPR localizes to the anchor's
+reach, the keeper really is the best-quality member, the prefix-min
+form IS the CUSUM recurrence, the BSP coloring agrees with Kosaraju
+on graphs that need multiple peels)."""
 
 from __future__ import annotations
 
