@@ -108,6 +108,8 @@ _REVERIFY: dict[str, int] = {
     "stream_cusum_drift": 6,       # round 6: new (streaming CUSUM rollup)
     "corpus_padding_waste": 6,     # round 6: new (batch padding audit)
     "graph_scc": 6,                # round 6: new (FW-BW coloring SCC)
+    "text_tfidf_keywords": 6,      # round 6: new (TF-rarity keywords)
+    "corpus_quality_calibration": 6,  # round 6: new (quality-decile dup audit)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

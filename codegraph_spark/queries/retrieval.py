@@ -28,7 +28,7 @@ Scale notes (100 TB stance):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codegraph_spark.sources.tables import load_table
@@ -169,6 +169,59 @@ FROM (
 GROUP BY term
 ORDER BY doc_freq DESC, term
 LIMIT 50
+"""
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF×rarity —
+    tf · 10⁶ div df, the integer-exact TF-IDF surrogate (1/df in place
+    of log(N/df): same ranking direction, no float-log to disagree on
+    cross-engine; the classic form is one `log` swap away on a real
+    cluster). The keyword column is what retrieval/labeling pipelines
+    write back per document.
+
+    Scale shape: one token explode, one (doc,term) map-side-combining
+    TF agg, one term-keyed DF agg joined back on term (well-spread
+    content key), one per-doc top-3 window — all corpus-linear, no
+    pair joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), "term"
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("score", F.expr("tf * 1000000 div df"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+    SELECT doc_id, t.term AS term
+    FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+    WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT doc_id, term, tf, df, score, rank FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score,
+           CAST(row_number() OVER (PARTITION BY tf.doc_id
+                                   ORDER BY tf.tf * 1000000 // df.df DESC, tf.term)
+                AS INT) AS rank
+    FROM tf JOIN df USING (term)
+) WHERE rank <= 3
+ORDER BY doc_id, rank
 """
 
 
@@ -797,6 +850,7 @@ ORDER BY merge_round"""
 
 
 QUERIES = {
+    "text_tfidf_keywords": text_tfidf_keywords,
     "corpus_pack_tokens": corpus_pack_tokens,
     "vocab_bpe_compression_curve": vocab_bpe_compression_curve,
     "text_bm25_search": text_bm25_search,
@@ -808,6 +862,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tfidf_keywords": _TFIDF_SQL,
     "vocab_bpe_merges": _bpe_merges_sql(),
     "vocab_bpe_compression_curve": _bpe_curve_sql(),
     "corpus_pack_tokens": _pack_tokens_sql(),

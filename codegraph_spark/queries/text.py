@@ -1399,6 +1399,63 @@ QC_EXPR_SQL = (
 )
 
 
+# --- corpus_quality_calibration: quality deciles vs duplication ---------------
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter CALIBRATION: split the corpus into quality
+    deciles (ntile over the integer quality cents, total-ordered by
+    (qc, doc_id) so both engines cut identically) and measure each
+    decile's exact-duplication rate — the sanity table behind "does my
+    quality score actually separate the junk?" (a filter whose low
+    deciles aren't dup-enriched is measuring the wrong thing).
+
+    Scale shape: one scan for (qc, content hash), one global rank
+    window (the documented order-statistic shape; production cuts on
+    approx-percentile boundaries instead), one decile-keyed agg with
+    the dup count via countDistinct riding the same shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        quality_cents().alias("qc"),
+        F.md5(F.lower(F.col("text"))).alias("h"),
+    )
+    w = Window.orderBy("qc", "doc_id")
+    return (
+        per_doc.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("qc").alias("min_qc"),
+            F.max("qc").alias("max_qc"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+        .select(
+            "decile", "n_docs", "min_qc", "max_qc",
+            F.expr("CAST((n_docs - n_unique) * 1000 div n_docs AS BIGINT)")
+            .alias("dup_pm"),
+        )
+        .orderBy("decile")
+    )
+
+
+_QUALITY_CAL_SQL = f"""
+WITH per_doc AS (
+    SELECT doc_id, {QC_EXPR_SQL} AS qc, md5(lower(text)) AS h
+    FROM documents
+),
+tiled AS (
+    SELECT *, CAST(ntile(10) OVER (ORDER BY qc, doc_id) AS INT) AS decile
+    FROM per_doc
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(qc) AS min_qc, max(qc) AS max_qc,
+       CAST((count(*) - count(DISTINCT h)) * 1000 // count(*) AS BIGINT) AS dup_pm
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 # --- corpus_padding_waste: length-bucketed batching audit ---------------------
 _BATCH_SIZE = 32
 
@@ -1596,6 +1653,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "corpus_quality_calibration": corpus_quality_calibration,
     "corpus_padding_waste": corpus_padding_waste,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "corpus_source_audit": corpus_source_audit,
@@ -1622,6 +1680,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_quality_calibration": _QUALITY_CAL_SQL,
     "corpus_padding_waste": _PADDING_WASTE_SQL,
     "corpus_ccnet_buckets": _ccnet_buckets_sql(),
     "corpus_source_audit": _SOURCE_AUDIT_SQL,

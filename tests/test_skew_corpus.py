@@ -68,6 +68,8 @@ SKEW_SET = [
     "corpus_ccnet_buckets",
     "stream_cusum_drift",
     "corpus_padding_waste",
+    "text_tfidf_keywords",
+    "corpus_quality_calibration",
 ]
 
 

@@ -92,6 +92,8 @@ AUDIT = [
     "stream_cusum_drift",
     "corpus_padding_waste",
     "graph_scc",
+    "text_tfidf_keywords",
+    "corpus_quality_calibration",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -77,6 +77,7 @@ PROBES = [
     "mm_audio_zcr",
     "corpus_ccnet_buckets",
     "corpus_padding_waste",
+    "text_tfidf_keywords",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
