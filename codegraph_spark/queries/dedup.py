@@ -352,6 +352,41 @@ WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
 
 
 # --- dedup_minhash_lsh: MinHash signatures + banded LSH candidates ------------
+def minhash_band_structs() -> F.Column:
+    """``array<struct<band:int, key:string>>`` — the full MinHash→LSH
+    banding computed ROW-LOCALLY over ``text`` (shingle array → per-
+    shingle hash → 16 array_min signatures → 4 band keys), no explode,
+    no shuffle, no state. Identical arithmetic to the batch signature
+    (:func:`_minhash_sig` min-aggregates the same (a·h+b) mod P over
+    the same distinct shingles), which is what lets the STREAMING
+    intake dedup (queries/streaming.stream_dedup_minhash) band each
+    arriving document statelessly and still hash-match the batch
+    oracle bit for bit."""
+    sh = _shingle_array()
+    hs = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % _P,
+    )
+    mh = [
+        F.array_min(F.transform(hs, lambda x: (F.lit(a) * x + F.lit(b)) % _P))
+        for a, b in _AB
+    ]
+    rows_per_band = len(_AB) // _BANDS
+    bands = []
+    for bidx in range(_BANDS):
+        members = [
+            mh[i].cast("string")
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bidx).cast("int").alias("band"),
+                F.md5(F.concat_ws(":", *members)).alias("key"),
+            )
+        )
+    return F.array(*bands)
+
+
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh0..mh15): 16-component MinHash signatures of clique
     REPRESENTATIVES — serving-cached because both the LSH dedup query

@@ -360,6 +360,100 @@ def _asof_oracle() -> str:
     return _ASOF_SQL
 
 
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup AT THE INGEST DOOR — the production shape of
+    MinHash dedup (batch dedup_minhash_lsh sweeps history; intake has
+    to decide per ARRIVING document): each streamed document is banded
+    statelessly (dedup.minhash_band_structs — the identical row-local
+    signature arithmetic), and custom stateful operator #6
+    (streaming/incremental.streaming_bucket_prior, one int64 of state
+    per LSH bucket) reports the earliest prior member of each of its
+    4 band buckets. A document is an intake duplicate when ANY band
+    had a prior member; dup_of = the earliest such. The drained
+    verdicts hash-match the batch min-smaller-id-per-bucket oracle,
+    proving the incremental index equals the batch index however the
+    input splits into micro-batches."""
+    from codegraph_spark.queries.dedup import minhash_band_structs
+    from codegraph_spark.streaming.incremental import (
+        read_documents_stream,
+        streaming_bucket_prior,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    banded = (
+        docs.select("doc_id", minhash_band_structs().alias("bks"))
+        .filter(F.size("bks") > 0)
+        .filter(F.col("bks")[0]["key"].isNotNull())
+        .select("doc_id", F.explode("bks").alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    out = run_available_now(
+        streaming_bucket_prior(banded), output_mode="update", state_partitions=8
+    )
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("prior") >= 0, F.col("prior"))), F.lit(-1)
+            ).alias("dup_of"),
+            F.sum((F.col("prior") >= 0).cast("long")).alias("n_hit_bands"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _stream_minhash_dedup_sql() -> str:
+    from codegraph_spark.queries.dedup import (
+        _AB,
+        _BANDS,
+        _P,
+        _SHINGLE_HASH_SQL,
+        _SHINGLES_CTE,
+    )
+
+    mh = ",\n           ".join(
+        f"min(({a} * h + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_AB)
+    )
+    rows_per_band = len(_AB) // _BANDS
+    band_selects = []
+    for bidx in range(_BANDS):
+        concat = " || ':' || ".join(
+            f"CAST(mh{i} AS VARCHAR)"
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band, md5({concat}) AS key FROM sig"
+        )
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+hashed AS (
+    SELECT doc_id, {_SHINGLE_HASH_SQL} AS h FROM shingles
+),
+sig AS (
+    SELECT doc_id,
+           {mh}
+    FROM hashed GROUP BY doc_id
+),
+banded AS (
+    {bands}
+),
+hits AS (
+    SELECT b.doc_id, b.band, min(a.doc_id) AS prior
+    FROM banded b
+    JOIN banded a ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY b.doc_id, b.band
+)
+SELECT s.doc_id,
+       coalesce(min(h.prior), -1) AS dup_of,
+       CAST(count(h.prior) AS BIGINT) AS n_hit_bands
+FROM (SELECT DISTINCT doc_id FROM banded) s
+LEFT JOIN hits h ON h.doc_id = s.doc_id
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift detection fed by a STREAMING rollup — the
     stream_cms_topk pattern: the (event_type, hour) count state is
@@ -412,6 +506,7 @@ from codegraph_spark.queries.events import _TRANSITION_SQL as _STREAM_TRANSITION
 from codegraph_spark.queries.events import _CUSUM_SQL as _STREAM_CUSUM_SQL  # noqa: E402
 
 QUERIES = {
+    "stream_dedup_minhash": stream_dedup_minhash,
     "stream_transition_matrix": stream_transition_matrix,
     "stream_cusum_drift": stream_cusum_drift,
     "stream_cms_topk": stream_cms_topk,
@@ -425,6 +520,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
 }
 ORACLES = {
+    "stream_dedup_minhash": _stream_minhash_dedup_sql(),
     "stream_transition_matrix": _STREAM_TRANSITION_SQL,
     "stream_cusum_drift": _STREAM_CUSUM_SQL,
     "stream_cms_topk": _STREAM_CMS_SQL,

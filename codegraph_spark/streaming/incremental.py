@@ -329,6 +329,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (single-file and
+    Spark-directory layouts, like :func:`read_events_stream`)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        stream_path = path
+    else:
+        reader = reader.option("pathGlobFilter", "documents*.parquet")
+        stream_path = sf_dir
+    return reader.parquet(stream_path)
+
+
+BUCKET_PRIOR_SCHEMA = "doc_id long, band int, prior long"
+BUCKET_PRIOR_STATE_SCHEMA = "mn long"
+
+
+def streaming_bucket_prior(banded: DataFrame) -> DataFrame:
+    """Per-LSH-bucket EARLIEST-MEMBER tracking across micro-batches
+    (custom stateful operator #6, the intake half of streaming MinHash
+    dedup): state = the min doc_id ever seen in each (band, key)
+    bucket — ONE int64 per bucket at any corpus size. Each arriving
+    (doc_id, band, key) row emits the bucket's prior minimum at its
+    arrival (-1 when it opens the bucket), so a document is an intake
+    duplicate exactly when any of its bands emits prior ≥ 0. Rows
+    within a batch are walked in doc_id order; across batches the
+    operator relies on the file source's in-order delivery (the
+    streaming_transitions contract), which makes the drained result
+    equal the batch min-smaller-id-per-bucket oracle however the
+    input splits."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values("doc_id")
+        cur = state.get[0] if state.exists else None
+        out_doc, out_band, out_prior = [], [], []
+        for doc, band in zip(pdf["doc_id"], pdf["band"]):
+            doc = int(doc)
+            out_doc.append(doc)
+            out_band.append(int(band))
+            # guard prior < doc: intake semantics even if arrival order
+            # ever diverged from id order
+            out_prior.append(cur if (cur is not None and cur < doc) else -1)
+            cur = doc if cur is None or doc < cur else cur
+        state.update((int(cur),))
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "band": out_band, "prior": out_prior}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        update,
+        outputStructType=BUCKET_PRIOR_SCHEMA,
+        stateStructType=BUCKET_PRIOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 TRANS_SCHEMA = "from_type string, to_type string, cnt long"
 TRANS_STATE_SCHEMA = "last_ts long, last_eid long, last_type string"
 

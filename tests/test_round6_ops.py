@@ -446,6 +446,53 @@ def test_streaming_transitions_carry_state_across_batches(spark, tmp_path):
     assert got == {("A", "B"): 1, ("B", "C"): 1, ("C", "A"): 1, ("B", "B"): 1}
 
 
+# --- streaming minhash intake dedup -------------------------------------------
+def test_streaming_bucket_prior_carries_index_across_batches(spark, tmp_path):
+    """A batch-2 document identical to a batch-1 document must hit all
+    4 band buckets the batch-1 doc opened (the carried LSH index)."""
+    import os
+
+    from codegraph_spark.queries.dedup import minhash_band_structs
+    from codegraph_spark.streaming.incremental import streaming_bucket_prior
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(1, same), (2, "a completely different document about spark shuffles")],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    spark.createDataFrame(
+        [(3, same), (4, "yet another unrelated text with enough words to shingle")],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    banded = (
+        stream.select("doc_id", minhash_band_structs().alias("bks"))
+        .filter(F.size("bks") > 0)
+        .select("doc_id", F.explode("bks").alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    from codegraph_spark.streaming.incremental import run_available_now
+
+    rows = run_available_now(
+        streaming_bucket_prior(banded), output_mode="update"
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["prior"])
+    assert sorted(by_doc[3]) == [1, 1, 1, 1]  # all 4 bands hit doc 1's buckets
+    assert all(p == -1 for p in by_doc[1])
+    assert all(p == -1 for p in by_doc[2])
+    assert all(p == -1 for p in by_doc[4])
+
+
 # --- hard negatives ----------------------------------------------------------
 def test_hard_negatives_labels_and_margin(spark):
     from codegraph_spark.queries.similarity import sim_hard_negatives, _emb

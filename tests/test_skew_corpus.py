@@ -70,6 +70,7 @@ SKEW_SET = [
     "corpus_padding_waste",
     "text_tfidf_keywords",
     "corpus_quality_calibration",
+    "stream_dedup_minhash",
 ]
 
 

@@ -94,6 +94,7 @@ AUDIT = [
     "graph_scc",
     "text_tfidf_keywords",
     "corpus_quality_calibration",
+    "stream_dedup_minhash",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")
