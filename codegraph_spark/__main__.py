@@ -126,6 +126,16 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     dr.add_argument("query", help="a name from the query registry")
 
+    au = sub.add_parser(
+        "audit", help="corpus curation dashboards over --sf-dir"
+    ).add_subparsers(dest="what", required=True)
+    ac = au.add_parser(
+        "corpus",
+        help="mix / per-source / dedup-rate / quality-calibration tables in one JSON doc",
+    )
+    ac.add_argument("--limit", type=int, default=100,
+                    help="max rows per table (0 = unlimited)")
+
     srv = sub.add_parser("serve", help="long-running servers").add_subparsers(
         dest="what", required=True
     )
@@ -254,6 +264,27 @@ def run_command(args: argparse.Namespace, spark) -> Any:
             df = df.limit(args.limit)
         out = {"columns": df.columns,
                "rows": [list(r) for r in df.collect()]}
+    elif args.cmd == "audit":
+        from codegraph_spark.queries import collect
+
+        if not args.sf_dir:
+            raise SystemExit("audit needs --sf-dir DIR (the corpus root)")
+        queries, _ = collect()
+        tables = {}
+        for name in (
+            "corpus_mix_summary",
+            "corpus_source_audit",
+            "corpus_dedup_rate",
+            "corpus_quality_calibration",
+        ):
+            df = queries[name](spark, args.sf_dir)
+            if args.limit > 0:
+                df = df.limit(args.limit)
+            tables[name] = {
+                "columns": df.columns,
+                "rows": [list(r) for r in df.collect()],
+            }
+        out = {"sf_dir": args.sf_dir, "tables": tables}
     elif args.cmd == "doctor":
         from codegraph_spark.doctor import diagnose
         from codegraph_spark.queries import collect

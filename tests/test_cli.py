@@ -56,6 +56,30 @@ def test_cli_status_command():
     assert args.cmd == "status"
 
 
+def test_cli_audit_corpus_parses():
+    args = _build_parser().parse_args(
+        ["--sf-dir", "/d", "audit", "corpus", "--limit", "5"]
+    )
+    assert (args.cmd, args.what, args.limit) == ("audit", "corpus", 5)
+
+
+def test_cli_audit_corpus_runs(spark, sf_dir):
+    from codegraph_spark.__main__ import _build_parser, run_command
+
+    out = run_command(
+        _build_parser().parse_args(["--sf-dir", sf_dir, "audit", "corpus", "--limit", "3"]),
+        spark,
+    )
+    assert set(out["tables"]) == {
+        "corpus_mix_summary",
+        "corpus_source_audit",
+        "corpus_dedup_rate",
+        "corpus_quality_calibration",
+    }
+    for t in out["tables"].values():
+        assert t["columns"] and len(t["rows"]) <= 3
+
+
 def test_cli_index_docs_code_graph_flag():
     args = _build_parser().parse_args(
         ["index", "docs", "./docs", "--out", "/tmp/g", "--code-graph", "/tmp/code"]
