@@ -378,10 +378,20 @@ def minhash_band_structs() -> F.Column:
             mh[i].cast("string")
             for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
         ]
+        # NULL-PROPAGATING concat (not concat_ws, which skips NULLs):
+        # a doc with zero shingles has NULL signature components and
+        # must yield a NULL key — concat_ws would quietly band every
+        # short doc under md5('') and flag them as duplicates of each
+        # other, where the batch oracle excludes them entirely
+        parts: list[F.Column] = []
+        for m in members:
+            if parts:
+                parts.append(F.lit(":"))
+            parts.append(m)
         bands.append(
             F.struct(
                 F.lit(bidx).cast("int").alias("band"),
-                F.md5(F.concat_ws(":", *members)).alias("key"),
+                F.md5(F.concat(*parts)).alias("key"),
             )
         )
     return F.array(*bands)

@@ -380,9 +380,11 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_documents_stream(spark, sf_dir)
+    # zero-shingle docs (< 3 words) carry NULL band keys (the
+    # NULL-propagating concat in minhash_band_structs) — excluded here
+    # exactly as the oracle's shingles CTE excludes them
     banded = (
         docs.select("doc_id", minhash_band_structs().alias("bks"))
-        .filter(F.size("bks") > 0)
         .filter(F.col("bks")[0]["key"].isNotNull())
         .select("doc_id", F.explode("bks").alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -32,6 +32,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over ``<sf_dir>/<table>.parquet``, handling
+    BOTH dataset layouts: the driver's single-file testdata (stream the
+    dataset dir with a filename glob) and the Spark-written directory
+    layout, where ``<table>.parquet/`` holds part files — streamed
+    directly, because a filename glob against ``<table>*.parquet``
+    would filter every part-*.parquet out (observed as a silent
+    zero-row stream)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        stream_path = path
+    else:
+        reader = reader.option("pathGlobFilter", f"{table}*.parquet")
+        stream_path = sf_dir
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(stream_path)
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -40,22 +66,7 @@ def read_events_stream(
     """File-source stream over the events table (TIMESTAMP(NANOS)
     handled exactly like the batch loader — sources/tables.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if os.path.isdir(path):
-        # Spark-written layout: events.parquet/ is a directory of part
-        # files — stream the directory itself (a filename glob against
-        # "events*.parquet" would filter every part-*.parquet out).
-        stream_path = path
-    else:
-        # single-file layout (the driver's testdata): stream the
-        # dataset dir, keeping only the events file
-        reader = reader.option("pathGlobFilter", "events*.parquet")
-        stream_path = sf_dir
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(stream_path)
+    df = _read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -332,15 +343,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table (single-file and
     Spark-directory layouts, like :func:`read_events_stream`)."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if os.path.isdir(path):
-        stream_path = path
-    else:
-        reader = reader.option("pathGlobFilter", "documents*.parquet")
-        stream_path = sf_dir
-    return reader.parquet(stream_path)
+    return _read_table_stream(spark, sf_dir, "documents")
 
 
 BUCKET_PRIOR_SCHEMA = "doc_id long, band int, prior long"

@@ -447,6 +447,21 @@ def test_streaming_transitions_carry_state_across_batches(spark, tmp_path):
 
 
 # --- streaming minhash intake dedup -------------------------------------------
+def test_minhash_band_structs_null_key_for_short_docs(spark):
+    """A doc with < 3 words has zero shingles ⇒ NULL band keys (the
+    NULL-propagating concat), so intake banding EXCLUDES it — two
+    unrelated short docs must not collide under md5('') (the review
+    finding: concat_ws skipped the NULL components silently)."""
+    from codegraph_spark.queries.dedup import minhash_band_structs
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "two words"), (3, "three whole words here")],
+        "doc_id long, text string",
+    ).select("doc_id", minhash_band_structs().alias("bks"))
+    rows = {r["doc_id"]: r["bks"] for r in df.collect()}
+    assert all(bk["key"] is None for bk in rows[1])
+    assert all(bk["key"] is None for bk in rows[2])
+    assert all(bk["key"] is not None for bk in rows[3])
 def test_streaming_bucket_prior_carries_index_across_batches(spark, tmp_path):
     """A batch-2 document identical to a batch-1 document must hit all
     4 band buckets the batch-1 doc opened (the carried LSH index)."""
