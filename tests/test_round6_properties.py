@@ -54,6 +54,26 @@ def test_ppr_property_matches_reference(spark, edges, seeds):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+_steps = st.lists(st.integers(min_value=-500, max_value=500), min_size=1, max_size=40)
+
+
+@given(steps=_steps)
+@settings(max_examples=200, deadline=None)
+def test_cusum_prefix_min_identity(steps):
+    """Pure math behind ev_cusum_drift: for ANY step sequence,
+    S_t = max(0, S_{t−1} + step_t)  ==  P_t − min(0, min_{j≤t} P_j)
+    with P_t the plain prefix sum — the identity that lets two window
+    functions replace an un-windowable recurrence."""
+    s = 0
+    p = 0
+    minp = 0
+    for step in steps:
+        s = max(0, s + step)
+        p += step
+        minp = min(minp, p)
+        assert s == p - min(0, minp)
+
+
 _words = st.lists(
     st.sampled_from(["alpha", "beta", "gamma", "delta", "echo", "fox"]),
     min_size=0,
