@@ -111,6 +111,7 @@ _REVERIFY: dict[str, int] = {
     "text_tfidf_keywords": 6,      # round 6: new (TF-rarity keywords)
     "corpus_quality_calibration": 6,  # round 6: new (quality-decile dup audit)
     "stream_dedup_minhash": 6,     # round 6: new (intake LSH dedup, stateful op #6)
+    "text_contamination_bloom": 6,  # round 6: new (bloom decontamination + FPR audit)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

@@ -1083,6 +1083,129 @@ HAVING count(*) >= 3
 """
 
 
+# --- text_contamination_bloom: Bloom-prefiltered decontamination --------------
+_BLOOM_M = 1 << 16  # bloom bits
+_BLOOM_K = 3        # hash functions (the first 3 MinHash (a, b) pairs)
+
+
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a BLOOM FILTER of the eval set — the
+    100 TB shape of :func:`text_contamination`: the exact version
+    equi-joins train grams against eval grams (data-sized on both
+    sides); at scale the eval side compiles into an m-bit Bloom filter
+    (here m = 2¹⁶, k = 3 — a fixed 8 KiB broadcast REGARDLESS of eval
+    size) and the training corpus is scanned ONCE against it. Bloom
+    filters have no false negatives, so nothing contaminated escapes;
+    the query also computes the EXACT hits per document so the output
+    audits the false-positive overhead the saved shuffle buys
+    (n_false_pos = bloom − exact ≥ 0) — integer-exact end to end (bit
+    positions are ((a·h + b) mod P) mod m over the md5-derived gram
+    hash, the same arithmetic family as the MinHash signatures).
+
+    Output: one row per training document the filter flags."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = _shingles(spark, sf_dir).join(docs, "doc_id")
+    ev_sh = (
+        tagged.filter(F.col("source") == _EVAL_SOURCE)
+        .select("shingle")
+        .distinct()
+        .withColumn("h", _shingle_hash_spark())
+    )
+    pos_cols = [
+        (((F.lit(a) * F.col("h") + F.lit(b)) % _P) % _BLOOM_M).alias(f"p{j}")
+        for j, (a, b) in enumerate(_AB[:_BLOOM_K])
+    ]
+    bits = F.broadcast(
+        ev_sh.select(F.explode(F.array(*[c for c in pos_cols])).alias("pos")).distinct()
+    )
+    tr = (
+        tagged.filter(F.col("source") != _EVAL_SOURCE)
+        .select("doc_id", "shingle")
+        .withColumn("h", _shingle_hash_spark())
+        .select("doc_id", "shingle", *pos_cols)
+    )
+    hit = tr
+    for j in range(_BLOOM_K):
+        hit = hit.join(
+            bits.withColumnRenamed("pos", f"p{j}"), f"p{j}", "semi"
+        )
+    bloom_per_doc = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits")
+    )
+    exact_per_doc = (
+        tr.join(ev_sh.select("shingle"), "shingle", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_hits"))
+    )
+    totals = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    return (
+        totals.join(bloom_per_doc, "doc_id")
+        .join(exact_per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams", "n_bloom_hits",
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+            (F.col("n_bloom_hits") - F.coalesce("n_exact_hits", F.lit(0)))
+            .alias("n_false_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _contamination_bloom_sql() -> str:
+    pos_exprs = [
+        f"(({a} * h + {b}) % {_P}) % {_BLOOM_M} AS p{j}"
+        for j, (a, b) in enumerate(_AB[:_BLOOM_K])
+    ]
+    pos_union = "\n    UNION\n    ".join(
+        f"SELECT (({a} * h + {b}) % {_P}) % {_BLOOM_M} AS pos FROM ev_sh"
+        for a, b in _AB[:_BLOOM_K]
+    )
+    in_bits = " AND ".join(
+        f"p{j} IN (SELECT pos FROM bits)" for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+tagged AS (
+    SELECT s.doc_id, s.shingle, d.source
+    FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
+),
+ev_sh AS (
+    SELECT DISTINCT shingle, {_SHINGLE_HASH_SQL} AS h
+    FROM (SELECT DISTINCT shingle FROM tagged WHERE source = '{_EVAL_SOURCE}')
+),
+bits AS (
+    {pos_union}
+),
+tr AS (
+    SELECT doc_id, shingle, {', '.join(pos_exprs)}
+    FROM (SELECT doc_id, shingle, {_SHINGLE_HASH_SQL} AS h
+          FROM tagged WHERE source <> '{_EVAL_SOURCE}')
+),
+bloom_hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+    FROM tr WHERE {in_bits}
+    GROUP BY doc_id
+),
+exact_hits AS (
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+    FROM tr t WHERE t.shingle IN (SELECT shingle FROM ev_sh)
+    GROUP BY t.doc_id
+),
+totals AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id
+)
+SELECT tt.doc_id, tt.n_grams, b.n_bloom_hits,
+       coalesce(e.n_exact_hits, 0) AS n_exact_hits,
+       b.n_bloom_hits - coalesce(e.n_exact_hits, 0) AS n_false_pos
+FROM totals tt
+JOIN bloom_hits b ON b.doc_id = tt.doc_id
+LEFT JOIN exact_hits e ON e.doc_id = tt.doc_id
+ORDER BY tt.doc_id
+"""
+
+
 # --- dedup_containment: asymmetric shingle containment ------------------------
 _CONTAIN_PM = 800  # containment threshold, per-mille of the smaller doc
 
@@ -1376,6 +1499,7 @@ ORDER BY doc_a, doc_b
 
 
 QUERIES = {
+    "text_contamination_bloom": text_contamination_bloom,
     "corpus_dedup_keep_best": corpus_dedup_keep_best,
     "dedup_exact": dedup_exact,
     "corpus_dedup_rate": corpus_dedup_rate,
@@ -1392,6 +1516,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_contamination_bloom": _contamination_bloom_sql(),
     "corpus_dedup_keep_best": _keep_best_sql(),
     "corpus_dedup_rate": _DEDUP_RATE_SQL,
     "dedup_minhash_est": _minhash_est_sql(),

@@ -312,6 +312,20 @@ def test_scc_matches_kosaraju_on_seeded_random_graph(spark):
     assert _spark_scc(spark, edge_list) == kosaraju_scc(edge_list)
 
 
+# --- bloom decontamination ---------------------------------------------------
+def test_bloom_contamination_no_false_negatives(spark):
+    """Bloom filters overapproximate: every exact hit is a bloom hit
+    (n_bloom_hits ≥ n_exact_hits ≥ 0), and every exactly-contaminated
+    doc appears in the flagged output."""
+    from codegraph_spark.queries.dedup import text_contamination_bloom
+
+    rows = text_contamination_bloom(spark, TEST_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_exact_hits"] <= r["n_bloom_hits"] <= r["n_grams"]
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_exact_hits"]
+
+
 # --- CCNet buckets -----------------------------------------------------------
 def test_ccnet_buckets_are_ordered_terciles(spark):
     from codegraph_spark.queries.text import corpus_ccnet_buckets

@@ -71,6 +71,7 @@ SKEW_SET = [
     "text_tfidf_keywords",
     "corpus_quality_calibration",
     "stream_dedup_minhash",
+    "text_contamination_bloom",
 ]
 
 

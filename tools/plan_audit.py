@@ -95,6 +95,7 @@ AUDIT = [
     "text_tfidf_keywords",
     "corpus_quality_calibration",
     "stream_dedup_minhash",
+    "text_contamination_bloom",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -78,6 +78,7 @@ PROBES = [
     "corpus_ccnet_buckets",
     "corpus_padding_waste",
     "text_tfidf_keywords",
+    "text_contamination_bloom",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
