@@ -39,6 +39,16 @@ HEADLINE = [
     "text_quality_score",
     "mm_image_meta",
     "stream_hourly_counts",
+    # round-6/7 surface representatives (r6 VERDICT item 2): Bloom
+    # decontamination, BPE training, IVF-PQ ADC search, streaming
+    # intake dedup, SCC, true-token shard packing — regression-guarded
+    # at the same ≤2 s scan/traversal budget as the r1 set.
+    "text_contamination_bloom",
+    "vocab_bpe_merges",
+    "sim_ivf_pq",
+    "stream_dedup_minhash",
+    "graph_scc",
+    "corpus_pack_tokens",
 ]
 
 

@@ -71,7 +71,6 @@ _REVERIFY: dict[str, int] = {
     "j9_orphan_parts": 4,  # round 4: restored reference-parity semantics
     "sim_lsh_cosine": 6,   # round 6: banded OR-union, ceiling removed
     "graph_kcore": 6,      # round 6: fixpoint peel (was fixed 8 rounds)
-    "dedup_semantic": 6,   # round 6: new (SemDeDup cluster-then-cosine)
     "text_cross_doc_coverage": 6,  # round 6: new (cross-doc span coverage)
     "stream_interval_join": 6,     # round 6: new (stream-stream interval join)
     "corpus_temperature_mix": 6,   # round 6: new (temperature-sampled mix)
@@ -112,6 +111,9 @@ _REVERIFY: dict[str, int] = {
     "corpus_quality_calibration": 6,  # round 6: new (quality-decile dup audit)
     "stream_dedup_minhash": 6,     # round 6: new (intake LSH dedup, stateful op #6)
     "text_contamination_bloom": 6,  # round 6: new (bloom decontamination + FPR audit)
+    "dedup_semantic": 7,       # round 7: exact-group collapse (lossless rewrite)
+    "sim_ivf_assign": 7,       # round 7: new (vectorized assignment kernel gate)
+    "sim_ivf_sampled_purity": 7,  # round 7: new (sampled-trainer recovery gate)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

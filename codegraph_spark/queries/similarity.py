@@ -297,6 +297,314 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scale-true trainer: bounded sample + chunked Lloyd (the k~50k path) ------
+#: FAISS's max_points_per_centroid default — past 256 points per
+#: centroid the extra sample stops improving a coarse quantizer.
+_IVF_SAMPLE_PER_CENTROID = 256
+#: absolute driver-side sample ceiling (rows). 2^18 x 64 dims x 8 B =
+#: 134 MB of training matrix — bounded regardless of k or corpus size.
+_IVF_SAMPLE_CAP = 1 << 18
+#: flop budget for farthest-point init on the sample (k * sample * dim).
+#: Under it, the high-quality O(k·sample·dim) seeding runs; over it
+#: (k ~ 50k), hash-strided picks from the shuffled sample (the FAISS
+#: random-init practice) keep init O(sample).
+_IVF_FP_INIT_BUDGET = 1 << 33
+#: score-matrix cell budget per matmul chunk (bounds peak memory of the
+#: n x k distance block at ~256 MB of float64).
+_IVF_SCORE_CELLS = 1 << 25
+
+
+def _hash_order(col: Column) -> Column:
+    """md5-derived deterministic shuffle key (same construction as the
+    exact trainer's seed draw and text.sample_stratified)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def _lloyd_on_sample(X, k: int, iters: int):
+    """Driver-side spherical Lloyd on the bounded sample matrix ``X``
+    (n x d float64): cosine assignment (argmax over normalized rows,
+    ties -> lowest cluster index), plain elementwise-mean update (the
+    same update :func:`_elementwise_mean` computes distributedly), and
+    FAISS-style deterministic empty-cluster repair (epsilon-split the
+    largest cluster). All numpy matmuls are chunked so no intermediate
+    exceeds _IVF_SCORE_CELLS cells. Fully deterministic: no RNG — the
+    caller feeds rows in md5-hash order and init derives from that
+    order alone."""
+    import numpy as np
+
+    n, d = X.shape
+    k = max(1, min(k, n))
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    if k * n * d <= _IVF_FP_INIT_BUDGET:
+        # farthest-point on the sample: one O(n·d) pass per seed with a
+        # running best-similarity array — the quality init, affordable
+        # whenever k·n·d fits the budget (covers k into the thousands).
+        seeds = [0]
+        best = Xn @ Xn[0]
+        for _ in range(1, k):
+            j = int(np.argmin(best))
+            seeds.append(j)
+            best = np.maximum(best, Xn @ Xn[j])
+        C = X[np.asarray(seeds)].copy()
+    else:
+        # hash-strided picks over the md5-shuffled sample = a uniform
+        # deterministic draw (FAISS's random-subset init, derandomized).
+        C = X[(np.arange(k, dtype=np.int64) * n) // k].copy()
+    chunk = max(256, _IVF_SCORE_CELLS // k)
+    for _ in range(max(0, iters)):
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        CnT = (C / cn[:, None]).T
+        assign = np.empty(n, dtype=np.int64)
+        for lo in range(0, n, chunk):
+            assign[lo : lo + chunk] = np.argmax(Xn[lo : lo + chunk] @ CnT, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros((k, d))
+        np.add.at(sums, assign, X)
+        live = counts > 0
+        C[live] = sums[live] / counts[live, None]
+        for ci in np.flatnonzero(~live):
+            big = int(np.argmax(counts))
+            C[ci] = C[big] * (1.0 + 1e-4)
+            C[big] = C[big] * (1.0 - 1e-4)
+            counts[ci] = counts[big] // 2
+            counts[big] -= counts[ci]
+    return C
+
+
+def train_ivf_kmeans_sampled(
+    emb: DataFrame,
+    k: int,
+    iters: int = 8,
+    sample_per_centroid: int | None = None,
+    sample_cap: int | None = None,
+) -> DataFrame:
+    """Scale-true coarse-quantizer training: centroids ``(cluster, cv)``
+    learned from a BOUNDED deterministic sample, in O(1) Spark jobs.
+
+    :func:`train_ivf_kmeans` (the k=8 oracle-gate trainer, kept
+    unchanged) initializes by farthest-point over the FULL corpus —
+    k-1 sequential corpus passes, unrunnable at the k ≈ n/occupancy
+    its consumers' linearity contract requires (SemDeDup trains ~50k
+    clusters). This trainer is that contract's production path, the
+    FAISS practice the gate trainer's docstring cites:
+
+    - **Sample**: the min(256·k, 2^18) rows with the smallest
+      md5(vec_id) — one distributed TakeOrdered, the only corpus pass
+      and the only Spark job in training (the planted-recovery and
+      job-count tests in tests/test_similarity.py pin both).
+    - **Init + Lloyd**: driver-side on the sample matrix
+      (:func:`_lloyd_on_sample`) — farthest-point seeding under a flop
+      budget, hash-strided picks past it; chunked-matmul spherical
+      Lloyd with deterministic empty-cluster splits. At the cap the
+      matrix is 134 MB; every matmul chunk is bounded.
+    - **Assignment** of the full corpus is the consumer's single
+      distributed pass: :func:`assign_ivf` (BNLJ explode) below
+      k ≈ 64, :func:`assign_ivf_trained` (Arrow-batched argmax kernel)
+      at any k.
+
+    Returns the same ``(cluster, cv)`` frame as the gate trainer,
+    cluster ids 1..k in seed order. Deterministic end-to-end."""
+    import numpy as np
+
+    if sample_per_centroid is None:
+        sample_per_centroid = _IVF_SAMPLE_PER_CENTROID
+    if sample_cap is None:
+        sample_cap = _IVF_SAMPLE_CAP
+    n_sample = max(int(k) * int(sample_per_centroid), 1)
+    n_sample = min(n_sample, int(sample_cap))
+    rows = (
+        emb.orderBy(_hash_order(F.col("vec_id")), "vec_id")
+        .limit(n_sample)
+        .select("v")
+        .collect()
+    )
+    spark = emb.sparkSession
+    if not rows:  # empty corpus: no centroids (assignment is a no-op)
+        return spark.createDataFrame([], "cluster INT, cv ARRAY<DOUBLE>")
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    C = _lloyd_on_sample(X, k, iters)
+    return spark.createDataFrame(
+        [(i + 1, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cluster INT, cv ARRAY<DOUBLE>",
+    )
+
+
+def assign_ivf_trained(emb: DataFrame, centroids: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Nearest-centroid assignment for LARGE k: ship the k x d centroid
+    matrix once (Spark broadcast, ~25 MB at k=50k, d=64) and argmax
+    cosine per row inside an Arrow-batched numpy kernel — one matmul
+    per batch instead of :func:`assign_ivf`'s n·k-row BNLJ explode,
+    which is right below k ≈ 64 and catastrophic at k=50k. Ties break
+    to the lowest cluster id (np.argmax takes the first maximum over
+    ascending-cluster rows — the same order assign_ivf's window uses);
+    zero-norm vectors score 0 everywhere and land in the lowest
+    cluster, matching no-signal semantics deterministically. Should
+    k·dim ever outgrow one broadcast (k ≳ 10^7 at d=64), the
+    documented escalation is two-level coarse assignment: quantize the
+    centroids themselves with a √k-sized outer quantizer and argmax
+    within the matched outer cell. Output schema = input + cluster
+    (same as assign_ivf)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(list(emb.schema.fields) + [StructField("cluster", IntegerType())])
+    crows = centroids.orderBy("cluster").collect()
+    if not crows:  # no centroids (empty training corpus): nothing assignable
+        return emb.sparkSession.createDataFrame([], out_schema)
+    ids = np.asarray([r["cluster"] for r in crows], dtype=np.int64)
+    C = np.asarray([r["cv"] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    CnT = (C / cn[:, None]).T
+    bc = emb.sparkSession.sparkContext.broadcast((ids, CnT))
+    k = len(ids)
+    chunk = max(64, _IVF_SCORE_CELLS // max(k, 1))
+
+    def kernel(batches):
+        b_ids, b_CnT = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf["cluster"] = np.empty(0, dtype=np.int32)
+                yield pdf
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            nrm = np.linalg.norm(V, axis=1)
+            nrm[nrm == 0] = 1.0
+            Vn = V / nrm[:, None]
+            a = np.empty(len(V), dtype=np.int64)
+            for lo in range(0, len(V), chunk):
+                a[lo : lo + chunk] = np.argmax(Vn[lo : lo + chunk] @ b_CnT, axis=1)
+            pdf["cluster"] = b_ids[a].astype(np.int32)
+            yield pdf
+
+    return emb.mapInPandas(kernel, out_schema)
+
+
+# planted-cluster gate corpus: pure integer arithmetic, so Spark and
+# DuckDB synthesize IDENTICAL vectors (no engine hash involved).
+# group(i) = i % _PLANT_G; member vector = basis(group) + jitter where
+# jitter[t] = ((i*73 + t*151) % 97 - 48) / 1000 in [-0.048, 0.048] —
+# groups sit on orthogonal axes, separation is macroscopic (~0.9 cosine
+# gap), so argmax decisions are float-safe across engines.
+_PLANT_N, _PLANT_D, _PLANT_G = 4096, 16, 16
+
+
+def _planted_corpus(spark: SparkSession) -> DataFrame:
+    return spark.range(_PLANT_N).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {_PLANT_D - 1}), t -> "
+            f"(CASE WHEN t = CAST(id % {_PLANT_G} AS INT) THEN 1.0 ELSE 0.0 END) "
+            f"+ ((id * 73 + t * 151) % 97 - 48) / 1000.0)"
+        ).alias("v"),
+    )
+
+
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine gate for the VECTORIZED assignment kernel
+    (:func:`assign_ivf_trained`): assign the arithmetic planted corpus
+    to the 16 known basis-vector centroids and aggregate per cluster.
+    The corpus is synthesized from pure integer arithmetic (not the
+    embeddings table) because the gate needs a geometric ground truth
+    the random test embeddings lack; sf_dir is unused by design. Any
+    per-vector misassignment by the Arrow kernel shifts sum_vec_ids
+    and is caught by the DuckDB argmax oracle."""
+    del sf_dir
+    emb = _planted_corpus(spark)
+    cents = spark.range(_PLANT_G).select(
+        (F.col("id") + 1).cast("int").alias("cluster"),
+        F.expr(
+            f"transform(sequence(0, {_PLANT_D - 1}), "
+            f"t -> CASE WHEN t = CAST(id AS INT) THEN 1.0 ELSE 0.0 END)"
+        ).alias("cv"),
+    )
+    return (
+        assign_ivf_trained(emb, cents)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+        )
+        .select("cluster", "n_members", "sum_vec_ids")
+    )
+
+
+_IVF_ASSIGN_SQL = f"""
+WITH corpus AS (
+    SELECT id AS vec_id,
+           list_transform(range(0, {_PLANT_D}),
+               t -> (CASE WHEN t = CAST(id % {_PLANT_G} AS BIGINT) THEN 1.0 ELSE 0.0 END)
+                    + ((id * 73 + t * 151) % 97 - 48) / 1000.0) AS v
+    FROM range({_PLANT_N}) t(id)
+),
+cents AS (
+    SELECT CAST(id + 1 AS INT) AS cluster,
+           list_transform(range(0, {_PLANT_D}),
+               t -> CASE WHEN t = id THEN 1.0 ELSE 0.0 END) AS cv
+    FROM range({_PLANT_G}) t(id)
+),
+assigned AS (
+    SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cluster) AS rn
+        FROM corpus e CROSS JOIN cents c
+    ) WHERE rn = 1
+)
+SELECT cluster, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+FROM assigned GROUP BY cluster
+"""
+
+
+def sim_ivf_sampled_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gate for the SAMPLED trainer: train
+    :func:`train_ivf_kmeans_sampled` at k=16 on the planted 16-cluster
+    corpus, assign with the vectorized kernel, and report per planted
+    group (n_members, clusters_spanned, groups_in_cluster). Perfect
+    recovery — each planted group maps onto exactly one learned
+    cluster and shares it with no other group — has an
+    engine-independent description (spanned = shared = 1, members =
+    n/G), so the oracle pins the SPEC as literals while the Spark side
+    measures: a degraded trainer (merged or split clusters) emits 2s
+    and hash-mismatches. Recovery is deterministic: the md5-ordered
+    sample covers the corpus (4096 < 2^18) and farthest-point seeding
+    on orthogonal planted axes picks one seed per group, with a ~0.9
+    cosine margin over any float noise."""
+    del sf_dir
+    emb = _planted_corpus(spark)
+    cents = train_ivf_kmeans_sampled(emb, k=_PLANT_G, iters=4)
+    assigned = assign_ivf_trained(emb, cents).select(
+        "vec_id", "cluster", (F.col("vec_id") % _PLANT_G).cast("int").alias("grp")
+    )
+    per_cluster = assigned.groupBy("cluster").agg(
+        F.countDistinct("grp").alias("groups_in_cluster")
+    )
+    return (
+        assigned.join(per_cluster, "cluster")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("cluster").alias("clusters_spanned"),
+            F.max("groups_in_cluster").alias("groups_in_cluster"),
+        )
+        .select("grp", "n_members", "clusters_spanned", "groups_in_cluster")
+    )
+
+
+_IVF_PURITY_SQL = f"""
+SELECT CAST(id % {_PLANT_G} AS INT) AS grp,
+       count(*) AS n_members,
+       CAST(1 AS BIGINT) AS clusters_spanned,
+       CAST(1 AS BIGINT) AS groups_in_cluster
+FROM range({_PLANT_N}) t(id)
+GROUP BY 1
+"""
+
+
 # --- LSH: random-hyperplane bucketing (the 100 TB scale path) -----------------
 _N_PLANES = 8
 
@@ -989,19 +1297,57 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine the similarity to that keeper."""
     inv = _trained_inverted_file(spark, sf_dir).select("vec_id", "v", "cluster")
     aug = plant_clones(inv, "vec_id")
-    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cluster")
-    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "cluster")
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+    # EXACT-GROUP COLLAPSE (lossless, the skew armor): vectors with
+    # identical v in a cluster form one group keyed by its min id
+    # (rep). For a target b, the min qualifying neighbor inside any
+    # group g is g's rep when rep < b and NO member of g otherwise
+    # (rep = min of g), and cos(b, any member of g) = cos(b, rep)
+    # exactly (same array). So the pairwise stage runs over GROUP
+    # REPRESENTATIVES only — Σ(distinct vectors per cluster)² instead
+    # of Σ|cluster|² — and an all-identical corpus (the skew fixture's
+    # worst case, one group per cluster) generates ZERO rep pairs
+    # instead of n²/4. Identical output to the member-level self-join,
+    # which the unchanged DuckDB oracle still computes.
+    groups = aug.groupBy("cluster", "v").agg(F.min("vec_id").alias("rep_id"))
+    members = aug.join(groups, ["cluster", "v"]).select("cluster", "vec_id", "v", "rep_id")
+    # within-group candidates: every non-rep member's rep, cosine 1
+    # (identical arrays; the oracle's round(cos, 2) of a same-array
+    # cosine is 1.0 to well beyond float noise)
+    # (zero-norm guard: the member-level join scores identical
+    # zero vectors NaN, which fails the >= 0.9 filter — the shortcut
+    # must exclude them too, not award them cosine 1)
+    within = members.filter(
+        (F.col("vec_id") > F.col("rep_id")) & (_norm(F.col("v")) > 0)
+    ).select(
+        "cluster",
+        "vec_id",
+        F.col("rep_id").alias("cand_id"),
+        F.lit(1.0).alias("cos"),
+    )
+    ga = groups.select("cluster", F.col("rep_id").alias("rep_a"), F.col("v").alias("va"))
+    gb = groups.select("cluster", F.col("rep_id").alias("rep_b"), F.col("v").alias("vb"))
+    gpairs = (
+        ga.join(gb, "cluster")
+        .filter(F.col("rep_a") != F.col("rep_b"))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= 0.9)
+        .select("cluster", "rep_a", "rep_b", "cos")
     )
+    across = (
+        members.join(
+            gpairs,
+            (members["cluster"] == gpairs["cluster"])
+            & (members["rep_id"] == gpairs["rep_b"]),
+        )
+        .filter(F.col("rep_a") < F.col("vec_id"))
+        .select(members["cluster"], "vec_id", F.col("rep_a").alias("cand_id"), "cos")
+    )
+    cands = within.unionByName(across)
     return (
-        pairs.groupBy("cluster", F.col("vec_b").alias("pruned_id"))
+        cands.groupBy("cluster", F.col("vec_id").alias("pruned_id"))
         .agg(
-            F.min("vec_a").alias("kept_id"),
-            F.round(F.min_by("cos", "vec_a"), 2).alias("cosine"),
+            F.min("cand_id").alias("kept_id"),
+            F.round(F.min_by("cos", "cand_id"), 2).alias("cosine"),
         )
         .select("cluster", "pruned_id", "kept_id", "cosine")
     )
@@ -1865,6 +2211,8 @@ QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_label": sim_ivf_label,
     "sim_ivf_kmeans": sim_ivf_kmeans,
+    "sim_ivf_assign": sim_ivf_assign,
+    "sim_ivf_sampled_purity": sim_ivf_sampled_purity,
     "sim_lsh_cosine": sim_lsh_cosine,
     "sim_lsh_recall": sim_lsh_recall,
     "dedup_semantic": dedup_semantic,
@@ -1888,6 +2236,8 @@ ORACLES = {
     "sim_topk_bruteforce": _BRUTE_SQL,
     "sim_ivf_label": _IVF_SQL,
     "sim_ivf_kmeans": _ivf_kmeans_sql(),
+    "sim_ivf_assign": _IVF_ASSIGN_SQL,
+    "sim_ivf_sampled_purity": _IVF_PURITY_SQL,
     "sim_lsh_cosine": _LSH_SQL,
     "sim_lsh_recall": _RECALL_SQL,
 }

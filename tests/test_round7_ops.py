@@ -1,0 +1,193 @@
+"""Round-7 additions: the scale-true IVF trainer
+(train_ivf_kmeans_sampled), the vectorized assignment kernel
+(assign_ivf_trained), and the exact-group collapse inside
+dedup_semantic.
+
+The contract under test (r6 VERDICT item 1): training cost must be
+O(sample) driver work + O(1) Spark jobs — NOT the gate trainer's k-1
+sequential corpus passes — while recovering planted cluster structure
+and agreeing with the BNLJ assignment path at small k.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _planted(spark):
+    from codegraph_spark.queries.similarity import _planted_corpus
+
+    return _planted_corpus(spark)
+
+
+def test_sampled_trainer_job_count_constant_in_k(spark):
+    """The r6 scale-killer was init = k-1 sequential corpus passes
+    (one Spark job per seed). The sampled trainer's only distributed
+    work is the ONE bounded TakeOrdered sample collect — job count
+    must not grow with k."""
+    from codegraph_spark.queries.similarity import train_ivf_kmeans_sampled
+
+    sc = spark.sparkContext
+    emb = _planted(spark)
+
+    def jobs_for(k: int) -> int:
+        group = f"ivf-sampled-k{k}"
+        sc.setJobGroup(group, "trainer job-count probe")
+        try:
+            # fixed sample_cap so the one sample job scans the same
+            # rows for both k values (limit's incremental take varies
+            # with requested rows, not with k) — what's isolated here
+            # is k-dependence: the gate trainer would run k-1 extra
+            # jobs, this one must run the same count at k=8 and k=64
+            cents = train_ivf_kmeans_sampled(emb, k=k, iters=3, sample_cap=2048)
+            assert cents.count() == k  # materialize (createDataFrame is local)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j_small, j_large = jobs_for(8), jobs_for(64)
+    assert j_small == j_large, f"job count grew with k: {j_small} -> {j_large}"
+    assert j_large <= 4, f"training ran {j_large} jobs; expected O(1)"
+
+
+def test_sampled_trainer_recovers_planted_clusters(spark):
+    """Perfect recovery on the 16-orthogonal-group corpus: every
+    planted group lands in exactly one learned cluster, no cluster
+    mixes groups. (The registered gate sim_ivf_sampled_purity pins the
+    same property against the DuckDB spec oracle.)"""
+    from codegraph_spark.queries.similarity import (
+        _PLANT_G,
+        assign_ivf_trained,
+        train_ivf_kmeans_sampled,
+    )
+
+    emb = _planted(spark)
+    cents = train_ivf_kmeans_sampled(emb, k=_PLANT_G, iters=4)
+    rows = (
+        assign_ivf_trained(emb, cents)
+        .select("vec_id", "cluster", (F.col("vec_id") % _PLANT_G).alias("grp"))
+        .collect()
+    )
+    by_grp: dict[int, set] = {}
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], set()).add(r["cluster"])
+        by_cluster.setdefault(r["cluster"], set()).add(r["grp"])
+    assert all(len(cs) == 1 for cs in by_grp.values()), "a planted group split"
+    assert all(len(gs) == 1 for gs in by_cluster.values()), "clusters mixed groups"
+
+
+def test_sampled_trainer_deterministic(spark):
+    from codegraph_spark.queries.similarity import train_ivf_kmeans_sampled
+
+    emb = _planted(spark)
+    a = train_ivf_kmeans_sampled(emb, k=8, iters=3).collect()
+    b = train_ivf_kmeans_sampled(emb, k=8, iters=3).collect()
+    assert [(r["cluster"], r["cv"]) for r in sorted(a, key=lambda r: r["cluster"])] == [
+        (r["cluster"], r["cv"]) for r in sorted(b, key=lambda r: r["cluster"])
+    ]
+
+
+def test_vectorized_assignment_matches_bnlj_path(spark, sf_dir):
+    """assign_ivf_trained (Arrow argmax kernel) and assign_ivf (BNLJ
+    explode + window) are two physical strategies for the same argmax;
+    on the real sf0.001 embeddings with the gate trainer's centroids
+    they must agree per vector."""
+    from codegraph_spark.queries.similarity import (
+        _emb,
+        assign_ivf,
+        assign_ivf_trained,
+        train_ivf_kmeans,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_kmeans(emb, k=8, iters=2)
+    jvm = {r["vec_id"]: r["cluster"] for r in assign_ivf(emb, cents).collect()}
+    arrow = {r["vec_id"]: r["cluster"] for r in assign_ivf_trained(emb, cents).collect()}
+    assert jvm == arrow
+
+
+def test_sampled_trainer_handles_large_k_strided_init(spark):
+    """Past the farthest-point flop budget the trainer must fall back
+    to strided init and still return k usable centroids covering the
+    corpus (k > distinct-points collapses are repaired by the
+    empty-cluster split)."""
+    from codegraph_spark.queries import similarity as sim
+
+    emb = _planted(spark)
+    old = sim._IVF_FP_INIT_BUDGET
+    sim._IVF_FP_INIT_BUDGET = 1  # force the strided branch
+    try:
+        cents = sim.train_ivf_kmeans_sampled(emb, k=sim._PLANT_G, iters=4)
+        assigned = sim.assign_ivf_trained(emb, cents)
+        sizes = assigned.groupBy("cluster").count().collect()
+    finally:
+        sim._IVF_FP_INIT_BUDGET = old
+    assert sum(r["count"] for r in sizes) == 4096
+    # strided init can merge planted groups (documented quality trade);
+    # the shape requirement is no degenerate giant cluster
+    assert max(r["count"] for r in sizes) <= 4096 // 2
+
+
+def test_sampled_trainer_empty_corpus(spark):
+    from codegraph_spark.queries.similarity import (
+        assign_ivf_trained,
+        train_ivf_kmeans_sampled,
+    )
+
+    emb = _planted(spark).filter(F.col("vec_id") < 0)
+    cents = train_ivf_kmeans_sampled(emb, k=8, iters=2)
+    assert cents.count() == 0
+    assert assign_ivf_trained(_planted(spark), cents).count() == 0
+
+
+def test_semantic_dedup_group_collapse_pair_volume(spark):
+    """The exact-group collapse bounds the pairwise stage by DISTINCT
+    vectors per cluster: an all-identical corpus (the skew worst case
+    that used to be n²/4 member pairs) must produce only the linear
+    within-group candidates — every non-minimal id pruned to the
+    global min with cosine 1.0."""
+    from codegraph_spark.queries import similarity as sim
+
+    n = 512
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), t -> CASE WHEN t = 0 THEN 1.0 ELSE 0.25 END)"
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    inv = emb.select(
+        "vec_id", F.col("embedding").alias("v"), F.lit(1).alias("cluster")
+    )
+    aug = sim.plant_clones(inv, "vec_id")
+    n_aug = aug.count()
+    groups = aug.groupBy("cluster", "v").agg(F.min("vec_id").alias("rep_id"))
+    assert groups.count() == 1  # one exact group -> zero rep pairs
+    # drive the registered query end-to-end on a synthetic sf dir
+    import os
+
+    d = "/tmp/r7_allsame_sf"
+    os.makedirs(d, exist_ok=True)
+    emb.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = sim.dedup_semantic(spark, d).collect()
+    assert len(out) == n_aug - 1  # everything pruned to the single keeper
+    assert all(r["kept_id"] == 0 and r["cosine"] == 1.0 for r in out)
+
+
+def test_sampled_trainer_sample_is_bounded(spark):
+    """The sample row count must respect min(256·k, cap) regardless of
+    corpus size — the property that makes training O(1) corpus passes
+    over 100 TB."""
+    from codegraph_spark.queries import similarity as sim
+
+    assert sim._IVF_SAMPLE_PER_CENTROID * 2 <= sim._IVF_SAMPLE_CAP
+    # monkeypatch the cap low and verify the trainer still works
+    old = sim._IVF_SAMPLE_CAP
+    sim._IVF_SAMPLE_CAP = 64
+    try:
+        cents = sim.train_ivf_kmeans_sampled(_planted(spark), k=16, iters=2)
+        assert cents.count() == 16
+    finally:
+        sim._IVF_SAMPLE_CAP = old
