@@ -56,10 +56,15 @@ def _min_label_fixpoint(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def scc_assignments(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """``(id, scc_id)`` for every node that survives the trim (i.e.
-    lies on some cycle); ``scc_id`` = the component's minimum member
-    id. Nodes trimmed away are singleton SCCs by construction and are
-    omitted (callers wanting them can union an anti-join back).
+    """``(id, scc_id)`` for every node that survives the trim —
+    nodes with both in- and out-edges in the trimmed remainder. That
+    superset INCLUDES possible singleton SCCs (a DAG bridge between
+    two components keeps both edge directions yet lies on no cycle,
+    and is emitted with fwd == bwd == itself); callers wanting only
+    cycle members filter components to ``n_members > 1`` as
+    queries/graph_analytics.graph_scc does, or anti-join singletons
+    out. ``scc_id`` = the component's minimum member id. Nodes trimmed
+    away are singleton SCCs by construction and are omitted.
 
     :param nodes: DataFrame with ``id``.
     :param edges: DataFrame with ``src``/``dst`` (directed).

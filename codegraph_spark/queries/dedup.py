@@ -10,7 +10,9 @@ stays in exact int64 range on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codegraph_spark.queries.similarity import (
@@ -1093,8 +1095,10 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape of :func:`text_contamination`: the exact version
     equi-joins train grams against eval grams (data-sized on both
     sides); at scale the eval side compiles into an m-bit Bloom filter
-    (here m = 2¹⁶, k = 3 — a fixed 8 KiB broadcast REGARDLESS of eval
-    size) and the training corpus is scanned ONCE against it. Bloom
+    (here m = 2¹⁶, k = 3 — a PHYSICALLY 8 KiB ``array<long>`` bitset,
+    OR-packed in-engine and embedded in the scan plan as one literal,
+    membership = bit arithmetic in a single projection, REGARDLESS of
+    eval size) and the training corpus is scanned ONCE against it. Bloom
     filters have no false negatives, so nothing contaminated escapes;
     the query also computes the EXACT hits per document so the output
     audits the false-positive overhead the saved shuffle buys
@@ -1115,20 +1119,48 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.lit(a) * F.col("h") + F.lit(b)) % _P) % _BLOOM_M).alias(f"p{j}")
         for j, (a, b) in enumerate(_AB[:_BLOOM_K])
     ]
-    bits = F.broadcast(
-        ev_sh.select(F.explode(F.array(*[c for c in pos_cols])).alias("pos")).distinct()
+    # build the LITERAL m-bit bitset: positions OR-packed into
+    # m/64 longs in-engine (bit_or over word index), the ≤1024-row
+    # result collected once — the filter build — and embedded in the
+    # training scan's plan as ONE array<long> literal. That makes the
+    # "fixed 8 KiB regardless of eval size" claim physical: the scan
+    # checks membership with pure bit arithmetic in a single
+    # projection — no joins, the filter shipped once with the plan
+    # (the previous shape was a ~65k-row broadcast consumed by three
+    # separate semi-joins).
+    words = (
+        ev_sh.select(F.explode(F.array(*[c for c in pos_cols])).alias("pos"))
+        .select(
+            F.expr("CAST(shiftright(pos, 6) AS INT)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
     )
+    packed = [0] * (_BLOOM_M // 64)
+    for r in words:
+        packed[r["word"]] = r["bits"]
+    bitset = F.lit(packed)
     tr = (
         tagged.filter(F.col("source") != _EVAL_SOURCE)
         .select("doc_id", "shingle")
         .withColumn("h", _shingle_hash_spark())
         .select("doc_id", "shingle", *pos_cols)
     )
-    hit = tr
-    for j in range(_BLOOM_K):
-        hit = hit.join(
-            bits.withColumnRenamed("pos", f"p{j}"), f"p{j}", "semi"
+
+    def _member(p: str) -> Column:
+        word = F.element_at(bitset, F.expr(f"CAST(shiftright({p}, 6) AS INT) + 1"))
+        return (
+            word.bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))")
+            )
+            != 0
         )
+
+    hit = tr.filter(
+        reduce(lambda a, b: a & b, [_member(f"p{j}") for j in range(_BLOOM_K)])
+    )
     bloom_per_doc = hit.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits")
     )

@@ -505,7 +505,10 @@ def _ppr_sql(iters: int = 10, damping: float = 0.85) -> str:
     with the teleport/dangling vector restricted to the seed set. The
     restart constant mirrors the operator's PYTHON evaluation order:
     (1.0 - damping) first (embedded via repr), divided by the seed
-    count in-engine — both engines then run the identical IEEE ops."""
+    count in-engine — both engines then run the identical IEEE ops.
+    ``WHERE ns.n > 0`` guards the degenerate empty-seed case so both
+    engines agree on an EMPTY result (the operator early-returns; the
+    oracle must not divide by a zero seed count)."""
     damp = f"CAST({damping!r} AS DOUBLE)"
     restart_num = f"CAST({1.0 - damping!r} AS DOUBLE)"
     ctes = [
@@ -523,7 +526,8 @@ def _ppr_sql(iters: int = 10, damping: float = 0.85) -> str:
         """r0 AS MATERIALIZED (
     SELECT m.id,
            CASE WHEN s.id IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rank
-    FROM members m CROSS JOIN ns LEFT JOIN seeds s ON s.id = m.id)""",
+    FROM members m CROSS JOIN ns LEFT JOIN seeds s ON s.id = m.id
+    WHERE ns.n > 0)""",
     ]
     for i in range(1, iters + 1):
         p = f"r{i - 1}"
@@ -543,7 +547,8 @@ def _ppr_sql(iters: int = 10, damping: float = 0.85) -> str:
                AS rank
     FROM members m CROSS JOIN ns CROSS JOIN d{i} dm
     LEFT JOIN seeds s ON s.id = m.id
-    LEFT JOIN l{i} l ON l.id = m.id)""")
+    LEFT JOIN l{i} l ON l.id = m.id
+    WHERE ns.n > 0)""")
     tail = f"""
 SELECT id, round(rank, 9) AS rank FROM (
     SELECT id, rank FROM r{iters} WHERE rank > 0.0

@@ -404,6 +404,65 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_minhash_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake MinHash dedup under OUT-OF-ORDER delivery (r6 VERDICT
+    item 3 — the Kafka-partition interleave the single-file source
+    never produces): the documents table is split into 6 residue-class
+    files streamed one per micro-batch, so every batch undercuts the
+    previous one's max doc_id — the exact arrival pattern that makes
+    the strict operator raise (tests/test_round7_streaming.py pins
+    that) and used to silently mis-attribute dups. The
+    order-INSENSITIVE operator (streaming/incremental
+    .streaming_bucket_prior_unordered) maintains only the per-bucket
+    running min — a commutative/idempotent merge, so the final state
+    is interleaving-independent — and the dup verdict is taken at
+    drain: prior(doc) = final bucket min when it undercuts doc. Same
+    batch oracle as stream_dedup_minhash: a hash match proves the
+    reordered stream converges to the identical answer."""
+    from codegraph_spark.queries.dedup import minhash_band_structs
+    from codegraph_spark.streaming.incremental import (
+        read_documents_stream_shuffled,
+        streaming_bucket_prior_unordered,
+    )
+
+    docs = read_documents_stream_shuffled(spark, sf_dir)
+    banded = (
+        docs.select("doc_id", minhash_band_structs().alias("bks"))
+        .filter(F.col("bks")[0]["key"].isNotNull())
+        .select("doc_id", F.explode("bks").alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    out = run_available_now(
+        streaming_bucket_prior_unordered(banded),
+        output_mode="update",
+        state_partitions=8,
+    )
+    # rename the keys on the agg side: a self-join of an agg of the
+    # same memory-sink view hits "Conflicting attributes" otherwise
+    finals = (
+        out.groupBy(F.col("band").alias("f_band"), F.col("key").alias("f_key"))
+        .agg(F.min("mn").alias("fmn"))
+    )
+    members = out.select("band", "key", F.explode("docs").alias("doc_id"))
+    pri = members.join(
+        finals,
+        (members["band"] == finals["f_band"]) & (members["key"] == finals["f_key"]),
+    ).select(
+        "doc_id",
+        F.when(F.col("fmn") < F.col("doc_id"), F.col("fmn")).otherwise(F.lit(-1)).alias("prior"),
+    )
+    return (
+        pri.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("prior") >= 0, F.col("prior"))), F.lit(-1)
+            ).alias("dup_of"),
+            F.sum((F.col("prior") >= 0).cast("long")).alias("n_hit_bands"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _stream_minhash_dedup_sql() -> str:
     from codegraph_spark.queries.dedup import (
         _AB,
@@ -509,6 +568,7 @@ from codegraph_spark.queries.events import _CUSUM_SQL as _STREAM_CUSUM_SQL  # no
 
 QUERIES = {
     "stream_dedup_minhash": stream_dedup_minhash,
+    "stream_dedup_minhash_ooo": stream_dedup_minhash_ooo,
     "stream_transition_matrix": stream_transition_matrix,
     "stream_cusum_drift": stream_cusum_drift,
     "stream_cms_topk": stream_cms_topk,
@@ -523,6 +583,7 @@ QUERIES = {
 }
 ORACLES = {
     "stream_dedup_minhash": _stream_minhash_dedup_sql(),
+    "stream_dedup_minhash_ooo": _stream_minhash_dedup_sql(),
     "stream_transition_matrix": _STREAM_TRANSITION_SQL,
     "stream_cusum_drift": _STREAM_CUSUM_SQL,
     "stream_cms_topk": _STREAM_CMS_SQL,

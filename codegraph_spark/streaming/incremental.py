@@ -346,23 +346,74 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read_table_stream(spark, sf_dir, "documents")
 
 
+def read_documents_stream_shuffled(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """Documents stream whose micro-batches INTERLEAVE doc_id ranges —
+    the Kafka-partition arrival pattern the single-file source never
+    produces. The table is split into ``n_files`` residue classes
+    (file i holds doc_id % n == n-1-i, so every batch contains ids
+    both above and below every other batch's) with forced ascending
+    modification times, and streamed with maxFilesPerTrigger=1:
+    n_files micro-batches, each guaranteed to undercut the previous
+    one's max doc_id. Deterministic; the split is cached per
+    (sf_dir, n_files) under /tmp and rebuilt only when absent."""
+    import hashlib
+
+    from codegraph_spark.sources.tables import load_table
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_files}".encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "spark_graft_ooo", tag)
+    done = os.path.join(out_dir, "_DONE")
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        import glob
+        import shutil
+
+        for i in range(n_files):
+            part_dir = os.path.join(out_dir, f"_part{i}")
+            docs.filter(F.col("doc_id") % n_files == (n_files - 1 - i)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(part_dir)
+            src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            dst = os.path.join(out_dir, f"{i:02d}.parquet")
+            shutil.move(src, dst)
+            shutil.rmtree(part_dir)
+            # fixed mtimes pin the file-source order deterministically
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out_dir)
+    )
+
+
 BUCKET_PRIOR_SCHEMA = "doc_id long, band int, prior long"
-BUCKET_PRIOR_STATE_SCHEMA = "mn long"
+BUCKET_PRIOR_STATE_SCHEMA = "mn long, mx long"
 
 
 def streaming_bucket_prior(banded: DataFrame) -> DataFrame:
     """Per-LSH-bucket EARLIEST-MEMBER tracking across micro-batches
     (custom stateful operator #6, the intake half of streaming MinHash
-    dedup): state = the min doc_id ever seen in each (band, key)
-    bucket — ONE int64 per bucket at any corpus size. Each arriving
+    dedup): state = the (min, max) doc_id ever seen in each (band, key)
+    bucket — two int64 per bucket at any corpus size. Each arriving
     (doc_id, band, key) row emits the bucket's prior minimum at its
     arrival (-1 when it opens the bucket), so a document is an intake
     duplicate exactly when any of its bands emits prior ≥ 0. Rows
     within a batch are walked in doc_id order; across batches the
-    operator relies on the file source's in-order delivery (the
+    operator REQUIRES the file source's in-order delivery (the
     streaming_transitions contract), which makes the drained result
     equal the batch min-smaller-id-per-bucket oracle however the
-    input splits."""
+    input splits. The contract is ENFORCED, not assumed: a batch whose
+    smallest doc_id undercuts the bucket's max already seen arrived
+    out of order, and the operator raises rather than silently
+    emitting wrong dup attributions (prior = -1 misses). Sources that
+    genuinely interleave (Kafka partitions) use the order-insensitive
+    :func:`streaming_bucket_prior_unordered` instead."""
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -370,17 +421,27 @@ def streaming_bucket_prior(banded: DataFrame) -> DataFrame:
         frames = list(pdfs)
         pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
         pdf = pdf.sort_values("doc_id")
-        cur = state.get[0] if state.exists else None
+        cur, mx = state.get if state.exists else (None, None)
+        first = int(pdf["doc_id"].iloc[0])
+        if mx is not None and first < mx:
+            raise ValueError(
+                "streaming_bucket_prior: out-of-order delivery — batch "
+                f"opens at doc_id {first} but bucket {tuple(key)} already "
+                f"saw doc_id {mx}. This operator's in-order contract is "
+                "violated; use streaming_bucket_prior_unordered for "
+                "interleaved sources."
+            )
         out_doc, out_band, out_prior = [], [], []
         for doc, band in zip(pdf["doc_id"], pdf["band"]):
             doc = int(doc)
             out_doc.append(doc)
             out_band.append(int(band))
-            # guard prior < doc: intake semantics even if arrival order
-            # ever diverged from id order
+            # guard prior < doc: intake semantics even if id order
+            # diverges from arrival order WITHIN the sorted batch
             out_prior.append(cur if (cur is not None and cur < doc) else -1)
             cur = doc if cur is None or doc < cur else cur
-        state.update((int(cur),))
+        last = int(pdf["doc_id"].iloc[-1])
+        state.update((int(cur), last if mx is None or last > mx else int(mx)))
         yield pd.DataFrame(
             {"doc_id": out_doc, "band": out_band, "prior": out_prior}
         )
@@ -391,6 +452,58 @@ def streaming_bucket_prior(banded: DataFrame) -> DataFrame:
         update,
         outputStructType=BUCKET_PRIOR_SCHEMA,
         stateStructType=BUCKET_PRIOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BUCKET_MIN_SCHEMA = "band int, key string, mn long, seq long, docs array<long>"
+BUCKET_MIN_STATE_SCHEMA = "mn long, seq long"
+
+
+def streaming_bucket_prior_unordered(banded: DataFrame) -> DataFrame:
+    """ORDER-INSENSITIVE intake dedup (the Kafka-partition reality at
+    100 TB, r6 VERDICT item 3): per (band, key) bucket, maintain only
+    the running MIN doc_id — min is commutative and idempotent (a
+    CRDT), so the final state is identical under ANY arrival
+    interleaving, with the same two-longs-per-bucket state bound as
+    the strict operator. Each invocation emits one row: the bucket's
+    current min, an invocation seq, and the batch's arriving doc_ids.
+    The verdict is assigned AT DRAIN (prior(doc) = final bucket min if
+    it undercuts doc, else -1) rather than at arrival — the honest
+    trade: the strict operator gives per-arrival verdicts but demands
+    in-order delivery; this one gives drain-time (eventually
+    consistent) verdicts under arbitrary reordering. Both hash-match
+    the same batch min-smaller-id-per-bucket oracle
+    (stream_dedup_minhash vs stream_dedup_minhash_ooo)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        docs = [int(d) for d in pdf["doc_id"]]
+        mn, seq = state.get if state.exists else (None, 0)
+        batch_min = min(docs)
+        mn = batch_min if mn is None or batch_min < mn else int(mn)
+        seq = int(seq) + 1
+        state.update((mn, seq))
+        yield pd.DataFrame(
+            {
+                "band": [int(key[0])],
+                "key": [str(key[1])],
+                "mn": [mn],
+                "seq": [seq],
+                "docs": [docs],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        update,
+        outputStructType=BUCKET_MIN_SCHEMA,
+        stateStructType=BUCKET_MIN_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -407,8 +520,10 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
     (ts, event_id, type) — O(1) per user at any volume — carried so the
     first event of batch N+1 pairs with the last event of batch N.
     Rows within a batch are sorted per user by (ts, event_id) before
-    pairing; across batches the operator relies on the file source's
-    in-order delivery (the same contract streaming_asof documents).
+    pairing; across batches the operator REQUIRES the file source's
+    in-order delivery (the same contract streaming_asof documents) and
+    ENFORCES it — a batch that opens below the carried (ts, event_id)
+    raises instead of silently miscounting adjacencies.
     Emits the batch's (from_type, to_type) increment counts; the drain
     aggregation sums them, and the batch probability tail
     (queries/events.transition_probabilities) runs over the totals —
@@ -423,7 +538,18 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         types = [str(t) for t in pdf["event_type"]]
         if state.exists:
-            _, _, last_type = state.get
+            last_ts, last_eid, last_type = state.get
+            first = pdf.iloc[0]
+            first_key = (int(pd.Timestamp(first["ts"]).value // 1000), int(first["event_id"]))
+            if first_key < (int(last_ts), int(last_eid)):
+                # in-order contract enforced, not assumed: a late batch
+                # would silently miscount adjacencies — fail loudly
+                raise ValueError(
+                    "streaming_transitions: out-of-order delivery — batch "
+                    f"for user {key[0]} opens at (ts_us, event_id)="
+                    f"{first_key} but state already advanced to "
+                    f"({int(last_ts)}, {int(last_eid)})."
+                )
             types = [str(last_type)] + types
         last = pdf.iloc[-1]
         state.update(
