@@ -148,6 +148,17 @@ def _decode_payload(payload: bytes, codec: str):
         width, height = struct.unpack(">II", payload[:8])
         body = np.frombuffer(payload, dtype=np.uint8, offset=8)
         return width, height, body
+    if codec == "png":
+        # the pure-stdlib baseline decoder runs AHEAD of the Pillow
+        # probe (operators/png_stdlib.py), so one real format decodes
+        # in this dependency-free container; unsupported variants
+        # (16-bit, Adam7) fall through to the optional Pillow path.
+        from codegraph_spark.operators.png_stdlib import decode_png_gray
+
+        try:
+            return decode_png_gray(bytes(payload))
+        except NotImplementedError:
+            pass
     if codec in PIL_CODECS:
         Image = _pil_image_module()
         if Image is not None:
