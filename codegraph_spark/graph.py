@@ -89,6 +89,12 @@ class PropertyGraph:
         # per-label indexes — label-filtered scans prune partitions.
         self.nodes.write.mode(mode).partitionBy("label").parquet(nodes_path)
         self.edges.write.mode(mode).partitionBy("type").parquet(edges_path)
+        # serving contract (serving.py): any in-session rewrite of a
+        # dir must drop caches built over it
+        from codegraph_spark import serving
+
+        serving.invalidate(nodes_path)
+        serving.invalidate(edges_path)
 
     def write_bucketed(self, prefix: str = "codegraph", buckets: int = 32) -> None:
         """Persist as BUCKETED tables so graph-pattern joins co-locate.

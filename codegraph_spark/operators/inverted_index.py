@@ -75,6 +75,9 @@ def write_index(index: DataFrame, path: str) -> None:
     by gram instead (``bucketBy`` + ``saveAsTable``) for shuffle-free
     posting-list joins."""
     index.sortWithinPartitions("gram").write.mode("overwrite").parquet(path)
+    from codegraph_spark import serving
+
+    serving.invalidate(path)  # serving contract: rewrite drops caches over the dir
 
 
 def load_index(spark, path: str) -> DataFrame:

@@ -60,6 +60,9 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+    from codegraph_spark import serving
+
+    serving.invalidate(path)  # serving contract: rewrite drops caches over the dir
 
 
 def files_containing_matches(df: DataFrame) -> int:

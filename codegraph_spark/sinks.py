@@ -121,4 +121,8 @@ def write_webdataset(
         .applyInPandas(write_shard, schema=MANIFEST_SCHEMA)
     )
     # materialize NOW: the sink's contract is "files exist on return"
-    return manifest.orderBy("shard").localCheckpoint(eager=True)
+    out = manifest.orderBy("shard").localCheckpoint(eager=True)
+    from codegraph_spark import serving
+
+    serving.invalidate(out_dir)  # serving contract: rewrite drops caches over the dir
+    return out

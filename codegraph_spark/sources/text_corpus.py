@@ -41,6 +41,9 @@ DOC_SCHEMA = T.StructType(
 def write_documents_jsonl(docs: DataFrame, path: str, *, n_files: int = 4) -> None:
     """JSONL drop of a documents frame (one JSON object per line)."""
     docs.repartition(n_files).write.mode("overwrite").json(path)
+    from codegraph_spark import serving
+
+    serving.invalidate(path)  # serving contract: rewrite drops caches over the dir
 
 
 def write_documents_csv(docs: DataFrame, path: str, *, n_files: int = 4) -> None:
@@ -52,6 +55,9 @@ def write_documents_csv(docs: DataFrame, path: str, *, n_files: int = 4) -> None
         .option("escape", '"')
         .csv(path)
     )
+    from codegraph_spark import serving
+
+    serving.invalidate(path)  # serving contract: rewrite drops caches over the dir
 
 
 def read_documents_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

@@ -161,6 +161,11 @@ def incremental_graph_ingest(
         merged.count()  # materialize before overwriting the source
         merged.write.mode("overwrite").parquet(table_dir)
         merged.unpersist()
+        # serving contract (serving.py): each per-batch rewrite of the
+        # table dir drops caches built over it
+        from codegraph_spark import serving
+
+        serving.invalidate(table_dir)
 
     q = (
         node_stream.writeStream.foreachBatch(upsert_batch)
