@@ -44,6 +44,7 @@ SKEW_SET = [
     "text_lm_score",
     "sim_lsh_cosine",
     "dedup_semantic",
+    "sim_ivf_pq",
     "sim_lsh_recall",
     "emb_quantize_int8",
     "emb_alignment_audit",

@@ -96,6 +96,10 @@ AUDIT = [
     "corpus_quality_calibration",
     "stream_dedup_minhash",
     "text_contamination_bloom",
+    "sim_ivf_assign",
+    "sim_ivf_sampled_purity",
+    "stream_dedup_minhash_ooo",
+    "mm_png_roundtrip",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")
