@@ -116,6 +116,7 @@ _REVERIFY: dict[str, int] = {
     "sim_ivf_sampled_purity": 7,  # round 7: new (sampled-trainer recovery gate)
     "stream_dedup_minhash_ooo": 7,  # round 7: new (order-insensitive intake dedup)
     "mm_png_roundtrip": 7,          # round 7: new (stdlib real-PNG codec gate)
+    "stream_transitions_ooo": 7,    # round 7: new (reorder-buffered transitions)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

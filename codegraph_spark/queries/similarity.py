@@ -1273,16 +1273,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale contract — k TRACKS CORPUS SIZE, it is not a constant: at
     fixed k, n²/k is still quadratic (the 10× probe measures ~21×,
-    SCALE.md), so the production setting is k ≈ n / occupancy — the
-    whole train/assign path is already k-parametric
-    (``train_ivf_kmeans(emb, k)``), which holds Σ|cluster|² at
-    ~occupancy·n, LINEAR in n (SemDeDup itself trains 50k clusters
-    on embedding corpora for exactly this reason;
-    tests/test_similarity.py pins per-row pair volume bounded under
-    adaptive k). The oracle gate runs fixed k=8 because the unrolled
-    seeding CTEs are structural in k — the gate verifies the
-    algorithm; the k policy is the documented 100 TB swap, same
-    pattern as vocab_top_df's approx_count_distinct.
+    SCALE.md), so the production setting is k ≈ n / occupancy, which
+    holds Σ|cluster|² at ~occupancy·n, LINEAR in n (SemDeDup itself
+    trains 50k clusters on embedding corpora for exactly this
+    reason). Since round 7 that setting is RUNNABLE, not just stated:
+    :func:`train_ivf_kmeans_sampled` trains at any k in O(1) Spark
+    jobs (bounded md5-ordered sample + driver-side chunked Lloyd) and
+    :func:`assign_ivf_trained` assigns the corpus in one Arrow-argmax
+    pass — SCALE.md's adaptive-k probe measures the full path at
+    n=2^20, k=2048: wall time 4.6× across 8× data, pairs-per-row flat
+    at occupancy/2. The oracle gate runs fixed k=8 with the exact
+    unrolled-CTE trainer because the seeding CTEs are structural in
+    k — the gate verifies the algorithm; the k policy is the
+    documented 100 TB swap, same pattern as vocab_top_df's
+    approx_count_distinct.
+
+    Skew armor: vectors with IDENTICAL embeddings collapse to one
+    group representative before the pair join (see the in-body
+    comment), so the candidate stage is quadratic only in DISTINCT
+    vectors per cluster — an all-duplicates corpus generates zero rep
+    pairs.
 
     The synthetic embeddings are random (max natural within-cluster
     cosine ≈0.47 at sf0.01), so the corpus is augmented with the same

@@ -561,6 +561,44 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_probabilities(pairs)
 
 
+def stream_transitions_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transition matrix under BOUNDED-DISORDER delivery (r6
+    VERDICT item 3b): the events table arrives as adjacent-SWAPPED
+    time slices (every second micro-batch's timestamps go backwards —
+    the stream the strict operator rejects by raising, pinned in
+    tests/test_round7_streaming.py), and the reorder-buffered operator
+    (streaming/incremental.streaming_transitions_buffered) holds each
+    user's rows until max event time advances past the measured
+    disorder horizon before pairing. A final punctuation file (one
+    __flush__ row per user) drains the tails at end-of-stream. Same
+    batch oracle as stream_transition_matrix: a hash match proves the
+    buffered pairing reconstructs every adjacency exactly once under
+    reordering the in-order operator cannot survive."""
+    from codegraph_spark.queries.events import transition_probabilities
+    from codegraph_spark.streaming.incremental import (
+        prepare_reordered_events,
+        streaming_transitions_buffered,
+    )
+
+    src_dir, horizon_us = prepare_reordered_events(spark, sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+    )
+    out = run_available_now(
+        streaming_transitions_buffered(stream, horizon_us),
+        output_mode="update",
+        state_partitions=8,
+    )
+    pairs = out.groupBy("from_type", "to_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_trans")
+    )
+    return transition_probabilities(pairs)
+
+
 from codegraph_spark.queries.events import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
 from codegraph_spark.queries.events import _KMV_SQL as _STREAM_KMV_SQL  # noqa: E402
 from codegraph_spark.queries.events import _TRANSITION_SQL as _STREAM_TRANSITION_SQL  # noqa: E402
@@ -570,6 +608,7 @@ QUERIES = {
     "stream_dedup_minhash": stream_dedup_minhash,
     "stream_dedup_minhash_ooo": stream_dedup_minhash_ooo,
     "stream_transition_matrix": stream_transition_matrix,
+    "stream_transitions_ooo": stream_transitions_ooo,
     "stream_cusum_drift": stream_cusum_drift,
     "stream_cms_topk": stream_cms_topk,
     "stream_kmv_distinct": stream_kmv_distinct,
@@ -585,6 +624,7 @@ ORACLES = {
     "stream_dedup_minhash": _stream_minhash_dedup_sql(),
     "stream_dedup_minhash_ooo": _stream_minhash_dedup_sql(),
     "stream_transition_matrix": _STREAM_TRANSITION_SQL,
+    "stream_transitions_ooo": _STREAM_TRANSITION_SQL,
     "stream_cusum_drift": _STREAM_CUSUM_SQL,
     "stream_cms_topk": _STREAM_CMS_SQL,
     "stream_kmv_distinct": _STREAM_KMV_SQL,

@@ -592,6 +592,190 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def prepare_reordered_events(
+    spark: SparkSession, sf_dir: str, n_slices: int = 6
+) -> tuple[str, int]:
+    """Bounded-disorder events source for the reorder-buffer gate:
+    the events table is cut into ``n_slices`` equal-count time slices
+    and the files of each adjacent pair are SWAPPED (arrival order
+    s1,s0,s3,s2,...), so cross-batch timestamps go backwards — the
+    strict operator raises on this stream — while disorder stays
+    bounded by one pair's time span. Returns (dir, horizon_us) where
+    horizon_us = the max swapped-pair span + 1: the exact contract
+    under which the buffered operator equals the batch oracle.
+    Harness machinery for the gate (the production knob is just the
+    horizon); cached per (sf_dir, n_slices) under /tmp."""
+    import glob
+    import hashlib
+    import json
+    import shutil
+
+    from pyspark.sql import Window
+
+    from codegraph_spark.sources.tables import load_table
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|ev|{n_slices}".encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "spark_graft_ooo", tag)
+    meta_path = os.path.join(out_dir, "_META.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return out_dir, int(json.load(f)["horizon_us"])
+    os.makedirs(out_dir, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    sliced = ev.withColumn("_slice", F.ntile(n_slices).over(w) - 1).persist()
+    bounds = {
+        r["_slice"]: (r["mn"], r["mx"])
+        for r in sliced.groupBy("_slice")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .collect()
+    }
+    # arrival order: swap each adjacent pair
+    order = []
+    for i in range(0, n_slices, 2):
+        pair = [i + 1, i] if i + 1 < n_slices else [i]
+        order.extend(pair)
+    horizon_us = 1
+    for i in range(0, n_slices - 1, 2):
+        span = int(
+            (bounds[i + 1][1] - bounds[i][0]).total_seconds() * 1_000_000
+        )
+        horizon_us = max(horizon_us, span + 1)
+    for pos, s in enumerate(order):
+        part = os.path.join(out_dir, f"_p{s}")
+        sliced.filter(F.col("_slice") == s).drop("_slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        src = glob.glob(os.path.join(part, "part-*.parquet"))[0]
+        dst = os.path.join(out_dir, f"{pos:02d}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(part)
+        os.utime(dst, (1_000_000_000 + pos, 1_000_000_000 + pos))
+    # final punctuation file: one flush row per user, mtime-last
+    flush = (
+        ev.select("user_id")
+        .distinct()
+        .select(F.lit(-1).cast("long").alias("event_id"), "user_id")
+        .crossJoin(F.broadcast(ev.agg(F.max("ts").alias("_mx"))))
+        .select(
+            "event_id",
+            (F.col("_mx") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            "user_id",
+            F.lit(FLUSH_TYPE).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast(dict(ev.dtypes)["props"]).alias("props"),
+        )
+    )
+    part = os.path.join(out_dir, "_pflush")
+    flush.coalesce(1).write.mode("overwrite").parquet(part)
+    src = glob.glob(os.path.join(part, "part-*.parquet"))[0]
+    dst = os.path.join(out_dir, f"{n_slices:02d}_flush.parquet")
+    shutil.move(src, dst)
+    shutil.rmtree(part)
+    os.utime(dst, (1_000_000_000 + n_slices, 1_000_000_000 + n_slices))
+    sliced.unpersist()
+    with open(meta_path, "w") as f:
+        json.dump({"horizon_us": horizon_us}, f)
+    return out_dir, horizon_us
+
+
+#: punctuation row marker for the reorder-buffered operators: a flush
+#: row per key drains that key's buffer at end-of-stream (the
+#: Kafka-world punctuation pattern; availableNow has no further
+#: trigger to fire an event-time timeout on).
+FLUSH_TYPE = "__flush__"
+
+TRANS_BUF_STATE_SCHEMA = (
+    "ts array<long>, eid array<long>, typ array<string>, "
+    "last_ts long, last_eid long, last_type string, max_ts long"
+)
+
+
+def streaming_transitions_buffered(events: DataFrame, horizon_us: int) -> DataFrame:
+    """Transition counting under BOUNDED-DISORDER delivery (r6 VERDICT
+    item 3b — the Kafka-partition reality the strict
+    :func:`streaming_transitions` rejects by raising): a per-user
+    reorder buffer holds arriving events and only pairs-and-emits a
+    row once the user's max event time has advanced ``horizon_us``
+    past it — at that point no future arrival can sort before it, so
+    the emitted adjacency stream equals the fully-sorted one whenever
+    actual disorder ≤ horizon. State per user = the rows inside the
+    horizon window (bounded by rate × horizon, the standard reorder-
+    buffer bound) + the last emitted event. Rows with event_type =
+    :data:`FLUSH_TYPE` are PUNCTUATION: they drain the key's buffer
+    unconditionally (and are never counted) — the end-of-stream flush
+    an availableNow drain needs because no later micro-batch would
+    otherwise push max_ts past the tail rows' horizon."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        is_flush = pdf["event_type"] == FLUSH_TYPE
+        flush = bool(is_flush.any())
+        data = pdf[~is_flush]
+        if state.exists:
+            b_ts, b_eid, b_typ, last_ts, last_eid, last_type, max_ts = state.get
+            buf = list(zip(b_ts, b_eid, b_typ))
+        else:
+            buf, last_type, max_ts = [], None, None
+            last_ts = last_eid = None
+        for ts, eid, typ in zip(data["ts"], data["event_id"], data["event_type"]):
+            t = int(pd.Timestamp(ts).value // 1000)
+            buf.append((t, int(eid), str(typ)))
+            max_ts = t if max_ts is None or t > max_ts else max_ts
+        buf.sort()
+        cutoff = None if max_ts is None else max_ts - int(horizon_us)
+        n_ready = len(buf) if flush else 0
+        if not flush and cutoff is not None:
+            while n_ready < len(buf) and buf[n_ready][0] <= cutoff:
+                n_ready += 1
+        ready, buf = buf[:n_ready], buf[n_ready:]
+        types = [t for _, _, t in ready]
+        if last_type is not None:
+            types = [str(last_type)] + types
+        if ready:
+            last_ts, last_eid, last_type = ready[-1]
+        state.update(
+            (
+                [t for t, _, _ in buf],
+                [e for _, e, _ in buf],
+                [y for _, _, y in buf],
+                last_ts,
+                last_eid,
+                last_type,
+                max_ts,
+            )
+        )
+        counts: dict[tuple, int] = {}
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame(
+                {
+                    "from_type": [a for a, _ in ks],
+                    "to_type": [b for _, b in ks],
+                    "cnt": [counts[k] for k in ks],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TRANS_SCHEMA,
+            stateStructType=TRANS_BUF_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 KMV_SCHEMA = "event_type string, hk long, n_kept long"
 KMV_STATE_SCHEMA = "hs array<long>"
 

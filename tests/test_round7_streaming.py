@@ -251,3 +251,84 @@ def test_in_order_multi_batch_still_passes_strict_ops(spark, tmp_path):
         by_doc.setdefault(r["doc_id"], []).append(r["prior"])
     assert sorted(by_doc[3]) == [1, 1, 1, 1]
     assert all(p == -1 for p in by_doc[1])
+
+
+def test_buffered_transitions_equal_sorted_pairing_under_bounded_disorder(
+    spark, tmp_path
+):
+    """The reorder buffer must reconstruct the fully-sorted adjacency
+    stream when disorder ≤ horizon: time slices arrive adjacent-swapped
+    (ts goes backwards across batches — the strict operator raises on
+    this), a final __flush__ punctuation row drains the tail."""
+    import datetime as dt
+
+    from codegraph_spark.streaming.incremental import (
+        FLUSH_TYPE,
+        run_available_now,
+        streaming_transitions_buffered,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    # sorted truth for user 1: A(1) B(2) C(3) D(4) E(5) F(6)
+    src = _write_parts(
+        spark,
+        tmp_path,
+        "buftrans",
+        [
+            [(3, 1, "C", t(3)), (4, 1, "D", t(4))],   # slice 2 first
+            [(1, 1, "A", t(1)), (2, 1, "B", t(2))],   # slice 1 late
+            [(5, 1, "E", t(5)), (6, 1, "F", t(6))],
+            [(-1, 1, FLUSH_TYPE, t(59))],             # punctuation
+        ],
+        schema,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    horizon_us = 4_000_000  # disorder here spans 4s (ts 4 seen before ts 1)
+    out = run_available_now(
+        streaming_transitions_buffered(stream, horizon_us), output_mode="update"
+    )
+    got: dict[tuple, int] = {}
+    for r in out.collect():
+        k = (r["from_type"], r["to_type"])
+        got[k] = got.get(k, 0) + r["cnt"]
+    assert got == {
+        ("A", "B"): 1, ("B", "C"): 1, ("C", "D"): 1, ("D", "E"): 1, ("E", "F"): 1
+    }
+
+
+def test_buffered_transitions_flush_rows_never_counted(spark, tmp_path):
+    import datetime as dt
+
+    from codegraph_spark.streaming.incremental import (
+        FLUSH_TYPE,
+        run_available_now,
+        streaming_transitions_buffered,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    src = _write_parts(
+        spark,
+        tmp_path,
+        "flushonly",
+        [
+            [(1, 1, "A", t(1)), (2, 1, "B", t(2))],
+            [(-1, 1, FLUSH_TYPE, t(59)), (-1, 2, FLUSH_TYPE, t(59))],
+        ],
+        schema,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    out = run_available_now(
+        streaming_transitions_buffered(stream, 10_000_000), output_mode="update"
+    )
+    got = {(r["from_type"], r["to_type"]): r["cnt"] for r in out.collect()}
+    assert got == {("A", "B"): 1}  # no *->__flush__ pair, user 2 silent

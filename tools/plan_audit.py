@@ -99,6 +99,7 @@ AUDIT = [
     "sim_ivf_assign",
     "sim_ivf_sampled_purity",
     "stream_dedup_minhash_ooo",
+    "stream_transitions_ooo",
     "mm_png_roundtrip",
 ]
 
