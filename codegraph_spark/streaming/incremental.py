@@ -635,12 +635,15 @@ def prepare_reordered_events(
     for i in range(0, n_slices, 2):
         pair = [i + 1, i] if i + 1 < n_slices else [i]
         order.extend(pair)
+    # empty corpus: ntile emits no slices — write the (empty) slice
+    # files anyway so the stream has a source, horizon degenerate
     horizon_us = 1
     for i in range(0, n_slices - 1, 2):
-        span = int(
-            (bounds[i + 1][1] - bounds[i][0]).total_seconds() * 1_000_000
-        )
-        horizon_us = max(horizon_us, span + 1)
+        if i in bounds and i + 1 in bounds:
+            span = int(
+                (bounds[i + 1][1] - bounds[i][0]).total_seconds() * 1_000_000
+            )
+            horizon_us = max(horizon_us, span + 1)
     for pos, s in enumerate(order):
         part = os.path.join(out_dir, f"_p{s}")
         sliced.filter(F.col("_slice") == s).drop("_slice").coalesce(1).write.mode(
