@@ -145,3 +145,33 @@ def test_real_png_through_image_kernels_no_skip(spark):
         got_raw = {r["doc_id"]: r.asDict() for r in kernel(imgs_raw).collect()}
         assert got_png == got_raw
         assert len(got_png) == 6
+
+
+# --- property: decode(encode(x)) == x for arbitrary images/filters ----------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+        channels=st.sampled_from([1, 3]),
+    )
+    def test_roundtrip_property(w, h, seed, filters, channels):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=w * h * channels, dtype=np.uint8)
+        dw, dh, out = decode_png_gray(
+            encode_png(px, w, h, channels=channels, filters=filters)
+        )
+        assert (dw, dh) == (w, h)
+        if channels == 1:
+            assert np.array_equal(out, px)
+        else:
+            p = px.reshape(h, w, 3).astype(np.uint32)
+            luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+            assert np.array_equal(out, luma.reshape(-1).astype(np.uint8))
+except ImportError:  # hypothesis is in the image, but stay import-safe
+    pass

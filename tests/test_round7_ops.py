@@ -191,3 +191,55 @@ def test_sampled_trainer_sample_is_bounded(spark):
         assert cents.count() == 16
     finally:
         sim._IVF_SAMPLE_CAP = old
+
+
+def test_two_level_assignment_exact_on_separated_corpus(spark):
+    """On a separated corpus the probed cells contain the true nearest
+    centroid: two-level must equal the single-level argmax exactly."""
+    from codegraph_spark.queries.similarity import (
+        _PLANT_G,
+        assign_ivf_trained,
+        assign_ivf_two_level,
+        train_ivf_kmeans_sampled,
+    )
+
+    emb = _planted(spark)
+    cents = train_ivf_kmeans_sampled(emb, k=_PLANT_G, iters=4)
+    one = {r["vec_id"]: r["cluster"] for r in assign_ivf_trained(emb, cents).collect()}
+    two = {r["vec_id"]: r["cluster"] for r in assign_ivf_two_level(emb, cents).collect()}
+    assert one == two
+
+
+def test_two_level_assignment_monotone_and_exact_at_exhaustive_probe(spark):
+    """Isotropic corpus = coarse quantization's worst case. Pins:
+    (a) n_probe = outer_k (exhaustive) == single-level exactly — the
+    cell-block bookkeeping introduces no error of its own;
+    (b) agreement is monotone in n_probe and already majority at 2/8."""
+    from pyspark.sql import functions as F
+
+    from codegraph_spark.queries.similarity import (
+        assign_ivf_trained,
+        assign_ivf_two_level,
+        train_ivf_kmeans_sampled,
+    )
+
+    iso = spark.range(4096).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 31), d -> (pmod(hash(id * 32 + d), 1000) - 500) / 1000.0)"
+        ).alias("v"),
+    )
+    cents = train_ivf_kmeans_sampled(iso, k=64, iters=4)
+    exact = {r["vec_id"]: r["cluster"] for r in assign_ivf_trained(iso, cents).collect()}
+
+    def agree(n_probe):
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_ivf_two_level(iso, cents, n_probe=n_probe).collect()
+        }
+        return sum(exact[k] == got[k] for k in exact) / len(exact)
+
+    a2, a4, a8 = agree(2), agree(4), agree(8)  # outer_k = sqrt(64) = 8
+    assert a8 == 1.0
+    assert a2 <= a4 <= a8
+    assert a2 > 0.5
