@@ -167,6 +167,8 @@ def encode_png(pixels, width: int, height: int, channels: int = 1, filters=None)
     import numpy as np
 
     ctype = {1: 0, 3: 2}[channels]
+    if isinstance(pixels, (bytes, bytearray)):
+        pixels = np.frombuffer(pixels, dtype=np.uint8)
     px = np.asarray(pixels, dtype=np.uint8).reshape(height, width * channels)
     raw = bytearray()
     prev = np.zeros(width * channels, dtype=np.int32)

@@ -192,8 +192,29 @@ def test_pil_codec_message_names_the_dependency():
         _pytest.skip("Pillow installed: decode path covered below")
     from codegraph_spark.operators.multimodal import _decode_payload
 
+    # jpeg still needs Pillow (png decodes via the stdlib codec since r7)
     with _pytest.raises(NotImplementedError, match="Pillow"):
-        _decode_payload(b"\x89PNG\r\n", "png")
+        _decode_payload(b"\xff\xd8\xff\xe0", "jpeg")
+    # an out-of-envelope PNG (16-bit) falls THROUGH the stdlib decoder
+    # to the same dependency message
+    import struct
+    import zlib
+
+    from codegraph_spark.operators.png_stdlib import _SIG, _chunk
+
+    deep = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        _decode_payload(deep, "png")
+    # a baseline PNG, by contrast, decodes with no Pillow at all
+    from codegraph_spark.operators.png_stdlib import encode_png
+
+    w, h, px = _decode_payload(encode_png(bytes(range(12)), 4, 3), "png")
+    assert (w, h) == (4, 3) and list(px) == list(range(12))
 
 
 def test_pil_decode_real_png():
