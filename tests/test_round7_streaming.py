@@ -332,3 +332,40 @@ def test_buffered_transitions_flush_rows_never_counted(spark, tmp_path):
     )
     got = {(r["from_type"], r["to_type"]): r["cnt"] for r in out.collect()}
     assert got == {("A", "B"): 1}  # no *->__flush__ pair, user 2 silent
+
+
+def test_single_pass_signature_equals_per_permutation_form(spark):
+    """minhash_mins_column (one aggregate pass, md5 once per shingle)
+    must produce band keys bit-identical to minhash_band_structs (16
+    separate array_min trees) — the r7 hot-path rewrite is a physical
+    change only."""
+    from codegraph_spark.queries.dedup import (
+        band_structs_from_mins,
+        minhash_band_structs,
+        minhash_mins_column,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about spark shuffle behavior"),
+            (3, "short"),  # zero shingles -> NULL keys on every band
+            (4, "the quick brown fox jumps over the lazy dog again and again"),
+        ],
+        "doc_id long, text string",
+    )
+    old = {
+        (r["doc_id"], r["bk"]["band"]): r["bk"]["key"]
+        for r in docs.select(
+            "doc_id", F.explode(minhash_band_structs()).alias("bk")
+        ).collect()
+    }
+    new = {
+        (r["doc_id"], r["bk"]["band"]): r["bk"]["key"]
+        for r in docs.select(
+            "doc_id", F.explode(band_structs_from_mins(minhash_mins_column())).alias("bk")
+        ).collect()
+    }
+    assert old == new
+    assert all(v is None for (d, _), v in old.items() if d == 3)
+    assert old[(1, 0)] == old[(4, 0)]  # identical docs, identical keys
