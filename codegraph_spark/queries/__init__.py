@@ -117,6 +117,8 @@ _REVERIFY: dict[str, int] = {
     "stream_dedup_minhash_ooo": 7,  # round 7: new (order-insensitive intake dedup)
     "mm_png_roundtrip": 7,          # round 7: new (stdlib real-PNG codec gate)
     "stream_transitions_ooo": 7,    # round 7: new (reorder-buffered transitions)
+    "ev_quantiles_sketch": 7,       # round 7: new (exact histogram quantiles)
+    "stream_quantiles_sketch": 7,   # round 7: new (streaming histogram twin)
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

@@ -1136,7 +1136,89 @@ ORDER BY from_type, to_type
 """
 
 
+def cent_histogram(ev: DataFrame) -> DataFrame:
+    """(event_type, cent, c): the fixed-resolution value histogram —
+    a MERGEABLE sketch (cell-wise sums, like the CMS/KMV family) whose
+    state is bounded by the VALUE DOMAIN (distinct cents), not the row
+    count. cent = floor(value·100 + 0.5): plain IEEE multiply/add/floor
+    both engines run identically (no locale-dependent rounding mode)."""
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cent"),
+        )
+        .groupBy("event_type", "cent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def quantiles_from_cent_hist(hist: DataFrame) -> DataFrame:
+    """Exact lower quantiles (type-1: smallest value whose cumulative
+    count reaches ⌈p·n⌉) from a cent histogram — integer arithmetic end
+    to end, shared by the batch query and the streaming drain."""
+    w_cum = Window.partitionBy("event_type").orderBy("cent")
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cent",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"), F.col("cent")
+            )
+        ).alias(f"p{p}_cent")
+        for p in (50, 90, 99)
+    ]
+    return (
+        cum.groupBy("event_type")
+        .agg(F.max("n").cast("bigint").alias("n_events"), *picks)
+        .select("event_type", "n_events", "p50_cent", "p90_cent", "p99_cent")
+        .orderBy("event_type")
+    )
+
+
+def ev_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from the mergeable cent HISTOGRAM — the runnable
+    bounded-state twin of :func:`ev_value_quantiles` (whose exact
+    ``percentile`` needs a full per-group value buffer; its docstring
+    proposes approx_percentile as the 100 TB swap). For
+    bounded-precision telemetry the histogram beats the t-digest swap:
+    state = O(distinct cents) per group regardless of row count,
+    map-side partials merge by cell-wise addition, and the quantiles
+    are EXACT (type-1 lower quantile, integer rank arithmetic), not
+    approximate. One shuffle to the histogram + one domain-sized
+    window pass; the shared tail also serves the streaming twin
+    (stream_quantiles_sketch), whose drained histogram is
+    batch-identical by merge commutativity."""
+    ev = load_table(spark, sf_dir, "events")
+    return quantiles_from_cent_hist(cent_histogram(ev))
+
+
+_QUANTILE_SKETCH_SQL = """
+WITH h AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, cent,
+           sum(c) OVER (PARTITION BY event_type ORDER BY cent) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM h
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cent END) AS p50_cent,
+       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN cent END) AS p90_cent,
+       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cent END) AS p99_cent
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ev_quantiles_sketch": ev_quantiles_sketch,
     "ev_cusum_drift": ev_cusum_drift,
     "ev_outliers_mad": ev_outliers_mad,
     "ev_transition_matrix": ev_transition_matrix,
@@ -1160,6 +1242,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_quantiles_sketch": _QUANTILE_SKETCH_SQL,
     "ev_cusum_drift": _CUSUM_SQL,
     "ev_outliers_mad": _MAD_SQL,
     "ev_transition_matrix": _TRANSITION_SQL,

@@ -60,6 +60,33 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cms_topk_from_sketch(spark, sf_dir, sketch)
 
+def stream_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile dashboard maintained INCREMENTALLY — the cent
+    histogram (events.cent_histogram) as a streaming aggregate: like
+    the CMS/KMV twins, the sketch is mergeable by cell-wise sums, so
+    complete-mode state = one row per (event_type, cent) — bounded by
+    the VALUE DOMAIN at any input volume — and the drained histogram
+    equals the batch histogram by merge commutativity. The shared
+    exact-quantile tail (events.quantiles_from_cent_hist) runs over
+    the drain; oracle = the batch histogram-quantile SQL, so a hash
+    match proves incremental sketch ≡ batch sketch ≡ exact type-1
+    quantiles, bit for bit."""
+    from codegraph_spark.queries.events import quantiles_from_cent_hist
+
+    ev = read_events_stream(spark, sf_dir)
+    hist = run_available_now(
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cent"),
+        )
+        .groupBy("event_type", "cent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return quantiles_from_cent_hist(hist)
+
+
 def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cardinality via the KMV sketch (custom stateful
     operator #4, :func:`streaming/incremental.streaming_kmv`): state =
@@ -631,6 +658,7 @@ QUERIES = {
     "stream_transitions_ooo": stream_transitions_ooo,
     "stream_cusum_drift": stream_cusum_drift,
     "stream_cms_topk": stream_cms_topk,
+    "stream_quantiles_sketch": stream_quantiles_sketch,
     "stream_kmv_distinct": stream_kmv_distinct,
     "stream_hourly_counts": stream_hourly_counts,
     "stream_funnel": stream_funnel,
@@ -640,8 +668,13 @@ QUERIES = {
     "stream_sessionize": stream_sessionize,
     "stream_interval_join": stream_interval_join,
 }
+from codegraph_spark.queries.events import (  # noqa: E402
+    _QUANTILE_SKETCH_SQL as _STREAM_QSK_SQL,
+)
+
 ORACLES = {
     "stream_dedup_minhash": _stream_minhash_dedup_sql(),
+    "stream_quantiles_sketch": _STREAM_QSK_SQL,
     "stream_dedup_minhash_ooo": _stream_minhash_dedup_sql(),
     "stream_transition_matrix": _STREAM_TRANSITION_SQL,
     "stream_transitions_ooo": _STREAM_TRANSITION_SQL,

@@ -65,6 +65,7 @@ SKEW_SET = [
     "corpus_dedup_keep_best",
     "sim_hard_negatives",
     "ev_cusum_drift",
+    "ev_quantiles_sketch",
     "ev_outliers_mad",
     "corpus_ccnet_buckets",
     "stream_cusum_drift",

@@ -101,6 +101,8 @@ AUDIT = [
     "stream_dedup_minhash_ooo",
     "stream_transitions_ooo",
     "mm_png_roundtrip",
+    "ev_quantiles_sketch",
+    "stream_quantiles_sketch",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -81,6 +81,7 @@ PROBES = [
     "text_contamination_bloom",
     "stream_dedup_minhash_ooo",
     "mm_png_roundtrip",
+    "ev_quantiles_sketch",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
