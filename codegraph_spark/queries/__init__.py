@@ -110,15 +110,15 @@ _REVERIFY: dict[str, int] = {
     "text_tfidf_keywords": 6,      # round 6: new (TF-rarity keywords)
     "corpus_quality_calibration": 6,  # round 6: new (quality-decile dup audit)
     "stream_dedup_minhash": 6,     # round 6: new (intake LSH dedup, stateful op #6)
-    "text_contamination_bloom": 6,  # round 6: new (bloom decontamination + FPR audit)
     "dedup_semantic": 7,       # round 7: exact-group collapse (lossless rewrite)
     "sim_ivf_assign": 7,       # round 7: new (vectorized assignment kernel gate)
     "sim_ivf_sampled_purity": 7,  # round 7: new (sampled-trainer recovery gate)
-    "stream_dedup_minhash_ooo": 7,  # round 7: new (order-insensitive intake dedup)
-    "mm_png_roundtrip": 7,          # round 7: new (stdlib real-PNG codec gate)
-    "stream_transitions_ooo": 7,    # round 7: new (reorder-buffered transitions)
     "ev_quantiles_sketch": 7,       # round 7: new (exact histogram quantiles)
     "stream_quantiles_sketch": 7,   # round 7: new (streaming histogram twin)
+    "mm_png_roundtrip": 8,     # round 8: _ascii_nonempty guard + vectorized defilter
+    "text_contamination_bloom": 8,  # round 8: bitset routed through serving cache
+    "stream_transitions_ooo": 8,    # round 8: horizon violation now raises
+    "stream_dedup_minhash_ooo": 8,  # round 8: split cache content-fingerprinted
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
     "dedup_containment": 5,    # round 5: df-capped candidate stage
     "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage

@@ -1161,9 +1161,6 @@ HAVING count(*) >= 3
 _BLOOM_M = 1 << 16  # bloom bits
 _BLOOM_K = 3        # hash functions (the first 3 MinHash (a, b) pairs)
 
-#: built eval-set bitsets per (applicationId, sf_dir) — 8 KiB each
-_BLOOM_BITSET_CACHE: dict[tuple[str, str], list[int]] = {}
-
 
 def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through a BLOOM FILTER of the eval set — the
@@ -1203,9 +1200,7 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection — no joins, the filter shipped once with the plan
     # (the previous shape was a ~65k-row broadcast consumed by three
     # separate semi-joins).
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    packed = _BLOOM_BITSET_CACHE.get(cache_key)
-    if packed is None:
+    def _build_bitset() -> list[int]:
         words = (
             ev_sh.select(F.explode(F.array(*[c for c in pos_cols])).alias("pos"))
             .select(
@@ -1216,12 +1211,21 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("bit_or(bit)").alias("bits"))
             .collect()
         )
-        packed = [0] * (_BLOOM_M // 64)
+        out = [0] * (_BLOOM_M // 64)
         for r in words:
-            packed[r["word"]] = r["bits"]
-        # the built filter is ingest-time state (like the trained IVF
-        # inverted file): 8 KiB per dataset, rebuilt per session
-        _BLOOM_BITSET_CACHE[cache_key] = packed
+            out[r["word"]] = r["bits"]
+        return out
+
+    # the built filter is ingest-time state (like the trained IVF
+    # inverted file): 8 KiB per dataset, cached through the SERVING
+    # layer — not a private module dict — so serving.invalidate(sf_dir)
+    # drops it on an in-session dataset rewrite and the group-LRU
+    # bounds long sessions cycling many dirs (r7 ADVICE)
+    from codegraph_spark import serving
+
+    packed = serving.shared_obj(
+        spark, (sf_dir, "contamination_bloom_bitset"), _build_bitset
+    )
     bitset = F.lit(packed)
     tr = (
         tagged.filter(F.col("source") != _EVAL_SOURCE)

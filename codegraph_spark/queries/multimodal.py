@@ -40,6 +40,7 @@ imgs AS (
                1, (16 + doc_id % 48) * (16 + doc_id % 32)
            ) AS body
     FROM documents
+    WHERE length(text) > 0
 ),
 px AS (
     SELECT doc_id, w, h,
@@ -611,10 +612,17 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly, so a hash match proves deflate → inflate → defilter is
     the identity on this corpus. No imaging library involved —
     operators/png_stdlib.py is zlib + struct only."""
-    from codegraph_spark.operators.multimodal import _decode_payload
+    from codegraph_spark.operators.multimodal import _ascii_nonempty, _decode_payload
     from codegraph_spark.operators.png_stdlib import encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # same corpus precondition as every other mm query (r7 ADVICE):
+    # empty documents are DROPPED (matching the oracle's
+    # length(text) > 0 filter in _BODY_CTE) and non-ASCII text fails
+    # fast in the plan with a named assertion — never a bare
+    # ZeroDivisionError / UnicodeEncodeError inside the kernel
+    docs = _ascii_nonempty(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def kernel(batches):
         import numpy as np
@@ -624,6 +632,9 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
+                text = str(text)
+                if not text:  # unreachable past _ascii_nonempty; stay total
+                    continue
                 w, h = 16 + doc_id % 48, 16 + doc_id % 32
                 n = w * h
                 reps = -(-n // len(text)) + 1

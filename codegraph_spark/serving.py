@@ -33,9 +33,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: (applicationId, dataset_dir, *name) -> persisted DataFrame, in
-#: LRU order of the owning (applicationId, dataset_dir) group
-_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+#: (applicationId, dataset_dir, *name) -> persisted DataFrame (or a
+#: plain derived object via :func:`shared_obj`), in LRU order of the
+#: owning (applicationId, dataset_dir) group
+_CACHE: OrderedDict[tuple, object] = OrderedDict()
+
+
+def _drop(value: object) -> None:
+    """Release a cache entry: DataFrames are unpersisted; plain
+    objects (packed bitsets, codebooks) just drop their reference."""
+    up = getattr(value, "unpersist", None)
+    if callable(up):
+        up()
+
 
 #: retained dataset dirs per application; a serving deployment pins one
 #: or two corpora hot — anything beyond that is a scan-through pattern
@@ -66,7 +76,7 @@ def _evict_lru_datasets() -> None:
             return
         victim = order[0]
         for k in [k for k in _CACHE if _dataset_of(k) == victim]:
-            _CACHE.pop(k).unpersist()
+            _drop(_CACHE.pop(k))
 
 
 def shared_df(
@@ -97,6 +107,27 @@ def shared_df(
     return df
 
 
+def shared_obj(
+    spark: SparkSession,
+    key: tuple,
+    build: Callable[[], object],
+) -> object:
+    """Memoized PLAIN-OBJECT twin of :func:`shared_df` for small
+    driver-side derived structures (a packed Bloom bitset, a trained
+    codebook) that are per-dataset state, not DataFrames. Same keying,
+    same group-LRU eviction, and — the point (r7 ADVICE) — same
+    :func:`invalidate` contract: a writer rewriting the dataset dir
+    drops these alongside the persisted DataFrames, so no private
+    module-level dict can serve a stale structure."""
+    k = (spark.sparkContext.applicationId,) + key
+    if k not in _CACHE:
+        _CACHE[k] = build()
+    obj = _CACHE[k]
+    _touch_dataset(_dataset_of(k))
+    _evict_lru_datasets()
+    return obj
+
+
 def invalidate(dataset_dir: str) -> int:
     """Drop (and unpersist) every cached entry built over
     ``dataset_dir``, across applications. Call from any write path
@@ -104,7 +135,7 @@ def invalidate(dataset_dir: str) -> int:
     number of entries dropped."""
     victims = [k for k in _CACHE if len(k) > 1 and k[1] == dataset_dir]
     for k in victims:
-        _CACHE.pop(k).unpersist()
+        _drop(_CACHE.pop(k))
     return len(victims)
 
 
@@ -112,5 +143,5 @@ def clear() -> int:
     """Unpersist and drop every cached entry (test teardown hook)."""
     n = len(_CACHE)
     for k in list(_CACHE):
-        _CACHE.pop(k).unpersist()
+        _drop(_CACHE.pop(k))
     return n

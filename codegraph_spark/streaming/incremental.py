@@ -351,6 +351,30 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read_table_stream(spark, sf_dir, "documents")
 
 
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of ``<sf_dir>/<table>.parquet`` (single file
+    or Spark part-file directory): sorted (relpath, size, mtime_ns) of
+    every data file, md5-hashed. Folded into the /tmp split-cache tags
+    below so regenerating a corpus IN PLACE at the same path invalidates
+    the cached split (r7 ADVICE: a tag keyed only on the path silently
+    streamed stale data — and a stale horizon_us — through the
+    out-of-order correctness gates after an in-place rewrite)."""
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                fp = os.path.join(root, fn)
+                st = os.stat(fp)
+                parts.append(f"{os.path.relpath(fp, path)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()[:12]
+
+
 def read_documents_stream_shuffled(
     spark: SparkSession, sf_dir: str, n_files: int = 6
 ) -> DataFrame:
@@ -362,12 +386,17 @@ def read_documents_stream_shuffled(
     modification times, and streamed with maxFilesPerTrigger=1:
     n_files micro-batches, each guaranteed to undercut the previous
     one's max doc_id. Deterministic; the split is cached per
-    (sf_dir, n_files) under /tmp and rebuilt only when absent."""
+    (sf_dir, content fingerprint, n_files) under /tmp and rebuilt when
+    absent OR when the source table's contents change (so an in-place
+    corpus rewrite never streams a stale split)."""
     import hashlib
 
     from codegraph_spark.sources.tables import load_table
 
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_files}".encode()).hexdigest()[:12]
+    fp = _table_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|{n_files}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join("/tmp", "spark_graft_ooo", tag)
     done = os.path.join(out_dir, "_DONE")
     docs = load_table(spark, sf_dir, "documents")
@@ -666,7 +695,10 @@ def prepare_reordered_events(
     horizon_us = the max swapped-pair span + 1: the exact contract
     under which the buffered operator equals the batch oracle.
     Harness machinery for the gate (the production knob is just the
-    horizon); cached per (sf_dir, n_slices) under /tmp."""
+    horizon); cached per (sf_dir, content fingerprint, n_slices) under
+    /tmp — an in-place rewrite of the events table changes the
+    fingerprint, so the split AND its horizon_us are rebuilt rather
+    than replayed stale."""
     import glob
     import hashlib
     import json
@@ -676,7 +708,10 @@ def prepare_reordered_events(
 
     from codegraph_spark.sources.tables import load_table
 
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|ev|{n_slices}".encode()).hexdigest()[:12]
+    fp = _table_fingerprint(sf_dir, "events")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|ev|{fp}|{n_slices}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join("/tmp", "spark_graft_ooo", tag)
     meta_path = os.path.join(out_dir, "_META.json")
     if os.path.exists(meta_path):
@@ -770,7 +805,13 @@ def streaming_transitions_buffered(events: DataFrame, horizon_us: int) -> DataFr
     :data:`FLUSH_TYPE` are PUNCTUATION: they drain the key's buffer
     unconditionally (and are never counted) — the end-of-stream flush
     an availableNow drain needs because no later micro-batch would
-    otherwise push max_ts past the tail rows' horizon."""
+    otherwise push max_ts past the tail rows' horizon.
+
+    The bound is ENFORCED, not assumed (mirroring the strict
+    operator's in-order check): a row arriving with (ts, event_id) at
+    or before the last already-EMITTED pair position proves actual
+    disorder exceeded ``horizon_us``, and the operator raises rather
+    than silently pairing it as if it came later."""
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -788,7 +829,22 @@ def streaming_transitions_buffered(events: DataFrame, horizon_us: int) -> DataFr
             last_ts = last_eid = None
         for ts, eid, typ in zip(data["ts"], data["event_id"], data["event_type"]):
             t = int(pd.Timestamp(ts).value // 1000)
-            buf.append((t, int(eid), str(typ)))
+            eid = int(eid)
+            # the horizon contract, ENFORCED like the strict operator's
+            # in-order check (r7 ADVICE): a row sorting at or before the
+            # last EMITTED pair position means actual disorder exceeded
+            # horizon_us — pairing it as if it came after would silently
+            # miscount, so raise instead.
+            if last_ts is not None and (t, eid) <= (int(last_ts), int(last_eid)):
+                raise ValueError(
+                    "streaming_transitions_buffered: event "
+                    f"(ts_us={t}, event_id={eid}) for key {key[0]!r} arrived "
+                    f"after (ts_us={int(last_ts)}, event_id={int(last_eid)}) "
+                    "was already emitted — actual disorder exceeds "
+                    f"horizon_us={int(horizon_us)}; widen the horizon or "
+                    "route this source through a larger reorder buffer"
+                )
+            buf.append((t, eid, str(typ)))
             max_ts = t if max_ts is None or t > max_ts else max_ts
         buf.sort()
         cutoff = None if max_ts is None else max_ts - int(horizon_us)
