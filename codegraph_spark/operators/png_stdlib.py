@@ -79,33 +79,50 @@ def decode_png_gray(data: bytes):
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
+    # Defilter (r7 VERDICT item 1 — the per-pixel numpy-scalar loops
+    # were the repo's one >10x scale-probe outlier). Rows must still be
+    # walked in y order (Up/Average/Paeth reference the decoded row
+    # above), but within a row:
+    #   None/Up  — pure array ops;
+    #   Sub      — per-channel modular prefix sum (cumsum & 0xFF: mod
+    #              distributes over the sum, so this equals the
+    #              sequential byte-wise recurrence exactly);
+    #   Average/Paeth — irreducibly sequential in x (each byte needs
+    #              the DECODED left neighbor), so the chain runs as a
+    #              plain-Python-int loop over .tolist() rows — no numpy
+    #              scalar boxing in the hot path, ~10-20x cheaper per
+    #              byte than indexing into the array.
     out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int64)
     p = 0
     for y in range(height):
         f = raw[p]
         p += 1
-        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p).astype(np.int32)
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p).astype(np.int64)
         p += stride
         if f == 0:  # None
             pass
-        elif f == 2:  # Up — vectorized
+        elif f == 2:  # Up
             cur = (cur + prev) & 0xFF
-        elif f == 1:  # Sub — sequential in x
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
-        elif f == 3:  # Average
+        elif f == 1:  # Sub — modular per-channel prefix sum
+            for c in range(ch):
+                cur[c::ch] = np.cumsum(cur[c::ch]) & 0xFF
+        elif f == 3:  # Average — sequential chain, Python-int loop
+            cl, pl = cur.tolist(), prev.tolist()
             for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
+                left = cl[i - ch] if i >= ch else 0
+                cl[i] = (cl[i] + ((left + pl[i]) >> 1)) & 0xFF
+            cur = np.asarray(cl, dtype=np.int64)
+        elif f == 4:  # Paeth — sequential chain, Python-int loop
+            cl, pl = cur.tolist(), prev.tolist()
             for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                a = cl[i - ch] if i >= ch else 0
+                b = pl[i]
+                c = pl[i - ch] if i >= ch else 0
                 pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pr) & 0xFF
+                cl[i] = (cl[i] + pr) & 0xFF
+            cur = np.asarray(cl, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG scanline filter {f}")
         out[y] = cur.astype(np.uint8)
@@ -136,28 +153,34 @@ def _chunk(typ: bytes, payload: bytes) -> bytes:
 
 
 def _filter_scanline(f: int, cur, prev, ch: int):
-    """Forward-apply filter ``f`` to scanline ``cur`` (int32 arrays)."""
+    """Forward-apply filter ``f`` to scanline ``cur`` (int arrays).
+
+    Fully vectorized: unlike DEFILTERING, every predictor here reads
+    only the raw (already-known) bytes of ``cur``/``prev``, so left =
+    ``cur`` shifted by one pixel is a plain array shift — no
+    sequential chain exists on the encode side."""
     import numpy as np
 
+    cur = np.asarray(cur, dtype=np.int64)
+    prev = np.asarray(prev, dtype=np.int64)
     stride = len(cur)
-    enc = np.empty(stride, dtype=np.int32)
-    for i in range(stride):
-        a = int(cur[i - ch]) if i >= ch else 0
-        b = int(prev[i])
-        c = int(prev[i - ch]) if i >= ch else 0
-        if f == 0:
-            pred = 0
-        elif f == 1:
-            pred = a
-        elif f == 2:
-            pred = b
-        elif f == 3:
-            pred = (a + b) >> 1
-        else:  # Paeth
-            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-        enc[i] = (int(cur[i]) - pred) & 0xFF
-    return enc
+    a = np.zeros(stride, dtype=np.int64)  # left pixel (raw)
+    a[ch:] = cur[:-ch]
+    b = prev  # up (raw)
+    c = np.zeros(stride, dtype=np.int64)  # up-left (raw)
+    c[ch:] = prev[:-ch]
+    if f == 0:
+        pred = 0
+    elif f == 1:
+        pred = a
+    elif f == 2:
+        pred = b
+    elif f == 3:
+        pred = (a + b) >> 1
+    else:  # Paeth
+        pa, pb, pc = np.abs(b - c), np.abs(a - c), np.abs(a + b - 2 * c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return (cur - pred) & 0xFF
 
 
 def encode_png(pixels, width: int, height: int, channels: int = 1, filters=None) -> bytes:

@@ -814,6 +814,7 @@ def streaming_transitions_buffered(events: DataFrame, horizon_us: int) -> DataFr
     than silently pairing it as if it came later."""
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         frames = list(pdfs)
@@ -827,25 +828,39 @@ def streaming_transitions_buffered(events: DataFrame, horizon_us: int) -> DataFr
         else:
             buf, last_type, max_ts = [], None, None
             last_ts = last_eid = None
-        for ts, eid, typ in zip(data["ts"], data["event_id"], data["event_type"]):
-            t = int(pd.Timestamp(ts).value // 1000)
-            eid = int(eid)
+        if len(data):
+            # vectorized arrival path (r7 VERDICT item 5 — this kernel
+            # pays per EVENT at intake rate): ns→µs conversion and the
+            # horizon check run as array ops, never per-row Timestamp
+            # boxing
+            ts_us = (data["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+                     // 1000)
+            eids = data["event_id"].to_numpy(dtype=np.int64)
             # the horizon contract, ENFORCED like the strict operator's
             # in-order check (r7 ADVICE): a row sorting at or before the
             # last EMITTED pair position means actual disorder exceeded
             # horizon_us — pairing it as if it came after would silently
             # miscount, so raise instead.
-            if last_ts is not None and (t, eid) <= (int(last_ts), int(last_eid)):
-                raise ValueError(
-                    "streaming_transitions_buffered: event "
-                    f"(ts_us={t}, event_id={eid}) for key {key[0]!r} arrived "
-                    f"after (ts_us={int(last_ts)}, event_id={int(last_eid)}) "
-                    "was already emitted — actual disorder exceeds "
-                    f"horizon_us={int(horizon_us)}; widen the horizon or "
-                    "route this source through a larger reorder buffer"
+            if last_ts is not None:
+                late = (ts_us < int(last_ts)) | (
+                    (ts_us == int(last_ts)) & (eids <= int(last_eid))
                 )
-            buf.append((t, eid, str(typ)))
-            max_ts = t if max_ts is None or t > max_ts else max_ts
+                if late.any():
+                    i = int(np.argmax(late))
+                    raise ValueError(
+                        "streaming_transitions_buffered: event "
+                        f"(ts_us={int(ts_us[i])}, event_id={int(eids[i])}) for "
+                        f"key {key[0]!r} arrived after "
+                        f"(ts_us={int(last_ts)}, event_id={int(last_eid)}) "
+                        "was already emitted — actual disorder exceeds "
+                        f"horizon_us={int(horizon_us)}; widen the horizon or "
+                        "route this source through a larger reorder buffer"
+                    )
+            buf.extend(
+                zip(ts_us.tolist(), eids.tolist(), map(str, data["event_type"]))
+            )
+            batch_max = int(ts_us.max())
+            max_ts = batch_max if max_ts is None or batch_max > max_ts else max_ts
         buf.sort()
         cutoff = None if max_ts is None else max_ts - int(horizon_us)
         n_ready = len(buf) if flush else 0
@@ -912,18 +927,26 @@ def streaming_kmv(events: DataFrame, k: int) -> DataFrame:
 
     State is exactly ≤ k int64s per key at ANY input volume — the
     bounded-state contract that distinguishes a sketch from an exact
-    distinct (whose streaming state grows with cardinality)."""
+    distinct (whose streaming state grows with cardinality).
+
+    Intake-rate kernel discipline (r7 VERDICT item 5): the md5 is paid
+    once per DISTINCT uid in the batch (np.unique, C-side), not once
+    per event — hash arithmetic identical to the batch twin's, so the
+    sketch-equivalence law is untouched."""
     import hashlib
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         (hs,) = state.get if state.exists else ([],)
         seen = set(hs)
         for pdf in pdfs:
-            for uid in pdf["user_id"]:
-                h = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
-                seen.add(h)
+            uniq = np.unique(pdf["user_id"].to_numpy(dtype=np.int64))
+            seen.update(
+                int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                for u in uniq.tolist()
+            )
         hs = sorted(seen)[:k]
         state.update((hs,))
         yield pd.DataFrame(
