@@ -868,6 +868,19 @@ def streaming_transitions_buffered(events: DataFrame, horizon_us: int) -> DataFr
             while n_ready < len(buf) and buf[n_ready][0] <= cutoff:
                 n_ready += 1
         ready, buf = buf[:n_ready], buf[n_ready:]
+        # the bounded-buffer contract, ASSERTED per batch (r7 VERDICT
+        # item 7): every retained row sits inside (max_ts - horizon,
+        # max_ts], so the buffer's event-time span can never exceed the
+        # horizon — the physical statement of "state per user = rows
+        # inside the horizon window". A violation here is a kernel bug
+        # (the trim loop above is the only writer), so fail loudly.
+        if buf and buf[-1][0] - buf[0][0] > int(horizon_us):
+            raise AssertionError(
+                "streaming_transitions_buffered: reorder buffer for key "
+                f"{key[0]!r} spans {buf[-1][0] - buf[0][0]} us of event "
+                f"time, exceeding horizon_us={int(horizon_us)} — the "
+                "bounded-state contract is broken"
+            )
         types = [t for _, _, t in ready]
         if last_type is not None:
             types = [str(last_type)] + types

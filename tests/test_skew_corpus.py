@@ -74,6 +74,14 @@ SKEW_SET = [
     "corpus_quality_calibration",
     "stream_dedup_minhash",
     "text_contamination_bloom",
+    # r8: the out-of-order variants' OWN worst cases (r7 VERDICT item
+    # 7) — an all-duplicate corpus routes every band to ONE bucket
+    # state key (single hot shard for the CRDT-min dedup), and the
+    # single-user event stream concentrates the entire reorder buffer
+    # in one key (whose event-time span the kernel now asserts ≤
+    # horizon_us per batch)
+    "stream_dedup_minhash_ooo",
+    "stream_transitions_ooo",
 ]
 
 
