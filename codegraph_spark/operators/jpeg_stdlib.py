@@ -1,0 +1,493 @@
+"""Pure-stdlib(+numpy) baseline JPEG codec — the r7 VERDICT item 6
+close-out, on the png_stdlib precedent: the container ships no imaging
+library, so until round 8 every real-JPEG row raised behind the guarded
+Pillow probe. Baseline JFIF needs nothing beyond ``struct`` + numpy
+(ITU-T T.81: marker segments, canonical Huffman from the file's own
+DHT ``BITS``/``HUFFVAL``, zigzag, dequantize, 8x8 IDCT), so this module
+makes the second real format decodable with zero dependencies. It is
+registered ahead of the Pillow probe in
+:func:`codegraph_spark.operators.multimodal._decode_payload`.
+
+Decoder scope (documented, enforced): baseline + extended sequential
+Huffman (SOF0/SOF1), 8-bit precision, grayscale or YCbCr with any
+sampling factors where the FIRST component carries the max factors
+(the overwhelming real-world layout — 4:4:4, 4:2:2, 4:2:0); restart
+intervals supported. The GRAY channel returned is the decoded luma
+plane — chroma blocks are entropy-decoded (the bitstream cannot be
+advanced otherwise) but never dequantized/IDCT'd, which is exactly
+what a dedup/statistics pipeline wants from a 100 TB image corpus.
+Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+modes raise NotImplementedError and fall through to the optional
+Pillow path.
+
+The encoder (grayscale, quality-scaled Annex K luminance table,
+standard Annex K Huffman tables, optional restart interval) exists
+for tests and the mm_jpeg_roundtrip gate: JPEG is lossy, so the gate
+pins DIMS exactly and reconstruction within a measured error budget —
+both deterministic, since every DCT/quantize step here is fixed
+arithmetic with no platform-dependent paths.
+
+All constants below are from the public JPEG specification (ITU-T
+T.81 Annex K); the reference repo has no media pipeline at all
+(pkg/models/node.go:177-183) — this is extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# Shared tables
+# ---------------------------------------------------------------------------
+
+#: zigzag scan: ZIGZAG[k] = row-major index of the k-th scanned coeff
+def _zigzag_order() -> list[int]:
+    out = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (reversed(rs) if s % 2 == 0 else rs):
+            out.append(r * 8 + (s - r))
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+#: Annex K luminance quantization table (zigzag-independent, row-major)
+_Q_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K standard Huffman tables (encoder-side; the decoder always
+#: builds its tables from the file's own DHT segments)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix: forward D = M @ B @ M.T,
+    inverse B = M.T @ D @ M."""
+    import math
+
+    import numpy as np
+
+    M = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            M[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return M
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C canonical code assignment:
+    symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_table(quality: int) -> list[int]:
+    """IJG quality scaling of the Annex K luminance table."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (b * scale + 50) // 100)) for b in _Q_LUM]
+
+
+# ---------------------------------------------------------------------------
+# Encoder (grayscale baseline)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        """Pad to byte boundary with 1-bits (spec padding)."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category s, extra-bits value) for a DC diff / AC coeff."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_gray(
+    pixels, width: int, height: int, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Baseline grayscale JFIF bytes from a flat uint8 array. One
+    component, no subsampling, Annex K standard Huffman tables,
+    quality-scaled Annex K luminance quant table. ``restart_interval``
+    (in MCUs) emits DRI + RSTn markers so decode exercises the
+    restart path on genuine bytes."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width)
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:height, :width] = px
+    padded[height:, :width] = px[-1:, :]  # edge replicate
+    padded[:, width:] = padded[:, width - 1 : width]
+    M = _dct_matrix()
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+    )
+    coeffs = M @ blocks @ M.T
+    Q = np.asarray(_quality_table(quality), dtype=np.float64).reshape(8, 8)
+    qc = np.round(coeffs / Q).astype(np.int64)
+    zz = qc.reshape(-1, 64)[:, ZIGZAG]
+
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    w = _BitWriter()
+    pred = 0
+    ri = int(restart_interval)
+    nblocks = len(zz)
+    rst = 0
+    for i in range(nblocks):
+        if ri and i and i % ri == 0:
+            w.align()
+            w.out.extend((0xFF, 0xD0 + rst % 8))
+            rst += 1
+            pred = 0
+        row = zz[i].tolist()
+        s, extra = _magnitude(row[0] - pred)
+        pred = row[0]
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(extra, s)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if row[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = row[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            s, extra = _magnitude(v)
+            code, ln = ac_codes[(run << 4) | s]
+            w.write(code, ln)
+            w.write(extra, s)
+            run = 0
+        if last_nz != 63:
+            code, ln = ac_codes[0x00]  # EOB
+            w.write(code, ln)
+    w.align()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt_zz = bytes(_quality_table(quality)[ZIGZAG[k]] for k in range(64))
+    dht = (
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    )
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0x00]) + qt_zz)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, dht)
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += w.out
+    out += struct.pack(">H", 0xFFD9)  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> bool:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            return False
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:  # a real marker (RSTn / EOI / next segment): stop
+                return False
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.n == 0 and not self._fill():
+            return 0  # spec: pad with 1s; 0 is safe past end-of-scan
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG: invalid Huffman code in scan data")
+
+    def sync_restart(self) -> None:
+        """Discard partial bits, consume the RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        if p + 1 >= len(d):
+            raise ValueError("bad JPEG: expected restart marker")
+        self.pos = p + 2
+
+
+def _extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(data: bytes):
+    """JPEG bytes -> ``(width, height, flat uint8 luma pixels)``.
+
+    Baseline/extended-sequential Huffman subset — see module
+    docstring. The luma plane is returned at full declared image
+    dims; chroma is entropy-skipped."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None  # (width, height, components)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG: expected marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq:  # 16-bit table
+                    vals = list(struct.unpack(f">{64}H", body[i : i + 128]))
+                    i += 128
+                else:
+                    vals = list(body[i : i + 64])
+                    i += 64
+                table = [0] * 64
+                for k in range(64):
+                    table[ZIGZAG[k]] = vals[k]
+                qtables[tq] = table
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                i += 17 + n
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}: stdlib path handles 8")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG: stdlib path handles baseline")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} mode: stdlib path handles SOF0/SOF1"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — scan follows
+            if frame is None:
+                raise ValueError("bad JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in frame[2] if x["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            return _decode_scan(
+                data, pos + 2 + length, frame, scan, qtables, htables,
+                restart_interval,
+            )
+        pos += 2 + length
+    raise ValueError("bad JPEG: no scan data")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+    import numpy as np
+
+    width, height, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        raise NotImplementedError(
+            "JPEG with subsampled FIRST component: stdlib path expects "
+            "luma to carry the max sampling factors"
+        )
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    br = _BitReader(data, pos)
+    # luma plane block grid
+    y_bw, y_bh = mcux * comps[0]["h"], mcuy * comps[0]["v"]
+    y_blocks = np.zeros((y_bh * y_bw, 64), dtype=np.int64)
+    preds = [0] * len(scan)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            br.sync_restart()
+            preds = [0] * len(scan)
+        my, mx = divmod(m, mcux)
+        for si, (comp, td, ta) in enumerate(scan):
+            dc_tab = htables.get((0, td))
+            ac_tab = htables.get((1, ta))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("bad JPEG: scan references missing Huffman table")
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coeffs = [0] * 64 if si == 0 else None
+                    s = br.read_huff(dc_tab)
+                    preds[si] += _extend(br.receive(s), s)
+                    if coeffs is not None:
+                        coeffs[0] = preds[si]
+                    k = 1
+                    while k < 64:
+                        rs = br.read_huff(ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("bad JPEG: AC run past block end")
+                        v = _extend(br.receive(s), s)
+                        if coeffs is not None:
+                            coeffs[k] = v
+                        k += 1
+                    if si == 0:
+                        row = my * comp["v"] + by
+                        col = mx * comp["h"] + bx
+                        y_blocks[row * y_bw + col] = coeffs
+    # batch dequantize + inverse zigzag + IDCT for the luma plane
+    q = np.asarray(qtables[comps[0]["tq"]], dtype=np.float64)
+    dezz = np.zeros((len(y_blocks), 64), dtype=np.float64)
+    dezz[:, ZIGZAG] = y_blocks  # coeffs were stored in zigzag order
+    dezz *= q  # both sides row-major now
+    blocks = dezz.reshape(-1, 8, 8)
+    M = _dct_matrix()
+    spatial = M.T @ blocks @ M + 128.0
+    plane = (
+        spatial.reshape(y_bh, y_bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(y_bh * 8, y_bw * 8)
+    )
+    plane = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+    return int(width), int(height), plane[:height, :width].reshape(-1)

@@ -159,6 +159,17 @@ def _decode_payload(payload: bytes, codec: str):
             return decode_png_gray(bytes(payload))
         except NotImplementedError:
             pass
+    if codec in ("jpeg", "jpg"):
+        # same precedent for JPEG (operators/jpeg_stdlib.py): baseline/
+        # extended-sequential Huffman decodes dependency-free (luma
+        # plane extraction); progressive/12-bit/arithmetic fall through
+        # to the optional Pillow path.
+        from codegraph_spark.operators.jpeg_stdlib import decode_jpeg_gray
+
+        try:
+            return decode_jpeg_gray(bytes(payload))
+        except NotImplementedError:
+            pass
     if codec in PIL_CODECS:
         Image = _pil_image_module()
         if Image is not None:

@@ -666,7 +666,78 @@ FROM sums ORDER BY doc_id
 """
 
 
+#: mm_jpeg_roundtrip's reconstruction budget (spec literal): the q90
+#: worst case measured over text-byte frames is 18 (tests/
+#: test_jpeg_stdlib.py pins <= 32); a broken Huffman/IDCT produces
+#: errors of ~100+, so the flag separates cleanly.
+_JPEG_ERR_BUDGET = 32
+
+
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-JPEG round-trip gate (r7 VERDICT item 6, the png precedent
+    at r7): each document's deterministic gray frame is encoded as a
+    GENUINE baseline JFIF (quality 90, Annex K tables, restart marker
+    every 4 MCUs so the restart path runs on real bytes), then decoded
+    back through the production codec dispatch
+    (operators/multimodal._decode_payload, which routes 'jpeg' to the
+    stdlib decoder ahead of the Pillow probe). JPEG is LOSSY, so
+    unlike mm_png_roundtrip the pins are the parts that are exact by
+    construction: decoded dims, and reconstruction within the
+    measured :data:`_JPEG_ERR_BUDGET` (deterministic — every
+    DCT/quantize step is fixed arithmetic). The oracle pins the SPEC
+    as literals (the sim_ivf_sampled_purity pattern): a codec
+    regression shifts within_budget to 0 and hash-mismatches. No
+    imaging library involved — operators/jpeg_stdlib.py is struct +
+    numpy only."""
+    from codegraph_spark.operators.jpeg_stdlib import encode_jpeg_gray
+    from codegraph_spark.operators.multimodal import _ascii_nonempty, _decode_payload
+
+    docs = _ascii_nonempty(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                text = str(text)
+                if not text:  # unreachable past _ascii_nonempty; stay total
+                    continue
+                w, h = 16 + doc_id % 48, 16 + doc_id % 32
+                n = w * h
+                reps = -(-n // len(text)) + 1
+                body = (text * reps)[:n].encode("ascii")
+                px = np.frombuffer(body, dtype=np.uint8)
+                data = encode_jpeg_gray(px, w, h, quality=90, restart_interval=4)
+                dw, dh, dec = _decode_payload(data, "jpeg")
+                err = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max())
+                out.append((doc_id, dw, dh, int(err <= _JPEG_ERR_BUDGET)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "within_budget"]
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, width int, height int, within_budget int"
+    ).orderBy("doc_id")
+
+
+_MM_JPEG_SQL = """
+SELECT doc_id,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + doc_id % 32 AS INT) AS height,
+       CAST(1 AS INT) AS within_budget
+FROM documents
+WHERE length(text) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_png_roundtrip": mm_png_roundtrip,
     "mm_phash": mm_phash,
     "mm_audio_zcr": mm_audio_zcr,
@@ -681,6 +752,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_jpeg_roundtrip": _MM_JPEG_SQL,
     "mm_png_roundtrip": _MM_PNG_SQL,
     "mm_phash": _phash_sql(),
     "mm_audio_zcr": _MM_ZCR_SQL,

@@ -1,0 +1,134 @@
+"""Pure-stdlib baseline JPEG codec (r7 VERDICT item 6): real JPEG
+bytes must decode end-to-end in this imaging-library-free container,
+through the same production dispatch every image kernel uses — the
+png_stdlib precedent, second format.
+
+JPEG is lossy, so the pins are exact DIMS + reconstruction inside a
+measured error budget (deterministic: every DCT/quantize step is fixed
+arithmetic), plus exactness where the math says exact (flat blocks),
+plus loud rejection of the unsupported modes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from codegraph_spark.operators.jpeg_stdlib import (
+    ZIGZAG,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def _max_err(px, w, h, **kw) -> int:
+    data = encode_jpeg_gray(px, w, h, **kw)
+    dw, dh, out = decode_jpeg_gray(data)
+    assert (dw, dh) == (w, h)
+    return int(np.abs(out.astype(int) - px.astype(int)).max())
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG) == list(range(64))
+    assert ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]  # T.81 figure 5
+
+
+def test_flat_image_reconstructs_exactly():
+    # a constant block is pure DC; DC quantization of a multiple-free
+    # value still rounds back exactly at q>=90 (step <= 3 on value 0)
+    px = np.full(64 * 48, 128, dtype=np.uint8)
+    assert _max_err(px, 64, 48, quality=90) == 0
+
+
+def test_roundtrip_error_budgets_by_quality():
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, 64 * 48, dtype=np.uint8)  # worst case: noise
+    # measured 74/34/14/7; margins keep the pin robust to tiny numeric
+    # drift while still catching any real codec break (errors ~100+)
+    assert _max_err(px, 64, 48, quality=50) <= 96
+    assert _max_err(px, 64, 48, quality=75) <= 48
+    assert _max_err(px, 64, 48, quality=90) <= 24
+    assert _max_err(px, 64, 48, quality=95) <= 12
+
+
+def test_non_multiple_of_8_dims_crop_exactly():
+    rng = np.random.default_rng(7)
+    for w, h in [(17, 9), (63, 41), (8, 8), (1, 1), (9, 64)]:
+        px = rng.integers(0, 256, w * h, dtype=np.uint8)
+        assert _max_err(px, w, h, quality=90) <= 24
+
+
+def test_restart_interval_roundtrip():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, 64 * 48, dtype=np.uint8)
+    base = _max_err(px, 64, 48, quality=90)
+    with_rst = _max_err(px, 64, 48, quality=90, restart_interval=3)
+    # restarts change the bitstream framing, never the math
+    assert with_rst == base
+
+
+def test_text_frame_corpus_budget():
+    """The mm gate's corpus shape: text bytes as pixels, per-doc dims."""
+    worst = 0
+    for i in range(60):
+        w, h = 16 + i % 48, 16 + i % 32
+        body = (f"doc {i} body words repeating " * 60).encode("ascii")
+        body = (body * (w * h // len(body) + 2))[: w * h]
+        px = np.frombuffer(body, dtype=np.uint8)
+        worst = max(worst, _max_err(px, w, h, quality=90))
+    assert worst <= 32  # the gate's spec literal (measured 18)
+
+
+def test_progressive_rejected_loudly():
+    px = np.full(64, 100, dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(px, 8, 8))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_gray(bytes(data))
+
+
+def test_bad_signature_rejected():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
+
+
+def test_production_dispatch_decodes_real_jpeg_without_pillow():
+    """The whole point: _decode_payload routes 'jpeg' to the stdlib
+    decoder ahead of the Pillow probe, so the image kernels work on
+    real JPEG bytes in this container (no skip, no raise)."""
+    from codegraph_spark.operators.multimodal import _decode_payload
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, 48 * 32, dtype=np.uint8)
+    data = encode_jpeg_gray(px, 48, 32, quality=90)
+    for codec in ("jpeg", "jpg"):
+        w, h, out = _decode_payload(data, codec)
+        assert (w, h) == (48, 32)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 24
+
+
+def test_image_stats_kernel_on_real_jpeg(spark):
+    """decode_image_stats (mm_image_meta's kernel) over a real-JPEG
+    payload column — the Spark-side plumbing is codec-agnostic."""
+    from codegraph_spark.operators.multimodal import decode_image_stats
+
+    rows = []
+    rng = np.random.default_rng(5)
+    for doc_id in range(6):
+        w, h = 24 + doc_id, 16 + doc_id
+        px = rng.integers(0, 256, w * h, dtype=np.uint8)
+        rows.append(
+            (doc_id, bytearray(encode_jpeg_gray(px, w, h, quality=90)),
+             "image", "jpeg", w, h, None)
+        )
+    imgs = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, modality string, codec string, "
+        "width int, height int, n_bytes int",
+    )
+    got = {r["doc_id"]: r for r in decode_image_stats(imgs).collect()}
+    assert len(got) == 6
+    for doc_id in range(6):
+        assert got[doc_id]["width"] == 24 + doc_id
+        assert got[doc_id]["height"] == 16 + doc_id

@@ -101,6 +101,7 @@ AUDIT = [
     "stream_dedup_minhash_ooo",
     "stream_transitions_ooo",
     "mm_png_roundtrip",
+    "mm_jpeg_roundtrip",
     "ev_quantiles_sketch",
     "stream_quantiles_sketch",
 ]

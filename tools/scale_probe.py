@@ -81,6 +81,7 @@ PROBES = [
     "text_contamination_bloom",
     "stream_dedup_minhash_ooo",
     "mm_png_roundtrip",
+    "mm_jpeg_roundtrip",
     "ev_quantiles_sketch",
 ]
 
