@@ -712,6 +712,41 @@ FROM assigned GROUP BY cluster
 """
 
 
+def sim_ivf_two_level_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine gate for the ESCALATED assignment kernel
+    (:func:`assign_ivf_two_level`, the tier :func:`assign_ivf_auto`
+    dispatches to past :data:`_IVF_TWO_LEVEL_CELLS`): the planted
+    corpus against the 16 known basis centroids, forced through the
+    two-level path (outer_k=4, n_probe=2 — a REAL subset probe, half
+    the outer cells). On the orthogonal planted geometry the nearest
+    centroid's outer cell is always the row's best-scoring cell
+    (cos ≈ 1 to its own axis dominates any cross term), so the
+    n_probe=2 subset provably contains the true argmax and the
+    approximate kernel must EQUAL the exact assignment — which is what
+    the same DuckDB flat-argmax oracle as sim_ivf_assign computes. A
+    probe-routing or per-cell-argmax bug shifts sum_vec_ids and
+    hash-mismatches. (sf_dir unused by design, like the other planted
+    gates.)"""
+    del sf_dir
+    emb = _planted_corpus(spark)
+    cents = spark.range(_PLANT_G).select(
+        (F.col("id") + 1).cast("int").alias("cluster"),
+        F.expr(
+            f"transform(sequence(0, {_PLANT_D - 1}), "
+            f"t -> CASE WHEN t = CAST(id AS INT) THEN 1.0 ELSE 0.0 END)"
+        ).alias("cv"),
+    )
+    return (
+        assign_ivf_two_level(emb, cents, n_probe=2, outer_k=4)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+        )
+        .select("cluster", "n_members", "sum_vec_ids")
+    )
+
+
 def sim_ivf_sampled_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end gate for the SAMPLED trainer: train
     :func:`train_ivf_kmeans_sampled` at k=16 on the planted 16-cluster
@@ -2377,6 +2412,7 @@ QUERIES = {
     "sim_ivf_label": sim_ivf_label,
     "sim_ivf_kmeans": sim_ivf_kmeans,
     "sim_ivf_assign": sim_ivf_assign,
+    "sim_ivf_two_level_gate": sim_ivf_two_level_gate,
     "sim_ivf_sampled_purity": sim_ivf_sampled_purity,
     "sim_lsh_cosine": sim_lsh_cosine,
     "sim_lsh_recall": sim_lsh_recall,
@@ -2402,6 +2438,7 @@ ORACLES = {
     "sim_ivf_label": _IVF_SQL,
     "sim_ivf_kmeans": _ivf_kmeans_sql(),
     "sim_ivf_assign": _IVF_ASSIGN_SQL,
+    "sim_ivf_two_level_gate": _IVF_ASSIGN_SQL,
     "sim_ivf_sampled_purity": _IVF_PURITY_SQL,
     "sim_lsh_cosine": _LSH_SQL,
     "sim_lsh_recall": _RECALL_SQL,

@@ -97,6 +97,7 @@ AUDIT = [
     "stream_dedup_minhash",
     "text_contamination_bloom",
     "sim_ivf_assign",
+    "sim_ivf_two_level_gate",
     "sim_ivf_sampled_purity",
     "stream_dedup_minhash_ooo",
     "stream_transitions_ooo",
