@@ -265,69 +265,98 @@ def encode_jpeg_gray(
 # ---------------------------------------------------------------------------
 
 
+def _split_scan_segments(data: bytes, pos: int) -> list[bytes]:
+    """Cut the entropy-coded scan into restart segments, un-stuffed.
+
+    One linear walk over the 0xFF positions: 0xFF00 is a stuffed
+    literal (removed later via bytes.replace), RST0-7 are segment
+    boundaries, anything else ends the scan. Pre-splitting lets the
+    hot bit reader below run over plain bytes with NO marker checks
+    per bit — the difference between ~10 µs and ~0.3 µs per symbol."""
+    segments: list[bytes] = []
+    start = pos
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segments.append(data[start:n])
+            break
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(data[start:j])
+            start = i = j + 2
+        else:  # EOI or next marker segment: end of scan
+            segments.append(data[start:j])
+            break
+    return [s.replace(b"\xff\x00", b"\xff") for s in segments]
+
+
+#: 16-bit-prefix Huffman LUTs, cached per canonical table content —
+#: identical DHT segments across a corpus build each LUT exactly once
+#: per process.
+_HUFF_LUT_CACHE: dict[tuple, "object"] = {}
+
+
+def _huff_lut(table: dict[tuple[int, int], int]):
+    """(length, code) -> symbol table compiled to a 65536-entry array:
+    lut[16-bit peek] = (symbol << 5) | code_length, 0 = invalid."""
+    import numpy as np
+
+    key = tuple(sorted(table.items()))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        lut = np.zeros(1 << 16, dtype=np.int32)
+        for (length, code), sym in table.items():
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = (sym << 5) | length
+        _HUFF_LUT_CACHE[key] = lut
+    return lut
+
+
 class _BitReader:
-    """Entropy-segment reader: un-stuffs 0xFF00, stops at markers."""
+    """Bit reader over one un-stuffed restart segment (plain bytes:
+    every marker concern was handled by :func:`_split_scan_segments`).
+    Reads past the end yield 0 bits — the spec's padding region; a
+    well-formed scan never decodes a value from them."""
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+    __slots__ = ("d", "i", "acc", "n")
+
+    def __init__(self, segment: bytes) -> None:
+        self.d = segment
+        self.i = 0
         self.acc = 0
         self.n = 0
 
-    def _fill(self) -> bool:
-        d, p = self.data, self.pos
-        if p >= len(d):
-            return False
-        b = d[p]
-        if b == 0xFF:
-            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos = p + 2
-            else:  # a real marker (RSTn / EOI / next segment): stop
-                return False
-        else:
-            self.pos = p + 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-        return True
+    def _peek16(self) -> int:
+        d, i, acc, n = self.d, self.i, self.acc, self.n
+        while n < 16:
+            acc = (acc << 8) | (d[i] if i < len(d) else 0)
+            i += 1
+            n += 8
+        self.i, self.acc, self.n = i, acc, n
+        return (acc >> (n - 16)) & 0xFFFF
 
-    def read_bit(self) -> int:
-        if self.n == 0 and not self._fill():
-            return 0  # spec: pad with 1s; 0 is safe past end-of-scan
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def read_huff(self, lut) -> int:
+        packed = int(lut[self._peek16()])
+        if packed == 0:
+            raise ValueError("bad JPEG: invalid Huffman code in scan data")
+        length = packed & 31
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return packed >> 5
 
-    def receive(self, s: int) -> int:
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad JPEG: invalid Huffman code in scan data")
-
-    def sync_restart(self) -> None:
-        """Discard partial bits, consume the RSTn marker."""
-        self.acc = 0
-        self.n = 0
-        d, p = self.data, self.pos
-        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
-            p += 1
-        if p + 1 >= len(d):
-            raise ValueError("bad JPEG: expected restart marker")
-        self.pos = p + 2
-
-
-def _extend(v: int, s: int) -> int:
-    if s == 0:
-        return 0
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    def receive_extend(self, s: int) -> int:
+        """Read s magnitude bits and sign-extend (T.81 EXTEND)."""
+        if s == 0:
+            return 0
+        v = self._peek16() >> (16 - s)
+        self.n -= s
+        self.acc &= (1 << self.n) - 1
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
 def decode_jpeg_gray(data: bytes):
@@ -433,7 +462,17 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
         )
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    br = _BitReader(data, pos)
+    segments = _split_scan_segments(data, pos)
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    # per-scan-component compiled Huffman LUTs
+    luts = []
+    for comp, td, ta in scan:
+        dc_tab = htables.get((0, td))
+        ac_tab = htables.get((1, ta))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("bad JPEG: scan references missing Huffman table")
+        luts.append((_huff_lut(dc_tab), _huff_lut(ac_tab)))
     # luma plane block grid
     y_bw, y_bh = mcux * comps[0]["h"], mcuy * comps[0]["v"]
     y_blocks = np.zeros((y_bh * y_bw, 64), dtype=np.int64)
@@ -441,24 +480,24 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     n_mcu = mcux * mcuy
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
-            br.sync_restart()
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("bad JPEG: expected restart marker")
+            br = _BitReader(segments[seg_idx])
             preds = [0] * len(scan)
         my, mx = divmod(m, mcux)
-        for si, (comp, td, ta) in enumerate(scan):
-            dc_tab = htables.get((0, td))
-            ac_tab = htables.get((1, ta))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("bad JPEG: scan references missing Huffman table")
+        for si, (comp, _td, _ta) in enumerate(scan):
+            dc_lut, ac_lut = luts[si]
             for by in range(comp["v"]):
                 for bx in range(comp["h"]):
                     coeffs = [0] * 64 if si == 0 else None
-                    s = br.read_huff(dc_tab)
-                    preds[si] += _extend(br.receive(s), s)
+                    s = br.read_huff(dc_lut)
+                    preds[si] += br.receive_extend(s)
                     if coeffs is not None:
                         coeffs[0] = preds[si]
                     k = 1
                     while k < 64:
-                        rs = br.read_huff(ac_tab)
+                        rs = br.read_huff(ac_lut)
                         r, s = rs >> 4, rs & 15
                         if s == 0:
                             if r == 15:
@@ -468,7 +507,7 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                         k += r
                         if k > 63:
                             raise ValueError("bad JPEG: AC run past block end")
-                        v = _extend(br.receive(s), s)
+                        v = br.receive_extend(s)
                         if coeffs is not None:
                             coeffs[k] = v
                         k += 1
