@@ -168,6 +168,61 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
+def _plane_zigzag_blocks(plane, quality: int):
+    """uint8 (H, W) plane -> (blocks_y, blocks_x, zigzag-quantized
+    int64 coeff rows) via the batch DCT pipeline (edge-replicated pad
+    to 8-multiples)."""
+    import numpy as np
+
+    h, w = plane.shape
+    bw, bh = -(-w // 8), -(-h // 8)
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    M = _dct_matrix()
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+    )
+    coeffs = M @ blocks @ M.T
+    Q = np.asarray(_quality_table(quality), dtype=np.float64).reshape(8, 8)
+    qc = np.round(coeffs / Q).astype(np.int64)
+    return bh, bw, qc.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _encode_block(w: _BitWriter, row: list, pred: int, dc_codes, ac_codes) -> int:
+    """Huffman-encode one zigzag coeff row; returns the new DC pred."""
+    s, extra = _magnitude(row[0] - pred)
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(extra, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if row[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = row[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s, extra = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(extra, s)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return row[0]
+
+
 def encode_jpeg_gray(
     pixels, width: int, height: int, quality: int = 90, restart_interval: int = 0
 ) -> bytes:
@@ -179,63 +234,21 @@ def encode_jpeg_gray(
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8).reshape(height, width)
-    bw, bh = -(-width // 8), -(-height // 8)
-    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    padded[:height, :width] = px
-    padded[height:, :width] = px[-1:, :]  # edge replicate
-    padded[:, width:] = padded[:, width - 1 : width]
-    M = _dct_matrix()
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
-    )
-    coeffs = M @ blocks @ M.T
-    Q = np.asarray(_quality_table(quality), dtype=np.float64).reshape(8, 8)
-    qc = np.round(coeffs / Q).astype(np.int64)
-    zz = qc.reshape(-1, 64)[:, ZIGZAG]
+    _bh, _bw, zz = _plane_zigzag_blocks(px, quality)
 
     dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
     w = _BitWriter()
     pred = 0
     ri = int(restart_interval)
-    nblocks = len(zz)
     rst = 0
-    for i in range(nblocks):
+    for i in range(len(zz)):
         if ri and i and i % ri == 0:
             w.align()
             w.out.extend((0xFF, 0xD0 + rst % 8))
             rst += 1
             pred = 0
-        row = zz[i].tolist()
-        s, extra = _magnitude(row[0] - pred)
-        pred = row[0]
-        code, ln = dc_codes[s]
-        w.write(code, ln)
-        if s:
-            w.write(extra, s)
-        run = 0
-        last_nz = 0
-        for k in range(63, 0, -1):
-            if row[k]:
-                last_nz = k
-                break
-        for k in range(1, last_nz + 1):
-            v = row[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                w.write(code, ln)
-                run -= 16
-            s, extra = _magnitude(v)
-            code, ln = ac_codes[(run << 4) | s]
-            w.write(code, ln)
-            w.write(extra, s)
-            run = 0
-        if last_nz != 63:
-            code, ln = ac_codes[0x00]  # EOB
-            w.write(code, ln)
+        pred = _encode_block(w, zz[i].tolist(), pred, dc_codes, ac_codes)
     w.align()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -257,6 +270,81 @@ def encode_jpeg_gray(
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += w.out
     out += struct.pack(">H", 0xFFD9)  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_ycbcr420(
+    y, cb, cr, width: int, height: int, quality: int = 90
+) -> bytes:
+    """Baseline 3-component 4:2:0 JFIF — the dominant real-world JPEG
+    layout — so the decoder's multi-component MCU walk, chroma
+    entropy-skip, and per-component table selection run on genuine
+    bytes (tests). ``y`` is (height, width) uint8; ``cb``/``cr`` are
+    the half-resolution chroma planes (ceil dims). Y uses table slot
+    0, chroma slot 1 (same contents — a legal encoder choice — so the
+    decoder must still route by id). MCU = 2x2 Y blocks + 1 Cb + 1 Cr,
+    interleaved per T.81 A.2.3."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8).reshape(height, width)
+    cw, ch_ = -(-width // 2), -(-height // 2)
+    cb = np.asarray(cb, dtype=np.uint8).reshape(ch_, cw)
+    cr = np.asarray(cr, dtype=np.uint8).reshape(ch_, cw)
+    mcux, mcuy = -(-width // 16), -(-height // 16)
+    # pad planes so block grids are exact MCU multiples
+    def pad_to(plane, rows, cols):
+        out = np.empty((rows, cols), dtype=np.uint8)
+        r, c = plane.shape
+        out[:r, :c] = plane
+        out[r:, :c] = plane[-1:, :]
+        out[:, c:] = out[:, c - 1 : c]
+        return out
+
+    y = pad_to(y, mcuy * 16, mcux * 16)
+    cb = pad_to(cb, mcuy * 8, mcux * 8)
+    cr = pad_to(cr, mcuy * 8, mcux * 8)
+    _, y_bw, y_zz = _plane_zigzag_blocks(y, quality)
+    _, c_bw, cb_zz = _plane_zigzag_blocks(cb, quality)
+    _, _, cr_zz = _plane_zigzag_blocks(cr, quality)
+
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for by in range(2):
+            for bx in range(2):
+                i = (my * 2 + by) * y_bw + (mx * 2 + bx)
+                preds[0] = _encode_block(w, y_zz[i].tolist(), preds[0], dc_codes, ac_codes)
+        i = my * c_bw + mx
+        preds[1] = _encode_block(w, cb_zz[i].tolist(), preds[1], dc_codes, ac_codes)
+        preds[2] = _encode_block(w, cr_zz[i].tolist(), preds[2], dc_codes, ac_codes)
+    w.align()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt_zz = bytes(_quality_table(quality)[ZIGZAG[k]] for k in range(64))
+    dht = (
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+        + bytes([0x01]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x11]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    )
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0x00]) + qt_zz + bytes([0x01]) + qt_zz)
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xFFC4, dht)
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += w.out
+    out += struct.pack(">H", 0xFFD9)
     return bytes(out)
 
 

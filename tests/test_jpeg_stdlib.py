@@ -132,3 +132,41 @@ def test_image_stats_kernel_on_real_jpeg(spark):
     for doc_id in range(6):
         assert got[doc_id]["width"] == 24 + doc_id
         assert got[doc_id]["height"] == 16 + doc_id
+
+
+def test_ycbcr_420_multicomponent_decode():
+    """The dominant real-world layout: 3 components, 4:2:0, chroma on
+    table slot 1 — exercises the interleaved MCU walk (2x2 Y + Cb +
+    Cr), per-component Huffman/quant routing, and the chroma
+    entropy-skip. The returned gray channel is the luma plane."""
+    from codegraph_spark.operators.jpeg_stdlib import encode_jpeg_ycbcr420
+    from codegraph_spark.operators.multimodal import _decode_payload
+
+    rng = np.random.default_rng(9)
+    for w, h in [(32, 32), (48, 40), (17, 23)]:
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cw, ch = -(-w // 2), -(-h // 2)
+        cb = np.full((ch, cw), 90, np.uint8)
+        cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        data = encode_jpeg_ycbcr420(y, cb, cr, w, h, quality=90)
+        dw, dh, out = _decode_payload(data, "jpeg")
+        assert (dw, dh) == (w, h)
+        err = np.abs(out.reshape(h, w).astype(int) - y.astype(int)).max()
+        assert err <= 24  # same q90 budget as the gray path
+
+
+def test_subsampled_first_component_rejected():
+    """A file whose FIRST component is not max-factor (luma-subsampled
+    — vanishingly rare) must raise, not silently mis-assemble."""
+    from codegraph_spark.operators.jpeg_stdlib import encode_jpeg_ycbcr420
+
+    y = np.full((16, 16), 100, np.uint8)
+    c = np.full((8, 8), 128, np.uint8)
+    data = bytearray(encode_jpeg_ycbcr420(y, c, c, 16, 16))
+    i = data.find(b"\xff\xc0")
+    # component parameter bytes start at i+10 (after marker, len, prec,
+    # h, w, ncomp): [id1, hv1, tq1, ...] — swap Y's 0x22 with Cb's 0x11
+    assert data[i + 11] == 0x22 and data[i + 14] == 0x11
+    data[i + 11], data[i + 14] = 0x11, 0x22
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        decode_jpeg_gray(bytes(data))
