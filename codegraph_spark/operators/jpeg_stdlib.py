@@ -190,37 +190,36 @@ def _plane_zigzag_blocks(plane, quality: int):
     return bh, bw, qc.reshape(-1, 64)[:, ZIGZAG]
 
 
-def _encode_block(w: _BitWriter, row: list, pred: int, dc_codes, ac_codes) -> int:
-    """Huffman-encode one zigzag coeff row; returns the new DC pred."""
-    s, extra = _magnitude(row[0] - pred)
+def _encode_block(w: _BitWriter, row, pred: int, dc_codes, ac_codes) -> int:
+    """Huffman-encode one zigzag coeff row (int64 ndarray); returns
+    the new DC pred. Walks only the NONZERO AC positions (flatnonzero)
+    — after quantization a block carries a handful of ACs, so this is
+    the difference between 63 and ~10 Python iterations per block."""
+    import numpy as np
+
+    dc = int(row[0])
+    s, extra = _magnitude(dc - pred)
     code, ln = dc_codes[s]
     w.write(code, ln)
     if s:
         w.write(extra, s)
-    run = 0
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if row[k]:
-            last_nz = k
-            break
-    for k in range(1, last_nz + 1):
-        v = row[k]
-        if v == 0:
-            run += 1
-            continue
+    nz = np.flatnonzero(row[1:])
+    prev = 0
+    for k in (nz + 1).tolist():
+        run = k - prev - 1
+        prev = k
         while run > 15:
             code, ln = ac_codes[0xF0]  # ZRL
             w.write(code, ln)
             run -= 16
-        s, extra = _magnitude(v)
+        s, extra = _magnitude(int(row[k]))
         code, ln = ac_codes[(run << 4) | s]
         w.write(code, ln)
         w.write(extra, s)
-        run = 0
-    if last_nz != 63:
+    if prev != 63:
         code, ln = ac_codes[0x00]  # EOB
         w.write(code, ln)
-    return row[0]
+    return dc
 
 
 def encode_jpeg_gray(
@@ -248,7 +247,7 @@ def encode_jpeg_gray(
             w.out.extend((0xFF, 0xD0 + rst % 8))
             rst += 1
             pred = 0
-        pred = _encode_block(w, zz[i].tolist(), pred, dc_codes, ac_codes)
+        pred = _encode_block(w, zz[i], pred, dc_codes, ac_codes)
     w.align()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -316,10 +315,10 @@ def encode_jpeg_ycbcr420(
         for by in range(2):
             for bx in range(2):
                 i = (my * 2 + by) * y_bw + (mx * 2 + bx)
-                preds[0] = _encode_block(w, y_zz[i].tolist(), preds[0], dc_codes, ac_codes)
+                preds[0] = _encode_block(w, y_zz[i], preds[0], dc_codes, ac_codes)
         i = my * c_bw + mx
-        preds[1] = _encode_block(w, cb_zz[i].tolist(), preds[1], dc_codes, ac_codes)
-        preds[2] = _encode_block(w, cr_zz[i].tolist(), preds[2], dc_codes, ac_codes)
+        preds[1] = _encode_block(w, cb_zz[i], preds[1], dc_codes, ac_codes)
+        preds[2] = _encode_block(w, cr_zz[i], preds[2], dc_codes, ac_codes)
     w.align()
 
     def seg(marker: int, payload: bytes) -> bytes:
