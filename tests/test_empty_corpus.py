@@ -41,6 +41,7 @@ _REQUIRES_DATA: set[str] = set()
 _DATASET_INDEPENDENT = {
     "sim_ivf_assign",
     "sim_ivf_sampled_purity",
+    "sim_ivf_two_level_gate",
 }
 
 _GLOBAL_ROWS = {

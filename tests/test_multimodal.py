@@ -192,9 +192,22 @@ def test_pil_codec_message_names_the_dependency():
         _pytest.skip("Pillow installed: decode path covered below")
     from codegraph_spark.operators.multimodal import _decode_payload
 
-    # jpeg still needs Pillow (png decodes via the stdlib codec since r7)
+    # baseline JPEG decodes via the stdlib codec since r8; an
+    # out-of-envelope (progressive, SOF2) file falls THROUGH to the
+    # dependency message
+    import struct as _struct
+
+    progressive = (
+        b"\xff\xd8"
+        + _struct.pack(">HH", 0xFFC2, 13)
+        + _struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
     with _pytest.raises(NotImplementedError, match="Pillow"):
-        _decode_payload(b"\xff\xd8\xff\xe0", "jpeg")
+        _decode_payload(progressive, "jpeg")
+    # a corrupt/truncated JPEG is a loud ValueError, not a Pillow ask
+    with _pytest.raises(ValueError, match="bad JPEG|not a JPEG"):
+        _decode_payload(b"\xff\xd8\xff\xe0\x00\x04\x00\x00", "jpeg")
     # an out-of-envelope PNG (16-bit) falls THROUGH the stdlib decoder
     # to the same dependency message
     import struct
