@@ -117,6 +117,7 @@ _REVERIFY: dict[str, int] = {
     "stream_quantiles_sketch": 7,   # round 7: new (streaming histogram twin)
     "mm_jpeg_roundtrip": 8,  # round 8: new (stdlib real-JPEG codec gate)
     "sim_ivf_two_level_gate": 8,  # round 8: new (escalated-kernel driver gate)
+    "stream_image_meta": 8,    # round 8: new (decode-at-the-ingest-door twin)
     "mm_png_roundtrip": 8,     # round 8: _ascii_nonempty guard + vectorized defilter
     "text_contamination_bloom": 8,  # round 8: bitset routed through serving cache
     "stream_transitions_ooo": 8,    # round 8: horizon violation now raises

@@ -646,12 +646,50 @@ def stream_transitions_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_probabilities(pairs)
 
 
+def stream_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode AT THE INGEST DOOR: the documents stream is
+    encoded into raw-gray payloads JVM-side and pushed through the
+    SAME Arrow decode kernel the batch query uses
+    (operators/multimodal.decode_image_stats — a stateless mapInPandas
+    runs unchanged under Structured Streaming), one micro-batch at a
+    time, append mode. This is the shape a 100 TB multimodal intake
+    takes: decode/feature-extract per arriving batch, ~40 bytes out
+    per row regardless of media size, no state at all — the kernel
+    IS the operator, batch or stream. Same oracle as mm_image_meta: a
+    hash match proves the streaming drain equals the batch decode
+    however the input splits."""
+    from codegraph_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_documents_as_images,
+    )
+    from codegraph_spark.streaming.incremental import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    stats = decode_image_stats(encode_documents_as_images(docs))
+    out = run_available_now(
+        stats.select(
+            "doc_id",
+            "width",
+            "height",
+            "body_len",
+            F.expr("checksum * 1000 div body_len").alias("mean_milli"),
+            "checksum",
+        ),
+        output_mode="append",
+    )
+    return out.orderBy("doc_id")
+
+
+from codegraph_spark.queries.multimodal import _MM_META_SQL as _STREAM_MM_META_SQL  # noqa: E402
 from codegraph_spark.queries.events import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
 from codegraph_spark.queries.events import _KMV_SQL as _STREAM_KMV_SQL  # noqa: E402
 from codegraph_spark.queries.events import _TRANSITION_SQL as _STREAM_TRANSITION_SQL  # noqa: E402
 from codegraph_spark.queries.events import _CUSUM_SQL as _STREAM_CUSUM_SQL  # noqa: E402
 
 QUERIES = {
+    "stream_image_meta": stream_image_meta,
     "stream_dedup_minhash": stream_dedup_minhash,
     "stream_dedup_minhash_ooo": stream_dedup_minhash_ooo,
     "stream_transition_matrix": stream_transition_matrix,
@@ -673,6 +711,7 @@ from codegraph_spark.queries.events import (  # noqa: E402
 )
 
 ORACLES = {
+    "stream_image_meta": _STREAM_MM_META_SQL,
     "stream_dedup_minhash": _stream_minhash_dedup_sql(),
     "stream_quantiles_sketch": _STREAM_QSK_SQL,
     "stream_dedup_minhash_ooo": _stream_minhash_dedup_sql(),

@@ -103,6 +103,7 @@ AUDIT = [
     "stream_transitions_ooo",
     "mm_png_roundtrip",
     "mm_jpeg_roundtrip",
+    "stream_image_meta",
     "ev_quantiles_sketch",
     "stream_quantiles_sketch",
 ]

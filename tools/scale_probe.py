@@ -82,6 +82,7 @@ PROBES = [
     "stream_dedup_minhash_ooo",
     "mm_png_roundtrip",
     "mm_jpeg_roundtrip",
+    "stream_image_meta",
     "ev_quantiles_sketch",
 ]
 
