@@ -347,6 +347,46 @@ def encode_jpeg_ycbcr420(
     return bytes(out)
 
 
+def mjpeg_frame_bounds(data: bytes) -> list[tuple[int, int]]:
+    """Frame (start, end) offsets of a concatenated-JPEG (MJPEG)
+    stream — the webcam/AVI-MJPG video family, decodable here because
+    each frame is just a baseline JPEG. A naive split on the SOI/EOI
+    byte pattern would mis-cut (0xFFD8/0xFFD9 can occur inside DQT/DHT
+    payload bytes), so this walks the REAL structure: marker segments
+    skip by their length field; an SOS's entropy data scans to the
+    next non-RST marker; EOI closes the frame."""
+    bounds = []
+    pos = 0
+    n = len(data)
+    while pos + 2 <= n:
+        if data[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"bad MJPEG: expected SOI at offset {pos}")
+        start = pos
+        pos += 2
+        while True:
+            if pos + 2 > n:
+                raise ValueError("bad MJPEG: truncated frame")
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI
+                pos += 2
+                break
+            length = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            seg_end = pos + 2 + length
+            if marker == 0xDA:  # SOS: skip entropy data to next marker
+                p = seg_end
+                while p + 1 < n:
+                    if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+                        0xD0 <= data[p + 1] <= 0xD7
+                    ):
+                        break
+                    p += 1 + (1 if data[p] == 0xFF else 0)
+                pos = p
+            else:
+                pos = seg_end
+        bounds.append((start, pos))
+    return bounds
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------

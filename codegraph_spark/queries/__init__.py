@@ -118,6 +118,7 @@ _REVERIFY: dict[str, int] = {
     "mm_jpeg_roundtrip": 8,  # round 8: new (stdlib real-JPEG codec gate)
     "sim_ivf_two_level_gate": 8,  # round 8: new (escalated-kernel driver gate)
     "stream_image_meta": 8,    # round 8: new (decode-at-the-ingest-door twin)
+    "mm_mjpeg_scene_cut": 8,   # round 8: new (real MJPEG video scene-cut gate)
     "mm_png_roundtrip": 8,     # round 8: _ascii_nonempty guard + vectorized defilter
     "text_contamination_bloom": 8,  # round 8: bitset routed through serving cache
     "stream_transitions_ooo": 8,    # round 8: horizon violation now raises

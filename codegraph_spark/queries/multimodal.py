@@ -736,8 +736,95 @@ ORDER BY doc_id
 """
 
 
+#: mm_mjpeg_scene_cut construction: scenes of 3 flat frames each,
+#: scene brightness cycling 40/100/160/220 — consecutive scenes always
+#: differ by ≥ 60 gray levels while flat frames reconstruct near-
+#: exactly at q90, so per-pixel delta 30 separates cuts from codec
+#: noise with a ~30x margin.
+_MJPEG_FRAMES_PER_SCENE = 3
+_MJPEG_CUT_MILLI = 30_000  # per-mille-of-pixel mean delta threshold
+
+
+def mm_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection on a REAL VIDEO-CODEC stream — MJPEG (the
+    webcam / AVI-MJPG family: concatenated baseline JPEGs), decodable
+    end-to-end in this container because each frame is a stdlib-
+    decodable JPEG. Per document: 2 + doc_id % 3 scenes of 3 flat
+    frames each are encoded as genuine JPEGs and CONCATENATED into one
+    binary payload; the kernel re-segments the stream by walking the
+    real marker structure (operators/jpeg_stdlib.mjpeg_frame_bounds —
+    no naive byte-pattern split), decodes every frame through the
+    production dispatch, and marks a cut where the mean-pixel delta
+    between consecutive frames exceeds the threshold. Scene brightness
+    steps 60 gray levels while flat q90 frames reconstruct within ~2,
+    so the detected cut list provably equals the planted one — which
+    gives the oracle an engine-independent literal spec
+    (n_frames / n_cuts / first_cut from doc_id arithmetic), the
+    sim_ivf_sampled_purity pattern. Unlike mm_scene_cut (raw-gray
+    payloads), every byte here passed through deflate-free JPEG
+    entropy coding and the 8x8 DCT."""
+    from codegraph_spark.operators.jpeg_stdlib import (
+        encode_jpeg_gray,
+        mjpeg_frame_bounds,
+    )
+    from codegraph_spark.operators.multimodal import _decode_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 16, 16
+                n_scenes = 2 + doc_id % 3
+                stream = b"".join(
+                    encode_jpeg_gray(
+                        np.full(w * h, 40 + 60 * (s % 4), dtype=np.uint8),
+                        w, h, quality=90,
+                    )
+                    for s in range(n_scenes)
+                    for _f in range(_MJPEG_FRAMES_PER_SCENE)
+                )
+                sums = []
+                for lo, hi in mjpeg_frame_bounds(stream):
+                    dw, dh, px = _decode_payload(stream[lo:hi], "jpeg")
+                    assert (dw, dh) == (w, h)
+                    sums.append(int(px.astype(np.int64).sum()))
+                n = w * h
+                cuts = [
+                    i
+                    for i in range(1, len(sums))
+                    if abs(sums[i] - sums[i - 1]) * 1000 // n > _MJPEG_CUT_MILLI
+                ]
+                out.append(
+                    (doc_id, len(sums), len(cuts), cuts[0] if cuts else -1)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "n_cuts", "first_cut"]
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, n_frames int, n_cuts int, first_cut int"
+    ).orderBy("doc_id")
+
+
+_MM_MJPEG_SQL = f"""
+SELECT doc_id,
+       CAST((2 + doc_id % 3) * {_MJPEG_FRAMES_PER_SCENE} AS INT) AS n_frames,
+       CAST(1 + doc_id % 3 AS INT) AS n_cuts,
+       CAST({_MJPEG_FRAMES_PER_SCENE} AS INT) AS first_cut
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
+    "mm_mjpeg_scene_cut": mm_mjpeg_scene_cut,
     "mm_png_roundtrip": mm_png_roundtrip,
     "mm_phash": mm_phash,
     "mm_audio_zcr": mm_audio_zcr,
@@ -753,6 +840,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_jpeg_roundtrip": _MM_JPEG_SQL,
+    "mm_mjpeg_scene_cut": _MM_MJPEG_SQL,
     "mm_png_roundtrip": _MM_PNG_SQL,
     "mm_phash": _phash_sql(),
     "mm_audio_zcr": _MM_ZCR_SQL,

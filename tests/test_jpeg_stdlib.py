@@ -170,3 +170,34 @@ def test_subsampled_first_component_rejected():
     data[i + 11], data[i + 14] = 0x11, 0x22
     with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg_gray(bytes(data))
+
+
+def test_mjpeg_frame_bounds_walks_structure():
+    """Concatenated JPEGs re-segment by marker structure; each slice
+    decodes independently and boundaries are exact."""
+    from codegraph_spark.operators.jpeg_stdlib import mjpeg_frame_bounds
+
+    rng = np.random.default_rng(13)
+    frames = []
+    stream = b""
+    for f in range(5):
+        px = rng.integers(0, 256, 24 * 16, dtype=np.uint8)
+        blob = encode_jpeg_gray(px, 24, 16, quality=90, restart_interval=2)
+        frames.append((px, blob))
+        stream += blob
+    bounds = mjpeg_frame_bounds(stream)
+    assert len(bounds) == 5
+    assert bounds[0][0] == 0 and bounds[-1][1] == len(stream)
+    for (px, blob), (lo, hi) in zip(frames, bounds):
+        assert stream[lo:hi] == blob
+        _, _, out = decode_jpeg_gray(stream[lo:hi])
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 24
+
+
+def test_mjpeg_truncated_stream_raises():
+    from codegraph_spark.operators.jpeg_stdlib import mjpeg_frame_bounds
+
+    px = np.full(64, 50, np.uint8)
+    blob = encode_jpeg_gray(px, 8, 8)
+    with pytest.raises(ValueError, match="truncated|SOI"):
+        mjpeg_frame_bounds(blob[:-2] + b"\x00\x00")  # EOI clobbered

@@ -104,6 +104,7 @@ AUDIT = [
     "mm_png_roundtrip",
     "mm_jpeg_roundtrip",
     "stream_image_meta",
+    "mm_mjpeg_scene_cut",
     "ev_quantiles_sketch",
     "stream_quantiles_sketch",
 ]

@@ -83,6 +83,7 @@ PROBES = [
     "mm_png_roundtrip",
     "mm_jpeg_roundtrip",
     "stream_image_meta",
+    "mm_mjpeg_scene_cut",
     "ev_quantiles_sketch",
 ]
 
