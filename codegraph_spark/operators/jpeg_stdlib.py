@@ -94,24 +94,37 @@ _AC_LUM_VALS = [
 ]
 
 
+_DCT_M = None
+
+
 def _dct_matrix():
     """Orthonormal 8x8 DCT-II matrix: forward D = M @ B @ M.T,
-    inverse B = M.T @ D @ M."""
-    import math
+    inverse B = M.T @ D @ M. Cached per process (pure constant)."""
+    global _DCT_M
+    if _DCT_M is None:
+        import math
 
-    import numpy as np
+        import numpy as np
 
-    M = np.empty((8, 8), dtype=np.float64)
-    for u in range(8):
-        cu = math.sqrt(0.5) if u == 0 else 1.0
-        for x in range(8):
-            M[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
-    return M
+        M = np.empty((8, 8), dtype=np.float64)
+        for u in range(8):
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            for x in range(8):
+                M[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _DCT_M = M
+    return _DCT_M
+
+
+_CANON_CACHE: dict[tuple, dict] = {}
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """T.81 Annex C canonical code assignment:
-    symbol -> (code, length)."""
+    symbol -> (code, length). Cached per table content."""
+    ck = (tuple(bits), tuple(vals))
+    cached = _CANON_CACHE.get(ck)
+    if cached is not None:
+        return cached
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -121,14 +134,22 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
+    _CANON_CACHE[ck] = out
     return out
 
 
+_QT_CACHE: dict[int, list[int]] = {}
+
+
 def _quality_table(quality: int) -> list[int]:
-    """IJG quality scaling of the Annex K luminance table."""
+    """IJG quality scaling of the Annex K luminance table (cached)."""
     q = max(1, min(100, int(quality)))
-    scale = 5000 // q if q < 50 else 200 - 2 * q
-    return [max(1, min(255, (b * scale + 50) // 100)) for b in _Q_LUM]
+    t = _QT_CACHE.get(q)
+    if t is None:
+        scale = 5000 // q if q < 50 else 200 - 2 * q
+        t = [max(1, min(255, (b * scale + 50) // 100)) for b in _Q_LUM]
+        _QT_CACHE[q] = t
+    return t
 
 
 # ---------------------------------------------------------------------------

