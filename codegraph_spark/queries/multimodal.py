@@ -620,9 +620,13 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length(text) > 0 filter in _BODY_CTE) and non-ASCII text fails
     # fast in the plan with a named assertion — never a bare
     # ZeroDivisionError / UnicodeEncodeError inside the kernel
+    # single-file local parquet arrives as ONE partition — spread the
+    # per-doc encode/decode kernel across the executor cores (the same
+    # hint every other heavy per-row kernel in this repo uses; a real
+    # multi-file corpus is already partitioned and this is a no-op)
     docs = _ascii_nonempty(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def kernel(batches):
         import numpy as np
@@ -692,9 +696,11 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.operators.jpeg_stdlib import encode_jpeg_gray
     from codegraph_spark.operators.multimodal import _ascii_nonempty, _decode_payload
 
+    # same one-partition hint as mm_png_roundtrip: spread the per-doc
+    # encode/decode kernel across cores
     docs = _ascii_nonempty(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def kernel(batches):
         import numpy as np
