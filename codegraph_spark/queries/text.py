@@ -1408,19 +1408,38 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score actually separate the junk?" (a filter whose low
     deciles aren't dup-enriched is measuring the wrong thing).
 
-    Scale shape: one scan for (qc, content hash), one global rank
-    window (the documented order-statistic shape; production cuts on
-    approx-percentile boundaries instead), one decile-keyed agg with
-    the dup count via countDistinct riding the same shuffle."""
+    Scale shape: one scan for (qc, content hash); the ntile is computed
+    WITHOUT a corpus-sized global window — ``distributed_row_number``
+    (operators/ranks.py) reconstructs the exact global rank from
+    histogram-sized offset cumsums (qc is integer cents, distinct
+    values ≪ rows) plus windows partitioned by (qc, id-range bucket),
+    and the ntile boundary is pure integer arithmetic over (rank, n).
+    Output is bit-identical to ``ntile(10) OVER (ORDER BY qc, doc_id)``
+    — the oracle keeps the plain window form — but the fattest window
+    partition is one (qc, sub-bucket) cell, not the corpus. One
+    decile-keyed agg with the dup count via countDistinct rides the
+    same shuffle."""
+    from codegraph_spark.operators.ranks import distributed_row_number
+
     docs = load_table(spark, sf_dir, "documents")
     per_doc = docs.select(
         "doc_id",
         quality_cents().alias("qc"),
         F.md5(F.lower(F.col("text"))).alias("h"),
     )
-    w = Window.orderBy("qc", "doc_id")
+    ranked = distributed_row_number(per_doc, "qc", total="n")
+    # exact ntile(k): the first (n mod k) tiles hold (n div k + 1) rows
+    head = F.expr("(n % 10) * (n div 10 + 1)")
     return (
-        per_doc.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile",
+            F.when(F.col("rn") <= head,
+                   F.expr("(rn - 1) div (n div 10 + 1) + 1"))
+            .otherwise(F.expr(
+                "(n % 10) + (rn - (n % 10) * (n div 10 + 1) - 1)"
+                " div greatest(n div 10, 1) + 1"))
+            .cast("int"),
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1472,21 +1491,28 @@ def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer token counts, total-order ranks (ties by
     doc_id), integer per-mille. Scale shape: one scan for token
-    counts, one rank window per strategy (the global sort is the
-    documented order-statistic shape — production shards the sort by
-    length-bucket prefix), batch-keyed aggs."""
+    counts; each strategy's global rank comes from
+    ``distributed_row_number`` (operators/ranks.py) — histogram-sized
+    offset cumsums (token counts are low-cardinality; the arrival
+    order needs no histogram at all) plus windows partitioned by
+    (key, id-range bucket) — NOT a corpus-sized single-partition rank
+    window. Ranks are bit-identical to the plain global window, so the
+    oracle keeps the readable ``row_number() OVER (ORDER BY ...)``
+    form; batch-keyed aggs follow."""
+    from codegraph_spark.operators.ranks import distributed_row_number
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tok")
     )
     out = []
-    for strategy, order in (
-        ("arrival", [F.col("doc_id")]),
-        ("sorted", [F.desc("tok"), F.col("doc_id")]),
+    for strategy, key, desc in (
+        ("arrival", None, False),
+        ("sorted", "tok", True),
     ):
-        w = Window.orderBy(*order)
-        batched = toks.withColumn(
-            "batch_id", ((F.row_number().over(w) - 1) / _BATCH_SIZE).cast("bigint")
+        ranked = distributed_row_number(toks, key, descending=desc)
+        batched = ranked.withColumn(
+            "batch_id", ((F.col("rn") - 1) / _BATCH_SIZE).cast("bigint")
         )
         out.append(
             batched.groupBy("batch_id")

@@ -59,6 +59,9 @@ _UNKEYED_JOIN_OK = {
     "ev_range_join_tiers",      # band join against broadcast 3-row tier dim
     "stream_funnel",            # memory-sink table; tiny final stack/agg
     "corpus_filter_funnel",     # 1-row conditional-sum aggregate + stack
+    "corpus_padding_waste",     # crossJoin(1-row id bounds / 1-row total)
+                                # in distributed_row_number
+    "corpus_quality_calibration",  # same 1-row bounds/total broadcasts
 }
 
 
@@ -98,6 +101,75 @@ def test_filters_reach_parquet_scan(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any(p.strip() for p in pushed), f"{name}: no pushed filters\n{plan}"
+
+
+#: queries whose plans legitimately contain an ORDERED UNPARTITIONED
+#: window — permitted ONLY over histogram-bounded intermediates (the
+#: window input is an aggregate whose row count is bounded by distinct
+#: keys / bucket count, not by corpus size). Anything else must go
+#: through operators/ranks.distributed_row_number or a histogram
+#: reduction (the round-8 verdict's two corpus-sized global rank
+#: windows are exactly what this gate exists to prevent).
+_GLOBAL_WINDOW_OK = {
+    "corpus_pack_shards": "bucket-offset cumsum over _PACK_BUCKETS rows",
+    "corpus_pack_tokens": "same two-level prefix sum, bucket-count rows",
+    "corpus_padding_waste": "distributed_row_number offset cumsums over "
+                            "(distinct token counts | n_sub) histogram rows",
+    "corpus_quality_calibration": "distributed_row_number key-offset "
+                                  "cumsum over distinct quality cents",
+    "ev_funnel": "lag over funnel STEPS (one row per step)",
+}
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_no_corpus_sized_global_window(spark, sf_dir, name):
+    """No registered query may plan an ordered unpartitioned Window
+    unless pinned here as histogram-bounded — a global rank/cumsum
+    window moves its whole input through ONE task (the WindowExec `No
+    Partition Defined` warning), which at 100 TB is a driver-killer."""
+    from codegraph_spark.doctor import unpartitioned_windows
+
+    plan = _plan(spark, sf_dir, name)
+    hits = unpartitioned_windows(plan)
+    if name in _GLOBAL_WINDOW_OK:
+        return  # pinned: bounded input by construction (see dict value)
+    assert not hits, (
+        f"{name}: ordered unpartitioned Window in plan — use "
+        f"operators/ranks.distributed_row_number or reduce to a "
+        f"histogram first (add to _GLOBAL_WINDOW_OK only if the window "
+        f"input is histogram-bounded): {hits[0][:200]}"
+    )
+
+
+def test_global_window_detector_red_on_regression(spark):
+    """The detector itself must flag a corpus-shaped global rank window
+    (regression fixture for the gate), stay quiet on partitioned and
+    partition-only windows, and catch the empty-partition 3-list form."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from codegraph_spark.doctor import diagnose, plan_text, unpartitioned_windows
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("k")
+    )
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
+    assert len(unpartitioned_windows(plan_text(bad))) == 1
+    assert any(f.check == "global-window" and f.severity == "error"
+               for f in diagnose(bad))
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("doc_id"))
+    )
+    assert not unpartitioned_windows(plan_text(good))
+    part_only = df.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("k")))
+    assert not unpartitioned_windows(plan_text(part_only))
+    empty_part = df.withColumn(
+        "s",
+        F.sum("k").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert unpartitioned_windows(plan_text(empty_part))
 
 
 @pytest.mark.parametrize("name", ["j1_find_definition", "sim_topk_bruteforce"])
