@@ -469,41 +469,64 @@ class _BitReader:
     """Bit reader over one un-stuffed restart segment (plain bytes:
     every marker concern was handled by :func:`_split_scan_segments`).
     Reads past the end yield 0 bits — the spec's padding region; a
-    well-formed scan never decodes a value from them."""
+    well-formed scan never decodes a VALUE from them, so a symbol read
+    attempted after every real bit is consumed raises (a truncated /
+    corrupt scan must fail loudly, not decode the missing tail to
+    silently-zero coefficients)."""
 
-    __slots__ = ("d", "i", "acc", "n")
+    __slots__ = ("d", "i", "acc", "n", "synth")
 
     def __init__(self, segment: bytes) -> None:
         self.d = segment
         self.i = 0
         self.acc = 0
         self.n = 0
+        self.synth = 0  # synthetic (past-end) bits currently in acc
 
     def _peek16(self) -> int:
         d, i, acc, n = self.d, self.i, self.acc, self.n
         while n < 16:
-            acc = (acc << 8) | (d[i] if i < len(d) else 0)
+            if i < len(d):
+                acc = (acc << 8) | d[i]
+            else:
+                acc <<= 8
+                self.synth += 8
             i += 1
             n += 8
         self.i, self.acc, self.n = i, acc, n
         return (acc >> (n - 16)) & 0xFFFF
 
+    def _exhausted(self) -> bool:
+        # no real bits left: nothing unread in the segment and every
+        # bit still in acc is synthetic padding
+        return self.i >= len(self.d) and self.n <= self.synth
+
     def read_huff(self, lut) -> int:
+        if self._exhausted():
+            raise ValueError("bad JPEG: scan segment truncated (symbol "
+                             "would decode entirely from padding)")
         packed = int(lut[self._peek16()])
         if packed == 0:
             raise ValueError("bad JPEG: invalid Huffman code in scan data")
         length = packed & 31
         self.n -= length
         self.acc &= (1 << self.n) - 1
+        if self.synth > self.n:
+            self.synth = self.n
         return packed >> 5
 
     def receive_extend(self, s: int) -> int:
         """Read s magnitude bits and sign-extend (T.81 EXTEND)."""
         if s == 0:
             return 0
+        if self._exhausted():
+            raise ValueError("bad JPEG: scan segment truncated (value "
+                             "would decode entirely from padding)")
         v = self._peek16() >> (16 - s)
         self.n -= s
         self.acc &= (1 << self.n) - 1
+        if self.synth > self.n:
+            self.synth = self.n
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
@@ -525,6 +548,11 @@ def decode_jpeg_gray(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them or the fill byte parses as the marker
+        # and the next two bytes as a bogus length
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -601,6 +629,16 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     import numpy as np
 
     width, height, comps = frame
+    if len(scan) != len(comps):
+        # a non-interleaved scan (legal under SOF0/SOF1: one scan per
+        # component) uses per-COMPONENT MCU geometry, not the frame-
+        # interleaved walk below — decoding it here would over-read
+        # blocks. Raise the NotImplementedError that routes the file to
+        # the optional Pillow path, like the other out-of-envelope modes.
+        raise NotImplementedError(
+            "multi-scan non-interleaved JPEG: stdlib path decodes one "
+            "interleaved scan covering all frame components"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if comps[0]["h"] != hmax or comps[0]["v"] != vmax:

@@ -5,9 +5,14 @@ columns with typed metadata, decoded executor-side in Arrow batches.
 The reference has no media path (documents are text nodes —
 /root/reference/pkg/models/node.go:177-183), so this module is the
 scale-extension surface: the Spark-side plumbing — schema, partitioning,
-UDF signature, batch shape — is real and tested; only the *foreign
-codec* decode (JPEG/PNG/H.264) is stubbed behind ``NotImplementedError``
-because no image/audio libraries exist in this container.
+UDF signature, batch shape — is real and tested. Codec coverage: PNG
+decodes in-container via the pure-stdlib codec (operators/png_stdlib.py,
+registered ahead of the optional Pillow probe), baseline/extended-
+sequential JPEG via operators/jpeg_stdlib.py, and MJPEG video streams
+via ``jpeg_stdlib.mjpeg_frame_bounds``; only out-of-envelope modes
+(progressive/12-bit JPEG, interlaced/16-bit PNG) and modern video
+containers (h264/vp9/av1) fall through to the guarded optional
+Pillow/PyAV paths with explicit dependency errors.
 
 Payload format ``raw-gray-v1`` (self-describing, deterministic):
 

@@ -105,10 +105,8 @@ _REVERIFY: dict[str, int] = {
     "ev_outliers_mad": 6,          # round 6: new (median/MAD robust outliers)
     "corpus_ccnet_buckets": 6,     # round 6: new (CCNet perplexity terciles)
     "stream_cusum_drift": 6,       # round 6: new (streaming CUSUM rollup)
-    "corpus_padding_waste": 6,     # round 6: new (batch padding audit)
     "graph_scc": 6,                # round 6: new (FW-BW coloring SCC)
     "text_tfidf_keywords": 6,      # round 6: new (TF-rarity keywords)
-    "corpus_quality_calibration": 6,  # round 6: new (quality-decile dup audit)
     "stream_dedup_minhash": 6,     # round 6: new (intake LSH dedup, stateful op #6)
     "dedup_semantic": 7,       # round 7: exact-group collapse (lossless rewrite)
     "sim_ivf_assign": 7,       # round 7: new (vectorized assignment kernel gate)
@@ -123,9 +121,12 @@ _REVERIFY: dict[str, int] = {
     "text_contamination_bloom": 8,  # round 8: bitset routed through serving cache
     "stream_transitions_ooo": 8,    # round 8: horizon violation now raises
     "stream_dedup_minhash_ooo": 8,  # round 8: split cache content-fingerprinted
+    "corpus_quality_calibration": 9,  # round 9: distributed exact ntile
+                                      # (lossless rewrite — same oracle)
+    "corpus_padding_waste": 9,  # round 9: distributed exact rank (lossless)
+    "dedup_ngram_jaccard": 9,  # round 9: xxhash64 hot ids + guarded broadcast
+    "dedup_containment": 9,    # round 9: xxhash64 hot ids + guarded broadcast
     "dedup_edit_distance": 5,  # round 5: dual-offset blocking + PassJoin
-    "dedup_containment": 5,    # round 5: df-capped candidate stage
-    "dedup_ngram_jaccard": 5,  # round 5: df-capped candidate stage
     "dedup_minhash_lsh": 5,    # round 5: exact-dedup-first rep stage
     "ev_funnel": 5,            # round 5: NULLIF zero-user conversion
     "corpus_filter_funnel": 5,  # round 5: NULLIF empty-corpus yield

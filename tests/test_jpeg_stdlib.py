@@ -201,3 +201,63 @@ def test_mjpeg_truncated_stream_raises():
     blob = encode_jpeg_gray(px, 8, 8)
     with pytest.raises(ValueError, match="truncated|SOI"):
         mjpeg_frame_bounds(blob[:-2] + b"\x00\x00")  # EOI clobbered
+
+
+# --- round-9 robustness fixes (ADVICE items) ---------------------------------
+def test_fill_bytes_before_marker_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code — a padded but legal file must decode, not parse the
+    fill byte as a marker with a bogus length."""
+    px = np.full(64, 100, dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(px, 8, 8))
+    i = data.find(b"\xff\xdb")  # pad before the first DQT marker
+    padded = bytes(data[:i]) + b"\xff\xff\xff" + bytes(data[i:])
+    w, h, out = decode_jpeg_gray(padded)
+    assert (w, h) == (8, 8)
+    assert np.abs(out.astype(int) - 100).max() <= 2
+
+
+def test_non_interleaved_multi_scan_routes_to_fallback():
+    """A multi-scan non-interleaved sequential JPEG (one scan per
+    component) is legal but outside the stdlib envelope — it must raise
+    the NotImplementedError that routes to the optional Pillow path,
+    not walk a single-component scan with frame-interleaved geometry."""
+    from codegraph_spark.operators.jpeg_stdlib import encode_jpeg_ycbcr420
+
+    y = np.full(16 * 16, 90, dtype=np.uint8)
+    c = np.full(8 * 8, 128, dtype=np.uint8)
+    data = bytearray(encode_jpeg_ycbcr420(y, c, c, 16, 16))
+    i = data.find(b"\xff\xda")  # SOS header: len, ns, (cs,td/ta)*ns ...
+    # rewrite the 3-component scan header to a 1-component one (luma
+    # only): length 12 -> 8, ns 3 -> 1, keep component 1's entry
+    ns_off = i + 4
+    assert data[ns_off] == 3
+    new_header = bytes([0x00, 0x08, 0x01]) + bytes(data[ns_off + 1:ns_off + 3]) + bytes(data[i + 2 + 12 - 3: i + 2 + 12])
+    data[i + 2: i + 2 + 12] = new_header
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg_gray(bytes(data))
+
+
+def test_truncated_scan_raises_not_silent_zeros():
+    """Chopping entropy-coded data must raise, not decode the missing
+    tail from zero padding into silently wrong pixels."""
+    px = np.arange(64 * 64, dtype=np.uint8).reshape(-1) % 251
+    data = encode_jpeg_gray(px, 64, 64, quality=95)
+    eoi = data.rfind(b"\xff\xd9")
+    scan_start = data.find(b"\xff\xda")
+    # cut half the entropy data (well past the SOS header)
+    cut = scan_start + (eoi - scan_start) // 2
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(data[:cut] + b"\xff\xd9")
+
+
+def test_bitreader_partial_final_symbol_still_decodes():
+    """The truncation guard must not reject VALID streams whose final
+    symbol's peek window extends past the segment end (normal: peeks
+    load padding, values never decode entirely from it)."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, 24 * 24, dtype=np.uint8)
+    for q in (50, 75, 90):
+        data = encode_jpeg_gray(px, 24, 24, quality=q)
+        w, h, out = decode_jpeg_gray(data)
+        assert (w, h) == (24, 24)
