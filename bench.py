@@ -49,6 +49,11 @@ HEADLINE = [
     "stream_dedup_minhash",
     "graph_scc",
     "corpus_pack_tokens",
+    # round-9 (r8 VERDICT item 6): the real-codec gates are production
+    # dispatch paths now — benched per round under the ≤2 s scan budget
+    # so a codec perf regression shows here, not only in SCALE.md.
+    "mm_png_roundtrip",
+    "mm_jpeg_roundtrip",
 ]
 
 

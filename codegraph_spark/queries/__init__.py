@@ -113,14 +113,18 @@ _REVERIFY: dict[str, int] = {
     "sim_ivf_sampled_purity": 7,  # round 7: new (sampled-trainer recovery gate)
     "ev_quantiles_sketch": 7,       # round 7: new (exact histogram quantiles)
     "stream_quantiles_sketch": 7,   # round 7: new (streaming histogram twin)
-    "mm_jpeg_roundtrip": 8,  # round 8: new (stdlib real-JPEG codec gate)
+    "mm_jpeg_roundtrip": 9,  # round 9: sort dropped (order-insensitive
+                             # compare; oracle unchanged)
     "sim_ivf_two_level_gate": 8,  # round 8: new (escalated-kernel driver gate)
     "stream_image_meta": 8,    # round 8: new (decode-at-the-ingest-door twin)
-    "mm_mjpeg_scene_cut": 8,   # round 8: new (real MJPEG video scene-cut gate)
-    "mm_png_roundtrip": 8,     # round 8: _ascii_nonempty guard + vectorized defilter
+    "mm_png_roundtrip": 9,     # round 9: sort dropped (order-insensitive
+                               # compare; oracle unchanged)
     "text_contamination_bloom": 8,  # round 8: bitset routed through serving cache
     "stream_transitions_ooo": 8,    # round 8: horizon violation now raises
     "stream_dedup_minhash_ooo": 8,  # round 8: split cache content-fingerprinted
+    "mm_stored_media_meta": 9,  # round 9: new (stored-bytes media scan gate)
+    "mm_mjpeg_scene_cut": 9,   # round 9: per-doc watermark, memo removed
+                               # (same oracle — cut list provably unchanged)
     "corpus_quality_calibration": 9,  # round 9: distributed exact ntile
                                       # (lossless rewrite — same oracle)
     "corpus_padding_waste": 9,  # round 9: distributed exact rank (lossless)

@@ -651,10 +651,15 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "width", "height", "checksum", "mean_milli"]
             )
 
+    # no final orderBy: the result set is corpus-sized (one row per
+    # doc) and the driver/oracle compare sorts rows itself — a global
+    # range sort here is exactly the shuffle you would not run at
+    # 100 TB, and it re-samples the kernel stage for range bounds
+    # (measured +0.7 s of the gate's 2 s budget at sf0.1)
     return docs.mapInPandas(
         kernel,
         "doc_id long, width int, height int, checksum long, mean_milli long",
-    ).orderBy("doc_id")
+    )
 
 
 _MM_PNG_SQL = f"""
@@ -726,9 +731,12 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "width", "height", "within_budget"]
             )
 
+    # no final orderBy — same rationale as mm_png_roundtrip: the
+    # compare is order-insensitive and the global sort costs ~30% of
+    # the gate's scan budget
     return docs.mapInPandas(
         kernel, "doc_id long, width int, height int, within_budget int"
-    ).orderBy("doc_id")
+    )
 
 
 _MM_JPEG_SQL = """
@@ -768,7 +776,22 @@ def mm_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_frames / n_cuts / first_cut from doc_id arithmetic), the
     sim_ivf_sampled_purity pattern. Unlike mm_scene_cut (raw-gray
     payloads), every byte here passed through deflate-free JPEG
-    entropy coding and the 8x8 DCT."""
+    entropy coding and the 8x8 DCT.
+
+    Every frame carries a per-document WATERMARK (the doc_id's little-
+    endian bytes over the first 8 pixels), so each document's stream is
+    byte-distinct and the kernel genuinely encodes, re-segments, and
+    decodes per document — a memo cannot absorb the x10 scale replica
+    (the r8 verdict flagged the earlier per-config memo as measuring
+    cache lookups, not decode). The watermark is IDENTICAL in every
+    frame of a doc, so within-doc frame deltas are untouched: same-
+    scene frames stay byte-identical (delta 0), and scene-boundary
+    deltas shift only by the difference in how q90 reconstructs 8
+    watermark pixels on different base brightnesses — measured worst
+    case (extreme 0xFF watermark, every dim/brightness pair, pinned in
+    tests/test_round9_ops.py) leaves boundary deltas ≥ 58000 milli
+    against the 30000 threshold — so the planted cut list, and
+    therefore the oracle's literals, are unchanged."""
     from codegraph_spark.operators.jpeg_stdlib import (
         encode_jpeg_gray,
         mjpeg_frame_bounds,
@@ -781,23 +804,20 @@ def mm_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        # build/decode is a pure function of (w, h, n_scenes) and only
-        # 16 x 3 distinct configurations exist across any doc_id range —
-        # memoize per Python worker, so every DISTINCT stream is still
-        # encoded, re-segmented, and decoded on real bytes exactly once
-        # while the per-doc loop stays O(lookup)
-        cache: dict[tuple, tuple] = {}
+        def stats(doc_id: int) -> tuple:
+            w, h, n_scenes = 16 + doc_id % 16, 16, 2 + doc_id % 3
+            wm = np.frombuffer(
+                (doc_id & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"),
+                dtype=np.uint8,
+            )
 
-        def stats(w: int, h: int, n_scenes: int) -> tuple:
-            key = (w, h, n_scenes)
-            got = cache.get(key)
-            if got is not None:
-                return got
+            def frame(s: int) -> bytes:
+                px = np.full(w * h, 40 + 60 * (s % 4), dtype=np.uint8)
+                px[:8] = wm
+                return encode_jpeg_gray(px, w, h, quality=90)
+
             stream = b"".join(
-                encode_jpeg_gray(
-                    np.full(w * h, 40 + 60 * (s % 4), dtype=np.uint8),
-                    w, h, quality=90,
-                )
+                frame(s)
                 for s in range(n_scenes)
                 for _f in range(_MJPEG_FRAMES_PER_SCENE)
             )
@@ -812,23 +832,23 @@ def mm_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(1, len(sums))
                 if abs(sums[i] - sums[i - 1]) * 1000 // n > _MJPEG_CUT_MILLI
             ]
-            got = (len(sums), len(cuts), cuts[0] if cuts else -1)
-            cache[key] = got
-            return got
+            return (len(sums), len(cuts), cuts[0] if cuts else -1)
 
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                n_frames, n_cuts, first_cut = stats(
-                    16 + doc_id % 16, 16, 2 + doc_id % 3
-                )
+                n_frames, n_cuts, first_cut = stats(doc_id)
                 out.append((doc_id, n_frames, n_cuts, first_cut))
             yield pd.DataFrame(
                 out, columns=["doc_id", "n_frames", "n_cuts", "first_cut"]
             )
 
-    return docs.mapInPandas(
+    # spread the per-doc encode/decode across cores (single-file local
+    # parquet arrives as one partition — the standard heavy-kernel hint)
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).mapInPandas(
         kernel, "doc_id long, n_frames int, n_cuts int, first_cut int"
     ).orderBy("doc_id")
 
@@ -843,7 +863,153 @@ ORDER BY doc_id
 """
 
 
+#: every Nth document gets a STORED media file in the fixture dir —
+#: bounds the one-time fixture build while keeping both codecs and all
+#: dim configurations covered at every sf
+_STORED_SUBSET_MOD = 5
+
+
+def _stored_media_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once on-disk media corpus for :func:`mm_stored_media_meta`:
+    REAL .png/.jpg files (stdlib codecs, deterministic content from the
+    documents table), so a driver gate can exercise the full stored-
+    bytes path — ``binaryFile`` scan → codec-from-extension → decode
+    dispatch — rather than synthesizing payloads inside the kernel.
+
+    Cached per (sf_dir, documents content fingerprint) under /tmp with
+    a ``_DONE`` sentinel — the read_documents_stream split-cache
+    pattern (streaming/incremental.py): rebuilt when absent or when the
+    source table's contents change. Files are written EXECUTOR-side
+    (mapInPandas partition loop — on a cluster this targets shared
+    storage; the per-file cost is the same shape as any export sink),
+    under dot-prefixed temp names then atomically renamed, so a killed
+    build can never leave a half-written file that a later scan trusts
+    (Spark file sources skip dot/underscore files)."""
+    import hashlib
+    import os
+
+    from codegraph_spark.streaming.incremental import _table_fingerprint
+
+    fp = _table_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|media-v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join("/tmp", "spark_graft_media", tag)
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    from codegraph_spark.operators.multimodal import _ascii_nonempty
+
+    docs = (
+        _ascii_nonempty(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .filter(F.col("doc_id") % _STORED_SUBSET_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def write_files(batches):
+        import os as _os
+
+        import numpy as np
+        import pandas as pd
+
+        from codegraph_spark.operators.jpeg_stdlib import encode_jpeg_gray
+        from codegraph_spark.operators.png_stdlib import encode_png
+
+        for pdf in batches:
+            n = 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id, text = int(doc_id), str(text)
+                w, h = 16 + doc_id % 48, 16 + doc_id % 32
+                npx = w * h
+                reps = -(-npx // len(text)) + 1
+                px = np.frombuffer(
+                    (text * reps)[:npx].encode("ascii"), dtype=np.uint8
+                )
+                if doc_id % 2 == 0:
+                    blob, name = encode_png(px, w, h), f"{doc_id:012d}.png"
+                else:
+                    blob = encode_jpeg_gray(px, w, h, quality=90,
+                                            restart_interval=4)
+                    name = f"{doc_id:012d}.jpg"
+                tmp = _os.path.join(root, f".{name}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(blob)
+                _os.replace(tmp, _os.path.join(root, name))
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    docs.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+def mm_stored_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED-payload media gate (r8 VERDICT "Next round" 5): unlike
+    the other codec gates, which synthesize bytes inside the kernel,
+    this one decodes codec bytes that live ON DISK as real .png/.jpg
+    files — the scan (sources/media.read_media_dir: distributed
+    ``binaryFile`` listing, codec from extension) feeds the production
+    decode kernel (operators/multimodal.decode_image_stats →
+    ``_decode_payload`` dispatch), end-to-end under the driver
+    contract. The generator's doc key is recovered from the filename
+    (the media source's own doc_id is the path hash — stable, but not
+    something the oracle can arithmetic on); the stored codec column
+    rides along via an output-sized join. Pins: dims + decoded pixel
+    count exactly for both codecs, the pixel checksum exactly for the
+    lossless PNG rows (-1 for lossy JPEG, whose pixel budget
+    mm_jpeg_roundtrip already gates); the oracle recomputes all of it
+    from the documents text (_BODY_CTE) — a wrong file write, a
+    misrouted extension, or a broken decode all hash-mismatch."""
+    from codegraph_spark.operators.multimodal import decode_image_stats
+    from codegraph_spark.sources.media import read_media_dir
+
+    root = _stored_media_dir(spark, sf_dir)
+    media = read_media_dir(spark, root, modality="image")
+    parsed = media.select(
+        F.regexp_extract("path", r"(\d+)\.(png|jpg)$", 1)
+        .cast("long").alias("doc_id"),
+        "codec",
+        "payload",
+    )
+    stats = decode_image_stats(parsed)
+    return (
+        stats.join(parsed.select("doc_id", "codec"), "doc_id")
+        .select(
+            "doc_id",
+            "codec",
+            "width",
+            "height",
+            F.col("body_len").cast("long").alias("body_len"),
+            F.when(F.col("codec") == "png", F.col("checksum"))
+            .otherwise(F.lit(-1)).cast("long").alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MM_STORED_SQL = f"""
+WITH {_BODY_CTE.strip()},
+sums AS (
+    SELECT doc_id, w, h, CAST(sum(b) AS BIGINT) AS cs
+    FROM px WHERE doc_id % {_STORED_SUBSET_MOD} = 0
+    GROUP BY doc_id, w, h
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+       w AS width, h AS height,
+       CAST(w * h AS BIGINT) AS body_len,
+       CASE WHEN doc_id % 2 = 0 THEN cs ELSE CAST(-1 AS BIGINT) END AS checksum
+FROM sums
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "mm_stored_media_meta": mm_stored_media_meta,
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_mjpeg_scene_cut": mm_mjpeg_scene_cut,
     "mm_png_roundtrip": mm_png_roundtrip,
@@ -860,6 +1026,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_stored_media_meta": _MM_STORED_SQL,
     "mm_jpeg_roundtrip": _MM_JPEG_SQL,
     "mm_mjpeg_scene_cut": _MM_MJPEG_SQL,
     "mm_png_roundtrip": _MM_PNG_SQL,

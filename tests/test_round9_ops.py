@@ -118,3 +118,74 @@ def test_hot_split_ids_are_distinct_per_doc(spark):
     assert len(sets[2]) == 1
     # the duplicated shingle mints the SAME id in both docs
     assert len(set(sets[1]) & set(sets[2])) == 1
+
+
+# --- stored-payload media gate + watermark margin (round-9 items 5/7) --------
+def test_mjpeg_watermark_preserves_cut_margin():
+    """The per-doc watermark must not eat the scene-cut margin: even an
+    extreme 0xFF watermark on the darkest base leaves every scene-
+    boundary delta far above the threshold, and same-scene frames stay
+    byte-identical (delta exactly 0)."""
+    import numpy as np
+
+    from codegraph_spark.operators.jpeg_stdlib import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+    from codegraph_spark.queries.multimodal import _MJPEG_CUT_MILLI
+
+    worst = 10**9
+    for w in (16, 24, 31):
+        h = 16
+        n = w * h
+        for wm in (bytes([255] * 8), bytes([0] * 8), bytes(range(248, 256))):
+            sums = []
+            for base in (40, 100, 160, 220):
+                px = np.full(n, base, dtype=np.uint8)
+                px[:8] = np.frombuffer(wm, dtype=np.uint8)
+                _, _, dec = decode_jpeg_gray(encode_jpeg_gray(px, w, h, quality=90))
+                sums.append(int(dec.astype(np.int64).sum()))
+            worst = min(
+                worst,
+                min(abs(sums[i] - sums[i - 1]) * 1000 // n for i in range(1, 4)),
+            )
+    assert worst > _MJPEG_CUT_MILLI * 1.5, worst
+
+
+def test_stored_media_fixture_writes_real_codec_files(spark):
+    """The stored-media fixture must hold genuine PNG/JPEG files on
+    disk (magic bytes), cache on the _DONE sentinel, and the gate must
+    decode the STORED bytes back to the text-derived stats."""
+    import glob
+    import os
+
+    from tests.conftest import TEST_SF_DIR
+    from codegraph_spark.queries.multimodal import (
+        _STORED_SUBSET_MOD,
+        _stored_media_dir,
+        mm_stored_media_meta,
+    )
+
+    root = _stored_media_dir(spark, TEST_SF_DIR)
+    pngs = sorted(glob.glob(os.path.join(root, "*.png")))
+    jpgs = sorted(glob.glob(os.path.join(root, "*.jpg")))
+    assert pngs and jpgs
+    with open(pngs[0], "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    with open(jpgs[0], "rb") as f:
+        assert f.read(2) == b"\xff\xd8"
+    # cached: second call returns the same dir without rebuilding
+    mtime = os.path.getmtime(os.path.join(root, "_DONE"))
+    assert _stored_media_dir(spark, TEST_SF_DIR) == root
+    assert os.path.getmtime(os.path.join(root, "_DONE")) == mtime
+    out = mm_stored_media_meta(spark, TEST_SF_DIR)
+    rows = out.collect()
+    assert rows, "gate produced no rows"
+    for r in rows[:20]:
+        assert r.doc_id % _STORED_SUBSET_MOD == 0
+        assert r.width == 16 + r.doc_id % 48 and r.height == 16 + r.doc_id % 32
+        assert r.body_len == r.width * r.height
+        if r.codec == "jpeg":
+            assert r.checksum == -1
+        else:
+            assert r.codec == "png" and r.checksum > 0

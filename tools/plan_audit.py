@@ -103,6 +103,7 @@ AUDIT = [
     "stream_transitions_ooo",
     "mm_png_roundtrip",
     "mm_jpeg_roundtrip",
+    "mm_stored_media_meta",
     "stream_image_meta",
     "mm_mjpeg_scene_cut",
     "ev_quantiles_sketch",

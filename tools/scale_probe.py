@@ -82,6 +82,7 @@ PROBES = [
     "stream_dedup_minhash_ooo",
     "mm_png_roundtrip",
     "mm_jpeg_roundtrip",
+    "mm_stored_media_meta",
     "stream_image_meta",
     "mm_mjpeg_scene_cut",
     "ev_quantiles_sketch",
