@@ -48,16 +48,31 @@ def distributed_row_number(
     n_sub: int = 32,
     out: str = "rn",
     total: str | None = None,
+    partition_cols: list[str] | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
-    """Attach ``out`` = exact ``row_number() OVER (ORDER BY key [DESC],
-    id)`` (1-based). ``key_col=None`` ranks by ``id`` alone. ``id``
-    must be unique and non-negative (it is the deterministic
-    tie-breaker AND the range-bucket axis). When ``total`` is given,
-    also attach the total row count as a column (needed by ntile-style
-    consumers; comes from the histogram, not a second corpus scan)."""
+    """Attach ``out`` = exact ``row_number() OVER ([PARTITION BY p...]
+    ORDER BY key [DESC], id)`` (1-based). ``key_col=None`` ranks by
+    ``id`` alone. ``id`` must be unique and non-negative (it is the
+    deterministic tie-breaker AND the range-bucket axis). When
+    ``total`` is given, also attach the per-partition row count as a
+    column (needed by ntile/tercile consumers; comes from the
+    histogram, not a second corpus scan).
+
+    With ``partition_cols``, the rank restarts per partition group —
+    the replacement for ``PARTITION BY lang ORDER BY score`` windows
+    whose groups are corpus-fraction-sized (a dominant language is one
+    fat sort partition; here it still splits ``n_sub`` ways by id
+    range, and the offset cumsums run over per-group histograms with a
+    PARTITIONED window). Set ``broadcast_offsets=False`` when
+    distinct_keys × n_sub can outgrow a broadcast (the offsets then
+    join by shuffle on the same (key, sub) partitioning the local
+    window needs, so the exchange is reused)."""
+    P = list(partition_cols or [])
     key = F.col(key_col) if key_col is not None else F.lit(0).cast("long")
     # contiguous id-range sub-buckets: width = ceil(span / n_sub) keeps
     # sub in [0, n_sub) with pure integer arithmetic, monotone in id
+    # (global bounds — per-group contiguity holds a fortiori)
     bounds = df.select(
         F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi")
     )
@@ -73,35 +88,51 @@ def distributed_row_number(
         )
         .drop("_lo", "_hi")
     )
-    cells = based.groupBy("_key", "_sub").agg(F.count(F.lit(1)).alias("_c"))
+    cells = based.groupBy(*P, "_key", "_sub").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     key_order = F.col("_key").desc() if descending else F.col("_key").asc()
-    # key-level exclusive cumsum: an unpartitioned window over DISTINCT
+    # key-level exclusive cumsum: with partition_cols this window is
+    # PARTITIONED; without, it is unpartitioned but runs over DISTINCT
     # KEYS only (histogram-bounded by contract — see module docstring)
-    wk = Window.orderBy(key_order).rowsBetween(Window.unboundedPreceding, -1)
+    wk = (
+        Window.partitionBy(*P).orderBy(key_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     keys = (
-        cells.groupBy("_key").agg(F.sum("_c").alias("_kt"))
+        cells.groupBy(*P, "_key").agg(F.sum("_c").alias("_kt"))
         .select(
-            "_key",
+            *P, "_key",
             F.coalesce(F.sum("_kt").over(wk), F.lit(0)).alias("_koff"),
         )
     )
     ws = (
-        Window.partitionBy("_key").orderBy("_sub")
+        Window.partitionBy(*P, "_key").orderBy("_sub")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
         cells.withColumn("_soff", F.coalesce(F.sum("_c").over(ws), F.lit(0)))
-        .join(keys, "_key")
-        .select("_key", "_sub", (F.col("_koff") + F.col("_soff")).alias("_off"))
+        .join(keys, P + ["_key"])
+        .select(
+            *P, "_key", "_sub",
+            (F.col("_koff") + F.col("_soff")).alias("_off"),
+        )
     )
-    wl = Window.partitionBy("_key", "_sub").orderBy(id_col)
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    wl = Window.partitionBy(*P, "_key", "_sub").orderBy(id_col)
     ranked = (
-        based.join(F.broadcast(offsets), ["_key", "_sub"])
+        based.join(offsets, P + ["_key", "_sub"])
         .withColumn(out, (F.col("_off") + F.row_number().over(wl)).cast("long"))
         .drop("_key", "_sub", "_off")
     )
     if total is not None:
-        # one row, summed off the histogram — not a second corpus scan
-        n = cells.groupBy().agg(F.sum("_c").cast("long").alias(total))
-        ranked = ranked.crossJoin(F.broadcast(n))
+        # summed off the histogram — not a second corpus scan; one row
+        # (no partitions) or one row per partition group
+        if P:
+            n = cells.groupBy(*P).agg(F.sum("_c").cast("long").alias(total))
+            ranked = ranked.join(F.broadcast(n), P)
+        else:
+            n = cells.groupBy().agg(F.sum("_c").cast("long").alias(total))
+            ranked = ranked.crossJoin(F.broadcast(n))
     return ranked

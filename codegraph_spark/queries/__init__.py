@@ -102,8 +102,10 @@ _REVERIFY: dict[str, int] = {
     "mm_phash": 6,                 # round 6: new (DCT perceptual hash)
     "mm_audio_zcr": 6,             # round 6: new (zero-crossing rate)
     "ev_cusum_drift": 6,           # round 6: new (CUSUM drift detection)
-    "ev_outliers_mad": 6,          # round 6: new (median/MAD robust outliers)
-    "corpus_ccnet_buckets": 6,     # round 6: new (CCNet perplexity terciles)
+    "ev_outliers_mad": 9,          # round 9: histogram-cumsum medians
+                                   # (lossless rewrite — same oracle)
+    "corpus_ccnet_buckets": 9,     # round 9: distributed per-lang rank
+                                   # (lossless rewrite — same oracle)
     "stream_cusum_drift": 6,       # round 6: new (streaming CUSUM rollup)
     "graph_scc": 6,                # round 6: new (FW-BW coloring SCC)
     "text_tfidf_keywords": 6,      # round 6: new (TF-rarity keywords)

@@ -987,31 +987,47 @@ def ev_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n+1) div 2) — exact, interpolation-free, so both engines agree
     without a float quantile contract. Flags |x − med| > 3·MAD.
 
-    Scale shape: two per-type sort windows (cents, then deviation
-    cents) over type-partitioned data, then one agg; at 100 TB the
-    order statistic swaps to approx_percentile exactly as
-    ev_value_quantiles documents."""
+    Scale shape — histogram cumsum, NOT per-type row sorts (the
+    text_length_profile shape): values are integer CENTS, so distinct
+    cents ≪ rows; each median is a rank pick over the (type, cents)
+    HISTOGRAM — GROUP BY shrinks first (map-side combine), the cumsum
+    window runs over histogram rows only, and a hot event type costs
+    its distinct-cents count, not its row count. Exact lower-median,
+    same oracle; no corpus-fraction-sized sort partition exists at any
+    skew."""
     ev = load_table(spark, sf_dir, "events")
     vals = ev.select(
         "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
     )
-    wv = Window.partitionBy("event_type").orderBy("vc")
-    wc = Window.partitionBy("event_type")
-    med = (
-        vals.withColumn("rn", F.row_number().over(wv))
-        .withColumn("n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select(F.col("event_type").alias("met"), F.col("vc").alias("med_cents"))
+
+    def hist_lower_median(df, val_col: str, out: str) -> DataFrame:
+        """Per-type lower median (value at rank (n+1) div 2) via the
+        histogram-cumsum rank pick — input rows per window partition =
+        distinct values of one event type."""
+        hist = df.groupBy("event_type", val_col).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wcum = (
+            Window.partitionBy("event_type").orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+            "n", F.sum("c").over(Window.partitionBy("event_type"))
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col(val_col))
+            ).alias(out)
+        )
+
+    med = hist_lower_median(vals, "vc", "med_cents").withColumnRenamed(
+        "event_type", "met"
     )
     dev = vals.join(
         F.broadcast(med), F.col("event_type") == F.col("met")
     ).withColumn("dc", F.abs(F.col("vc") - F.col("med_cents")))
-    wd = Window.partitionBy("event_type").orderBy("dc")
-    mad = (
-        dev.withColumn("rn", F.row_number().over(wd))
-        .withColumn("n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select(F.col("event_type").alias("mat"), F.col("dc").alias("mad_cents"))
+    mad = hist_lower_median(dev, "dc", "mad_cents").withColumnRenamed(
+        "event_type", "mat"
     )
     return (
         dev.join(F.broadcast(mad), F.col("event_type") == F.col("mat"))

@@ -1578,17 +1578,27 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the exact integer ppm scores — no float quantile contract.
 
     Scale shape: the LM scoring is the corpus-mass work (shapes in
-    text_lm_score); the bucketing adds one per-language sort window —
-    the same order-statistic shape ev_outliers_mad documents, with the
-    same approx-percentile swap at 100 TB."""
+    text_lm_score); the bucketing previously added one per-LANGUAGE
+    sort window — partitioned, but a dominant language is a
+    corpus-fraction-sized sort partition at 100 TB. It now runs
+    through ``distributed_row_number`` with ``partition_cols=[lang]``
+    (operators/ranks.py): per-(lang, ppm-histogram) offset cumsums
+    plus windows partitioned by (lang, ppm, id-range bucket) — ranks
+    bit-identical to the plain window (the oracle keeps it), fattest
+    window partition = one cell, offsets joined by shuffle (integer
+    ppm cardinality is value-range-bounded but too wide to promise a
+    broadcast)."""
+    from codegraph_spark.operators.ranks import distributed_row_number
+
     scores = text_lm_score(spark, sf_dir).select("doc_id", "avg_ppm")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     j = docs.join(scores, "doc_id")
-    w = Window.partitionBy("lang").orderBy(F.desc("avg_ppm"), "doc_id")
-    wc = Window.partitionBy("lang")
+    ranked = distributed_row_number(
+        j, "avg_ppm", partition_cols=["lang"], descending=True,
+        total="n", broadcast_offsets=False,
+    )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wc))
+        ranked
         .select(
             "doc_id", "lang", "avg_ppm",
             F.when(F.col("rn") * 3 <= F.col("n"), "head")

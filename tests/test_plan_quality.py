@@ -62,6 +62,8 @@ _UNKEYED_JOIN_OK = {
     "corpus_padding_waste",     # crossJoin(1-row id bounds / 1-row total)
                                 # in distributed_row_number
     "corpus_quality_calibration",  # same 1-row bounds/total broadcasts
+    "corpus_ccnet_buckets",     # same 1-row bounds broadcast (partitioned
+                                # distributed_row_number)
 }
 
 

@@ -189,3 +189,31 @@ def test_stored_media_fixture_writes_real_codec_files(spark):
             assert r.checksum == -1
         else:
             assert r.codec == "png" and r.checksum > 0
+
+
+# --- partitioned distributed rank (corpus_ccnet_buckets rewrite) --------------
+def test_rank_partitioned_matches_window(spark):
+    """partition_cols mode must reproduce row_number() OVER
+    (PARTITION BY grp ORDER BY key DESC, doc_id) exactly — including a
+    dominant group with heavy key ties and a group absent from part of
+    the key range."""
+    rows = [
+        Row(doc_id=i * 13 + 1,
+            grp=("en" if i < 160 else ("de" if i % 2 == 0 else "fr")),
+            key=(i % 4 if i < 160 else i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows).repartition(8)
+    got = distributed_row_number(
+        df, "key", partition_cols=["grp"], descending=True,
+        total="n", broadcast_offsets=False,
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("key"), "doc_id")
+    ref = df.withColumn("rn_ref", F.row_number().over(w).cast("long")).withColumn(
+        "n_ref", F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("long")
+    )
+    j = got.join(ref.select("doc_id", "rn_ref", "n_ref"), "doc_id")
+    bad = j.filter(
+        (F.col("rn") != F.col("rn_ref")) | (F.col("n") != F.col("n_ref"))
+    ).count()
+    assert bad == 0
