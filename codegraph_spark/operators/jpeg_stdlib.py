@@ -474,10 +474,11 @@ class _BitReader:
     corrupt scan must fail loudly, not decode the missing tail to
     silently-zero coefficients)."""
 
-    __slots__ = ("d", "i", "acc", "n", "synth")
+    __slots__ = ("d", "L", "i", "acc", "n", "synth")
 
     def __init__(self, segment: bytes) -> None:
         self.d = segment
+        self.L = len(segment)
         self.i = 0
         self.acc = 0
         self.n = 0
@@ -485,8 +486,9 @@ class _BitReader:
 
     def _peek16(self) -> int:
         d, i, acc, n = self.d, self.i, self.acc, self.n
+        L = self.L
         while n < 16:
-            if i < len(d):
+            if i < L:
                 acc = (acc << 8) | d[i]
             else:
                 acc <<= 8
@@ -498,35 +500,38 @@ class _BitReader:
 
     def _exhausted(self) -> bool:
         # no real bits left: nothing unread in the segment and every
-        # bit still in acc is synthetic padding
-        return self.i >= len(self.d) and self.n <= self.synth
+        # bit still in acc is synthetic padding (kept as a method for
+        # tests/external callers; the hot paths inline the comparison)
+        return self.i >= self.L and self.n <= self.synth
 
     def read_huff(self, lut) -> int:
-        if self._exhausted():
+        if self.i >= self.L and self.n <= self.synth:
             raise ValueError("bad JPEG: scan segment truncated (symbol "
                              "would decode entirely from padding)")
         packed = int(lut[self._peek16()])
         if packed == 0:
             raise ValueError("bad JPEG: invalid Huffman code in scan data")
         length = packed & 31
-        self.n -= length
-        self.acc &= (1 << self.n) - 1
-        if self.synth > self.n:
-            self.synth = self.n
+        n = self.n - length
+        self.n = n
+        self.acc &= (1 << n) - 1
+        if self.synth > n:
+            self.synth = n
         return packed >> 5
 
     def receive_extend(self, s: int) -> int:
         """Read s magnitude bits and sign-extend (T.81 EXTEND)."""
         if s == 0:
             return 0
-        if self._exhausted():
+        if self.i >= self.L and self.n <= self.synth:
             raise ValueError("bad JPEG: scan segment truncated (value "
                              "would decode entirely from padding)")
         v = self._peek16() >> (16 - s)
-        self.n -= s
-        self.acc &= (1 << self.n) - 1
-        if self.synth > self.n:
-            self.synth = self.n
+        n = self.n - s
+        self.n = n
+        self.acc &= (1 << n) - 1
+        if self.synth > n:
+            self.synth = n
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 

@@ -217,3 +217,36 @@ def test_rank_partitioned_matches_window(spark):
         (F.col("rn") != F.col("rn_ref")) | (F.col("n") != F.col("n_ref"))
     ).count()
     assert bad == 0
+
+
+# --- property: distributed rank == global window on arbitrary inputs ----------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ids = st.lists(
+    st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40,
+    unique=True,
+)
+_keys = st.lists(st.integers(min_value=-5, max_value=5), min_size=40, max_size=40)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ids=_ids, keys=_keys, desc=st.booleans(), n_sub=st.sampled_from([1, 3, 32]))
+def test_rank_equals_window_property(spark, ids, keys, desc, n_sub):
+    """For ANY unique non-negative id set, any (possibly negative,
+    tie-heavy) key assignment, either direction, and any sub-bucket
+    count, the two-level rank must equal the global window's."""
+    rows = [Row(doc_id=i, key=keys[j]) for j, i in enumerate(ids)]
+    df = spark.createDataFrame(rows).repartition(4)
+    got = distributed_row_number(df, "key", descending=desc, n_sub=n_sub)
+    order = [F.col("key").desc() if desc else F.col("key").asc(),
+             F.col("doc_id").asc()]
+    ref = df.withColumn(
+        "rn_ref", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    j = got.join(ref.select("doc_id", "rn_ref"), "doc_id")
+    assert j.filter(F.col("rn") != F.col("rn_ref")).count() == 0
