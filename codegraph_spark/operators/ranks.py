@@ -29,8 +29,17 @@ a token count — distinct values ≪ rows). For a high-cardinality key,
 rethink the query instead (this helper would degrade to a
 histogram-as-big-as-the-corpus).
 
-Used by corpus_quality_calibration / corpus_padding_waste
-(queries/text.py) — the round-8 verdict's two named scale-killers.
+Cost trade, stated plainly: the input is evaluated three times (the
+1-column id-bounds aggregate, the cell-count aggregate, and the final
+offset join) where the naive global window reads it once. All three
+are column-pruned parallel scans with map-side-combining aggregates —
+at 100 TB that is strictly cheaper than funneling the corpus through
+one sort task, and callers whose input is expensive to recompute can
+pass an already-cached DataFrame.
+
+Used by corpus_quality_calibration / corpus_padding_waste /
+corpus_ccnet_buckets (queries/text.py) — the round-8 verdict's named
+scale-killers plus the per-language variant of the same shape.
 """
 
 from __future__ import annotations
