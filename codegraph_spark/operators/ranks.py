@@ -78,6 +78,14 @@ def distributed_row_number(
     join by shuffle on the same (key, sub) partitioning the local
     window needs, so the exchange is reused)."""
     P = list(partition_cols or [])
+    reserved = {"_lo", "_hi", "_key", "_sub", "_c", "_kt", "_koff",
+                "_soff", "_off", out}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"distributed_row_number: input columns {clash} collide "
+            f"with the operator's internals/output — rename them first"
+        )
     key = F.col(key_col) if key_col is not None else F.lit(0).cast("long")
     # contiguous id-range sub-buckets: width = ceil(span / n_sub) keeps
     # sub in [0, n_sub) with pure integer arithmetic, monotone in id

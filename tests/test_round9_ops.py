@@ -250,3 +250,12 @@ def test_rank_equals_window_property(spark, ids, keys, desc, n_sub):
     )
     j = got.join(ref.select("doc_id", "rn_ref"), "doc_id")
     assert j.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+
+
+def test_rank_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([Row(doc_id=1, key=2, _sub=3)])
+    with pytest.raises(ValueError, match="collide"):
+        distributed_row_number(df, "key")
+    df2 = spark.createDataFrame([Row(doc_id=1, key=2, rn=3)])
+    with pytest.raises(ValueError, match="collide"):
+        distributed_row_number(df2, "key")
