@@ -49,6 +49,11 @@ RAW_GRAY_V1 = "raw-gray-v1"
 #: bytes 4-7 sample count (uint32 BE), then n unsigned 8-bit samples.
 RAW_PCM_V1 = "raw-pcm-v1"
 
+#: real audio container that decodes dependency-free here: RIFF/WAVE
+#: integer PCM via operators/wav_stdlib.py (the png_stdlib precedent
+#: for the audio modality).
+WAV_CODEC = "wav"
+
 #: metadata carried alongside every media payload (typed, columnar —
 #: never inside the binary, so planning-time pruning can use it).
 META_COLS = ("modality", "codec", "width", "height", "n_bytes")
@@ -195,6 +200,84 @@ def _decode_payload(payload: bytes, codec: str):
         f"{'/'.join(PIL_CODECS)} via optional Pillow; "
         f"{'/'.join(AV_CODECS)} via optional PyAV/imageio through "
         "_decode_video_frames)."
+    )
+
+
+def _decode_audio_payload(payload: bytes, codec: str):
+    """payload -> (interleaved samples, midline, rate, channels, bits).
+
+    The audio codec dispatch point, mirroring :func:`_decode_payload`
+    for images: ``raw-pcm-v1`` (the deterministic oracle-checkable
+    format) decodes always; RIFF/WAVE integer PCM decodes through the
+    pure-stdlib codec (operators/wav_stdlib.py) so one REAL audio
+    container crosses the ingest door dependency-free; compressed
+    formats fail fast with the dependency story. Samples come back as
+    a flat interleaved array in the container's native integer dtype
+    (uint8 around ``midline`` 128, or int16 around 0) so every
+    downstream kernel — energy, ZCR, VAD, fingerprint — runs the same
+    integer math on either.
+    """
+    import numpy as np
+
+    if codec == RAW_PCM_V1:
+        rate, count = struct.unpack(">II", payload[:8])
+        samples = np.frombuffer(payload, dtype=np.uint8, offset=8)
+        if samples.size != count:
+            raise ValueError(
+                f"raw-pcm-v1 declares {count} samples, payload holds "
+                f"{samples.size}"
+            )
+        return samples, 128, rate, 1, 8
+    if codec == WAV_CODEC:
+        from codegraph_spark.operators.wav_stdlib import decode_wav
+
+        rate, n_channels, bits, frames = decode_wav(bytes(payload))
+        midline = 128 if bits == 8 else 0
+        return frames.reshape(-1), midline, rate, n_channels, bits
+    raise NotImplementedError(
+        f"codec {codec!r}: real compressed-audio decoders (MP3/FLAC/"
+        f"Ogg/...) are not available in this container — only "
+        f"{RAW_PCM_V1!r} and integer-PCM {WAV_CODEC!r} (RIFF/WAVE via "
+        "operators/wav_stdlib.py) decode dependency-free."
+    )
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_frames long, energy long"
+)
+
+
+def decode_audio_stats(audio: DataFrame) -> DataFrame:
+    """decode → container meta + integer energy out of the binary
+    payload — the audio twin of :func:`decode_image_stats`. Runs on
+    any codec :func:`_decode_audio_payload` understands (raw-pcm-v1,
+    RIFF/WAVE); energy is the exact int64 sum of squared samples over
+    all channels, so an integer oracle can recompute it."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                samples, _mid, rate, ch, _bits = _decode_audio_payload(
+                    payload, codec
+                )
+                s = samples.astype(np.int64)
+                out.append(
+                    (int(doc_id), rate, ch, s.size // ch, int((s * s).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames", "energy"
+                ],
+            )
+
+    return audio.select("doc_id", "payload", "codec").mapInPandas(
+        batches, schema=AUDIO_STATS_SCHEMA
     )
 
 
@@ -431,13 +514,9 @@ def audio_window_energy(audio: DataFrame, window: int = 256) -> DataFrame:
             for doc_id, payload, codec in zip(
                 pdf["doc_id"], pdf["payload"], pdf["codec"]
             ):
-                if codec != RAW_PCM_V1:
-                    raise NotImplementedError(
-                        f"codec {codec!r}: real audio decoders (MP3/FLAC/...) "
-                        "are not available in this container — only "
-                        f"{RAW_PCM_V1!r} is decodable."
-                    )
-                samples = np.frombuffer(payload, dtype=np.uint8, offset=8)
+                samples, _mid, _rate, _ch, _bits = _decode_audio_payload(
+                    payload, codec
+                )
                 n_win = samples.size // window
                 usable = samples[: n_win * window].reshape(n_win, window)
                 sq = usable.astype(np.int64)
@@ -474,16 +553,12 @@ def audio_zero_crossings(audio: DataFrame, window: int = 256) -> DataFrame:
             for doc_id, payload, codec in zip(
                 pdf["doc_id"], pdf["payload"], pdf["codec"]
             ):
-                if codec != RAW_PCM_V1:
-                    raise NotImplementedError(
-                        f"codec {codec!r}: real audio decoders (MP3/FLAC/...) "
-                        "are not available in this container — only "
-                        f"{RAW_PCM_V1!r} is decodable."
-                    )
-                samples = np.frombuffer(payload, dtype=np.uint8, offset=8)
+                samples, midline, _rate, _ch, _bits = _decode_audio_payload(
+                    payload, codec
+                )
                 n_win = samples.size // window
                 usable = samples[: n_win * window].reshape(n_win, window)
-                sgn = usable >= 128
+                sgn = usable >= midline
                 crossings = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1)
                 out_ids.extend([doc_id] * n_win)
                 out_idx.extend(range(n_win))

@@ -892,7 +892,7 @@ def _stored_media_dir(spark: SparkSession, sf_dir: str) -> str:
 
     fp = _table_fingerprint(sf_dir, "documents")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|media-v1".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|media-v2".encode()
     ).hexdigest()[:12]
     root = os.path.join("/tmp", "spark_graft_media", tag)
     done = os.path.join(root, "_DONE")
@@ -917,6 +917,13 @@ def _stored_media_dir(spark: SparkSession, sf_dir: str) -> str:
 
         from codegraph_spark.operators.jpeg_stdlib import encode_jpeg_gray
         from codegraph_spark.operators.png_stdlib import encode_png
+        from codegraph_spark.operators.wav_stdlib import encode_wav
+
+        def _emit(name, blob):
+            tmp = _os.path.join(root, f".{name}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            _os.replace(tmp, _os.path.join(root, name))
 
         for pdf in batches:
             n = 0
@@ -934,11 +941,21 @@ def _stored_media_dir(spark: SparkSession, sf_dir: str) -> str:
                     blob = encode_jpeg_gray(px, w, h, quality=90,
                                             restart_interval=4)
                     name = f"{doc_id:012d}.jpg"
-                tmp = _os.path.join(root, f".{name}.tmp")
-                with open(tmp, "wb") as fh:
-                    fh.write(blob)
-                _os.replace(tmp, _os.path.join(root, name))
-                n += 1
+                _emit(name, blob)
+                # the audio arm: the mm_wav_roundtrip clip rule, stored
+                # as a real .wav alongside the image
+                n_frames = 512 + doc_id % 384
+                rate = 8000 + (doc_id % 3) * 4000
+                ch = 1 + doc_id % 2
+                b = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+                idx = np.arange(n_frames * ch) % b.size
+                smp = ((b[idx].astype(np.int32) - 96) * 128).astype(np.int16)
+                _emit(
+                    f"{doc_id:012d}.wav",
+                    encode_wav(smp.reshape(n_frames, ch), rate,
+                               info=f"doc{doc_id}"),
+                )
+                n += 2
             yield pd.DataFrame({"n": [n]})
 
     docs.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
@@ -1008,7 +1025,159 @@ ORDER BY doc_id
 """
 
 
+def mm_stored_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED-payload gate for the AUDIO modality: real ``.wav`` files
+    on disk (written by the same build-once fixture as
+    :func:`mm_stored_media_meta`, RIFF bytes from
+    operators/wav_stdlib.encode_wav) cross the full production path —
+    ``binaryFile`` scan → codec-from-extension
+    (sources/media.read_media_dir) → audio decode dispatch
+    (operators/multimodal.decode_audio_stats →
+    ``_decode_audio_payload``). Pins: container meta (rate, channels,
+    frame count) and the exact int64 sample energy; the oracle
+    recomputes all of it from the documents text via the
+    mm_wav_roundtrip clip rule, restricted to the stored subset — a
+    wrong file write, a misrouted extension, or a broken RIFF walk all
+    hash-mismatch."""
+    from codegraph_spark.operators.multimodal import decode_audio_stats
+    from codegraph_spark.sources.media import read_media_dir
+
+    root = _stored_media_dir(spark, sf_dir)
+    media = read_media_dir(spark, root, modality="audio")
+    parsed = media.select(
+        F.regexp_extract("path", r"(\d+)\.wav$", 1)
+        .cast("long").alias("doc_id"),
+        "codec",
+        "payload",
+    )
+    # output-sized result, driver compare sorts rows; the orderBy here
+    # is over the stored SUBSET (1/5th of docs) — bounded, and it keeps
+    # the gate deterministic under limit-probing tools
+    return decode_audio_stats(parsed).orderBy("doc_id")
+
+
+def _stored_wav_sql() -> str:
+    # the mm_wav_roundtrip arithmetic, restricted to the stored subset
+    return _MM_WAV_SQL.replace(
+        "WHERE length(text) > 0",
+        f"WHERE length(text) > 0 AND doc_id % {_STORED_SUBSET_MOD} = 0",
+    )
+
+
+def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-CONTAINER round-trip gate — the png/jpeg precedent
+    applied to the audio modality (r8 closed images; audio previously
+    decoded only the raw-pcm-v1 bytes): each document's deterministic
+    16-bit PCM clip (samples derived from its text bytes, stereo for
+    odd doc_ids so frame interleave runs on real bytes) is encoded as
+    a GENUINE RIFF/WAVE file — fmt chunk, an odd-length LIST/INFO
+    comment chunk so the pad-byte chunk walk runs, data chunk — then
+    decoded back through the production audio codec dispatch
+    (operators/multimodal._decode_audio_payload, which routes 'wav'
+    to the stdlib decoder). The emitted meta and integer energy come
+    from the DECODED container; the oracle recomputes them from the
+    text directly, so a hash match proves the RIFF walk + PCM decode
+    is the identity on this corpus. ``struct`` + numpy only
+    (operators/wav_stdlib.py).
+
+    Clip rule (shared with the oracle, all integer): n_frames =
+    512 + doc_id % 384; rate = 8000 + (doc_id % 3) * 4000; channels =
+    1 + doc_id % 2; interleaved sample j = (byte(text[j mod len]) −
+    96) * 128 — int16-safe for printable ASCII."""
+    from codegraph_spark.operators.multimodal import (
+        _ascii_nonempty,
+        _decode_audio_payload,
+    )
+    from codegraph_spark.operators.wav_stdlib import encode_wav
+
+    # same one-partition hint as the image codec gates: spread the
+    # per-doc encode/decode kernel across cores
+    docs = _ascii_nonempty(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                text = str(text)
+                if not text:  # unreachable past _ascii_nonempty; stay total
+                    continue
+                n_frames = 512 + doc_id % 384
+                rate = 8000 + (doc_id % 3) * 4000
+                ch = 1 + doc_id % 2
+                b = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+                idx = np.arange(n_frames * ch) % b.size
+                smp = ((b[idx].astype(np.int32) - 96) * 128).astype(np.int16)
+                wav = encode_wav(
+                    smp.reshape(n_frames, ch), rate, info=f"doc{doc_id}"
+                )
+                got, mid, grate, gch, gbits = _decode_audio_payload(
+                    wav, "wav"
+                )
+                if (mid, gbits) != (0, 16):
+                    raise AssertionError(
+                        f"doc {doc_id}: wav decode returned midline {mid}/"
+                        f"{gbits}-bit for a 16-bit clip"
+                    )
+                s = got.astype(np.int64)
+                out.append(
+                    (doc_id, grate, gch, s.size // gch,
+                     int((s * s).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames", "energy"
+                ],
+            )
+
+    # no final orderBy: corpus-sized result, driver compare sorts rows
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, sample_rate int, channels int, n_frames long, "
+        "energy long",
+    )
+
+
+_MM_WAV_SQL = """
+WITH clips AS (
+    SELECT doc_id, text, length(text) AS L,
+           CAST(512 + doc_id % 384 AS BIGINT) AS n_frames,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels
+    FROM documents
+    WHERE length(text) > 0
+),
+idx AS (
+    SELECT doc_id, sample_rate, channels, n_frames, text, L,
+           unnest(range(0, n_frames * channels)) AS j
+    FROM clips
+),
+smp AS (
+    SELECT doc_id, sample_rate, channels, n_frames,
+           CAST((ascii(substr(text, CAST(j % L AS INT) + 1, 1)) - 96) * 128
+                AS BIGINT) AS s
+    FROM idx
+)
+SELECT doc_id,
+       any_value(sample_rate) AS sample_rate,
+       any_value(channels) AS channels,
+       any_value(n_frames) AS n_frames,
+       CAST(sum(s * s) AS BIGINT) AS energy
+FROM smp
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "mm_wav_roundtrip": mm_wav_roundtrip,
+    "mm_stored_wav_meta": mm_stored_wav_meta,
     "mm_stored_media_meta": mm_stored_media_meta,
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_mjpeg_scene_cut": mm_mjpeg_scene_cut,
@@ -1026,6 +1195,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_wav_roundtrip": _MM_WAV_SQL,
+    "mm_stored_wav_meta": _stored_wav_sql(),
     "mm_stored_media_meta": _MM_STORED_SQL,
     "mm_jpeg_roundtrip": _MM_JPEG_SQL,
     "mm_mjpeg_scene_cut": _MM_MJPEG_SQL,
