@@ -35,6 +35,51 @@ GROUP BY 1, 2
 """
 
 
+def ev_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING-window aggregate (1 h windows sliding every 15 min ×
+    event_type): the overlapping-window shape Structured Streaming's
+    ``window(ts, '1 hour', '15 minutes')`` produces — each event lands
+    in exactly 4 windows, so dashboards get a smoothed hourly rate
+    without waiting for an hour boundary. Spark's built-in slide
+    enumeration (epoch-aligned window starts) does the fan-out
+    JVM-side; the oracle enumerates the same 4 starts by integer
+    epoch arithmetic. Scale shape: one scan, a 4× map-side row
+    fan-out, one (window, type)-keyed agg — partial aggregation
+    absorbs the fan-out before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_HOPPING_SQL = """
+WITH hops AS (
+    SELECT event_type, value,
+           make_timestamp(
+               ((epoch_ms(ts) // 900000) * 900 - k.k * 900)
+               * 1000000
+           ) AS win_start
+    FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT CAST(win_start AS VARCHAR) AS win_start, event_type,
+       count(*) AS n, ROUND(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM hops
+GROUP BY 1, 2
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative
     sum of gap flags per user — the batch twin of
@@ -1241,6 +1286,7 @@ QUERIES = {
     "ev_cms_topk": ev_cms_topk,
     "ev_kmv_distinct": ev_kmv_distinct,
     "ev_hourly_agg": ev_hourly_agg,
+    "ev_hopping_agg": ev_hopping_agg,
     "ev_dau_wau": ev_dau_wau,
     "ev_inactive_gap": ev_inactive_gap,
     "ev_funnel": ev_funnel,
@@ -1265,6 +1311,7 @@ ORACLES = {
     "ev_cms_topk": _CMS_SQL,
     "ev_kmv_distinct": _KMV_SQL,
     "ev_hourly_agg": _HOURLY_SQL,
+    "ev_hopping_agg": _HOPPING_SQL,
     "ev_dau_wau": _DAU_WAU_SQL,
     "ev_inactive_gap": _INACTIVE_SQL,
     "ev_funnel": _FUNNEL_SQL,

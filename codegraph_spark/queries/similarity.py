@@ -2404,7 +2404,122 @@ ORDER BY q_id, rn
 """
 
 
+# --- prototypicality pruning (SSL-prototypes / D4 family) ---------------------
+#: fraction of each cluster pruned, in percent — the most PROTOTYPICAL
+#: (closest-to-centroid) quarter, per Sorscher et al. 2022 ("Beyond
+#: neural scaling laws"): with abundant data, easy prototypical
+#: examples teach the least per token.
+_PROTO_PRUNE_PCT = 25
+
+
+def sim_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality PRUNING — the other embedding-curation axis
+    from SemDeDup: ``dedup_semantic`` removes near-DUPLICATE pairs
+    inside a cluster; this removes the most PROTOTYPICAL (closest to
+    the cluster centroid) examples, the self-supervised-prototypes
+    metric of Sorscher et al. 2022 that D4 (Tirumala et al. 2023)
+    chains after dedup. Per cluster (the label column as the given
+    quantizer, the sim_ivf_label precedent so the oracle can mirror
+    the assignment): centroid = per-dim mean; prototypicality = cosine
+    to own centroid; prune the top :data:`_PROTO_PRUNE_PCT`%. Output
+    is one audit row per cluster — sizes and the kept/pruned
+    prototypicality boundaries (floored to 1e-4, min/max only: order-
+    insensitive, no cross-row float sums).
+
+    Scale shape: one posexplode agg for centroids (shuffle keyed by
+    (label, dim), rows = n·d), one broadcast join back (k·d doubles —
+    at 100 TB with 10⁵ clusters × 10³ dims ≈ 800 MB that broadcast
+    needs the semi-join fallback documented in
+    operators/serving.shared_obj; at the gate's scale it is a k-row
+    literal), and ONE rank window partitioned by label — the fattest
+    partition is a cluster, never the corpus. The final audit agg
+    rides the same label-keyed shuffle."""
+    emb = _emb(spark, sf_dir)
+    dims = emb.select("label", F.posexplode(F.col("v")).alias("dim", "x"))
+    centroids = (
+        dims.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+        .select("label", F.transform(F.col("pairs"), lambda p: p.m).alias("cv"))
+    )
+    proto = (
+        emb.join(F.broadcast(centroids), "label")
+        .withColumn("proto", cosine(F.col("v"), F.col("cv")))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("proto"), "vec_id")
+    ranked = (
+        proto.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("label")))
+        .withColumn(
+            "pruned",
+            F.col("rn") <= F.floor(F.col("n") * _PROTO_PRUNE_PCT / 100),
+        )
+    )
+    m4 = lambda c: (F.floor(c * 10000)).cast("bigint")  # noqa: E731
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("pruned").cast("long")).alias("n_pruned"),
+            m4(F.max(F.when(~F.col("pruned"), F.col("proto"))))
+            .alias("kept_max_m4"),
+            m4(F.min(F.when(~F.col("pruned"), F.col("proto"))))
+            .alias("kept_min_m4"),
+            m4(F.max(F.when(F.col("pruned"), F.col("proto"))))
+            .alias("pruned_max_m4"),
+        )
+        .orderBy("label")
+    )
+
+
+_PROTO_PRUNE_SQL = f"""
+WITH centroids AS (
+    SELECT label, list(m ORDER BY dim) AS cv
+    FROM (
+        SELECT label, dim, avg(x) AS m
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    )
+    GROUP BY label
+),
+proto AS (
+    SELECT e.vec_id, e.label,
+           list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS proto
+    FROM embeddings e JOIN centroids c USING (label)
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY proto DESC, vec_id) AS rn,
+           count(*) OVER (PARTITION BY label) AS n
+    FROM proto
+),
+flagged AS (
+    SELECT *, rn <= floor(n * {_PROTO_PRUNE_PCT} / 100.0) AS pruned
+    FROM ranked
+)
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(floor(max(CASE WHEN NOT pruned THEN proto END) * 10000) AS BIGINT)
+           AS kept_max_m4,
+       CAST(floor(min(CASE WHEN NOT pruned THEN proto END) * 10000) AS BIGINT)
+           AS kept_min_m4,
+       CAST(floor(max(CASE WHEN pruned THEN proto END) * 10000) AS BIGINT)
+           AS pruned_max_m4
+FROM flagged
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
+    "sim_prototypicality_prune": sim_prototypicality_prune,
     "sim_hard_negatives": sim_hard_negatives,
     "emb_norm_profile": emb_norm_profile,
     "emb_quantize_int8": emb_quantize_int8,
@@ -2425,6 +2540,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sim_prototypicality_prune": _PROTO_PRUNE_SQL,
     "sim_hard_negatives": _HARD_NEG_SQL,
     "dedup_semantic": _SEMANTIC_SQL,
     "sim_ivf_pq": _IVF_PQ_SQL,

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codegraph_spark.streaming.incremental import (
+    hopping_counts,
     hourly_counts,
     read_events_stream,
     run_available_now,
@@ -29,10 +30,41 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(hourly_counts(ev), output_mode="complete", state_partitions=8)
 
 
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping-window rollup as a STREAMING job — overlapping
+    windows are where incremental window state earns its keep (a batch
+    job recomputes all 4 overlaps per event every run; the stream pays
+    each event once into 4 state rows). Oracle = the batch hopping SQL
+    (queries/events.ev_hopping_agg): a hash match proves the
+    incremental overlap bookkeeping converges to the batch answer."""
+    ev = read_events_stream(spark, sf_dir)
+    # state = one row per (15-min-start window, event_type) — 4× the
+    # tumbling cardinality, still bounded by the time range
+    return run_available_now(
+        hopping_counts(ev), output_mode="complete", state_partitions=8
+    )
+
+
 _STREAM_HOURLY_SQL = """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
        count(*) AS n, ROUND(CAST(sum(value) AS DOUBLE), 2) AS total_value
 FROM events
+GROUP BY 1, 2
+"""
+
+
+_STREAM_HOPPING_SQL = """
+WITH hops AS (
+    SELECT event_type, value,
+           make_timestamp(
+               ((epoch_ms(ts) // 900000) * 900 - k.k * 900)
+               * 1000000
+           ) AS win_start
+    FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT CAST(win_start AS VARCHAR) AS win_start, event_type,
+       count(*) AS n, ROUND(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM hops
 GROUP BY 1, 2
 """
 
@@ -699,6 +731,7 @@ QUERIES = {
     "stream_quantiles_sketch": stream_quantiles_sketch,
     "stream_kmv_distinct": stream_kmv_distinct,
     "stream_hourly_counts": stream_hourly_counts,
+    "stream_hopping_counts": stream_hopping_counts,
     "stream_funnel": stream_funnel,
     "stream_asof": stream_asof,
     "stream_running_totals": stream_running_totals,
@@ -723,6 +756,7 @@ ORACLES = {
     "stream_interval_join": _STREAM_INTERVAL_SQL,
     "stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "stream_hourly_counts": _STREAM_HOURLY_SQL,
+    "stream_hopping_counts": _STREAM_HOPPING_SQL,
     "stream_funnel": _STREAM_FUNNEL_SQL,
     "stream_asof": _asof_oracle(),
     "stream_running_totals": _STREAM_RUNNING_SQL,

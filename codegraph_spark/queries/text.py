@@ -1688,7 +1688,109 @@ ORDER BY source
 """
 
 
+# --- corpus_token_budget_plan: epochs-per-source planner -----------------------
+#: training-token budget as a multiple of the corpus, and the repeat
+#: ceiling per source: Muennighoff et al. 2023 ("Scaling
+#: data-constrained language models") measures repeated data as
+#: near-fresh up to ~4 epochs — the standard cap a mixing plan applies.
+_BUDGET_X = 2
+_EPOCH_CAP_MILLI = 4000
+
+
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget ALLOCATION plan — the table a data-mixing config
+    is generated from: given a training budget of ``_BUDGET_X`` ×
+    the corpus token mass, split it across sources by
+    temperature-0.5 sampling (weight ∝ √tokens — small sources
+    upweighted, the multilingual-mixing standard), then cap every
+    source at :data:`_EPOCH_CAP_MILLI` milli-epochs (repeating past
+    ~4 epochs teaches little) and report the undistributed remainder
+    so the caller can see how much budget the caps free up.
+
+    Exactness: weights are floored to integer milli BEFORE the
+    cross-source sum, so every downstream ratio is pure integer
+    arithmetic — no cross-row float accumulation to drift between
+    engines (the corpus_source_audit discipline). Scale shape: one
+    scan → one source-keyed agg (bounded distinct sources), a 1-row
+    totals broadcast, and an output-sized projection. No windows, no
+    joins beyond the scalar broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint").alias("tok"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("tok").cast("double")) * 1000)
+            .cast("bigint")
+        )
+    )
+    totals = per_src.agg(
+        F.sum("tok").alias("t_total"), F.sum("w").alias("w_total")
+    )
+    planned = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "raw_alloc",
+            F.expr(f"CAST({_BUDGET_X} * t_total * w div w_total AS BIGINT)"),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.least(
+                F.col("raw_alloc"),
+                F.expr(f"CAST(tok * {_EPOCH_CAP_MILLI} div 1000 AS BIGINT)"),
+            ),
+        )
+    )
+    return planned.select(
+        "source",
+        "tok",
+        "n_docs",
+        "alloc_tokens",
+        F.expr("CAST(alloc_tokens * 1000 div tok AS BIGINT)")
+        .alias("epochs_milli"),
+        (F.col("raw_alloc") > F.col("alloc_tokens")).alias("capped"),
+        F.expr("CAST(raw_alloc - alloc_tokens AS BIGINT)").alias("freed_tokens"),
+    ).orderBy("source")
+
+
+_BUDGET_PLAN_SQL = f"""
+WITH per_src AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+),
+weighted AS (
+    SELECT *, CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000) AS BIGINT) AS w
+    FROM per_src
+),
+totals AS (
+    SELECT CAST(sum(tok) AS BIGINT) AS t_total,
+           CAST(sum(w) AS BIGINT) AS w_total
+    FROM weighted
+),
+planned AS (
+    SELECT source, tok, n_docs,
+           {_BUDGET_X} * t_total * w // w_total AS raw_alloc,
+           least({_BUDGET_X} * t_total * w // w_total,
+                 tok * {_EPOCH_CAP_MILLI} // 1000) AS alloc_tokens
+    FROM weighted, totals
+)
+SELECT source, tok, n_docs,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(alloc_tokens * 1000 // tok AS BIGINT) AS epochs_milli,
+       raw_alloc > alloc_tokens AS capped,
+       CAST(raw_alloc - alloc_tokens AS BIGINT) AS freed_tokens
+FROM planned
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_token_budget_plan": corpus_token_budget_plan,
     "corpus_quality_calibration": corpus_quality_calibration,
     "corpus_padding_waste": corpus_padding_waste,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
@@ -1716,6 +1818,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_token_budget_plan": _BUDGET_PLAN_SQL,
     "corpus_quality_calibration": _QUALITY_CAL_SQL,
     "corpus_padding_waste": _PADDING_WASTE_SQL,
     "corpus_ccnet_buckets": _ccnet_buckets_sql(),

@@ -95,6 +95,28 @@ def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def hopping_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked HOPPING-window rollup (1 h windows every 15 min ×
+    event_type) — the overlapping-window variant of
+    :func:`hourly_counts`: each event contributes to 4 windows, the
+    smoothed-rate dashboard shape. State = one row per (window, type),
+    4× the tumbling cardinality, still bounded by the time range."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame,
     output_mode: str = "complete",

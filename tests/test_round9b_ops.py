@@ -1,0 +1,63 @@
+"""Round-9 second-wave pins: prototypicality pruning invariants, the
+token-budget planner's conservation laws, and hopping-window coverage
+(each event in exactly 4 overlapping windows). Oracle parity for the
+same queries is covered registry-wide by test_oracle_parity.py; these
+pin the SEMANTIC invariants a hash match alone would not explain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codegraph_spark.queries.events import ev_hopping_agg
+from codegraph_spark.queries.similarity import (
+    _PROTO_PRUNE_PCT,
+    sim_prototypicality_prune,
+)
+from codegraph_spark.queries.text import (
+    _BUDGET_X,
+    _EPOCH_CAP_MILLI,
+    corpus_token_budget_plan,
+)
+from codegraph_spark.sources.tables import load_table
+
+
+def test_prototypicality_prunes_exact_fraction(spark, sf_dir):
+    rows = sim_prototypicality_prune(spark, sf_dir).collect()
+    assert rows, "no clusters"
+    for r in rows:
+        assert r.n_pruned == r.n_vecs * _PROTO_PRUNE_PCT // 100
+        # pruned = the MOST prototypical: every pruned score is at or
+        # above the best kept score (desc rank boundary)
+        assert r.pruned_max_m4 >= r.kept_max_m4
+        assert r.kept_min_m4 <= r.kept_max_m4
+
+
+def test_token_budget_conservation(spark, sf_dir):
+    plan = corpus_token_budget_plan(spark, sf_dir)
+    rows = plan.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total_tok = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0].t
+    budget = _BUDGET_X * total_tok
+    allocated = sum(r.alloc_tokens for r in rows)
+    freed = sum(r.freed_tokens for r in rows)
+    # raw allocations never exceed the budget (integer floor division),
+    # and what the caps free is exactly raw - final
+    assert allocated + freed <= budget
+    assert budget - (allocated + freed) < len(rows) * 2  # floor slack
+    for r in rows:
+        assert r.epochs_milli <= _EPOCH_CAP_MILLI
+        assert (r.freed_tokens > 0) == bool(r.capped)
+
+
+def test_hopping_windows_cover_each_event_four_times(spark, sf_dir):
+    agg = ev_hopping_agg(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    total = agg.select(F.sum("n").alias("s")).collect()[0].s
+    assert total == 4 * n_events
+    # window starts are 15-minute aligned
+    bad = agg.filter(
+        F.minute("win_start").cast("int") % 15 != 0
+    ).count()
+    assert bad == 0
