@@ -54,6 +54,8 @@ HEADLINE = [
     # so a codec perf regression shows here, not only in SCALE.md.
     "mm_png_roundtrip",
     "mm_jpeg_roundtrip",
+    # round-9 second wave: the audio container joins the codec rows
+    "mm_wav_roundtrip",
 ]
 
 

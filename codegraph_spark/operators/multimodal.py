@@ -8,11 +8,13 @@ scale-extension surface: the Spark-side plumbing — schema, partitioning,
 UDF signature, batch shape — is real and tested. Codec coverage: PNG
 decodes in-container via the pure-stdlib codec (operators/png_stdlib.py,
 registered ahead of the optional Pillow probe), baseline/extended-
-sequential JPEG via operators/jpeg_stdlib.py, and MJPEG video streams
-via ``jpeg_stdlib.mjpeg_frame_bounds``; only out-of-envelope modes
-(progressive/12-bit JPEG, interlaced/16-bit PNG) and modern video
-containers (h264/vp9/av1) fall through to the guarded optional
-Pillow/PyAV paths with explicit dependency errors.
+sequential JPEG via operators/jpeg_stdlib.py, MJPEG video streams
+via ``jpeg_stdlib.mjpeg_frame_bounds``, and RIFF/WAVE integer-PCM
+audio via operators/wav_stdlib.py; only out-of-envelope modes
+(progressive/12-bit JPEG, interlaced/16-bit PNG, float/a-law WAVE,
+compressed audio) and modern video containers (h264/vp9/av1) fall
+through to the guarded optional Pillow/PyAV paths with explicit
+dependency errors.
 
 Payload format ``raw-gray-v1`` (self-describing, deterministic):
 

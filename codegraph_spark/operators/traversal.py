@@ -144,6 +144,57 @@ def bfs_reachable(
     return visited if include_sources else visited.filter(F.col("hops") >= 1)
 
 
+def bfs_multi_source(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    edge_type: str | None = None,
+    direction: str = "out",
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Min-hop BFS from EVERY seed simultaneously: ``(seed, id, hops)``
+    with ``hops`` = the minimum hop count from that seed, seeds
+    excluded from their own result (the :func:`bfs_reachable`
+    convention).
+
+    The sampled-centrality shape (Eppstein & Wang 2004): k per-seed
+    BFS runs cost k × max_hops frontier rounds; tagging the frontier
+    with its seed instead costs max_hops rounds TOTAL — the visited
+    set keys by (seed, id), everything else is the bfs_reachable
+    loop (lazy flat localCheckpoints, zero per-round driver actions,
+    broadcast frontier for seed-anchored workloads).
+
+    :param seeds: DataFrame with ``seed`` (tag) and ``id`` (start
+        node) columns — pass ``seed = id`` for plain multi-source.
+    """
+    e = _directed(edges, edge_type, direction)
+    frontier = (
+        seeds.select("seed", "id").distinct().localCheckpoint(eager=True)
+    )
+    levels = [frontier.withColumn("hops", F.lit(0))]
+    seen = frontier
+    with _tiny_shuffle(edges, enabled=broadcast_frontier):
+        for hop in range(1, max_hops + 1):
+            f = F.broadcast(frontier) if broadcast_frontier else frontier
+            s = F.broadcast(seen) if broadcast_frontier else seen
+            nxt = (
+                f.join(e, f.id == e._from)
+                .select("seed", F.col("_to").alias("id"))
+                .distinct()
+                .join(s, ["seed", "id"], "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            levels.append(nxt.withColumn("hops", F.lit(hop)))
+            seen = seen.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt
+    visited = levels[0]
+    for lv in levels[1:]:
+        visited = visited.unionByName(lv)
+    return (
+        visited.localCheckpoint(eager=False).filter(F.col("hops") >= 1)
+    )
+
+
 def forest_closure(
     edges: DataFrame,
     max_depth: int,

@@ -44,6 +44,7 @@ _UNKEYED_JOIN_OK = {
                                 # inverted file) + 1-row threshold scalars
     "corpus_split_semantic_leakage",  # same shared trained inverted file
     "corpus_temperature_mix",   # crossJoin(1-row integer weight totals)
+    "corpus_token_budget_plan",  # crossJoin(1-row token/weight totals)
     "emb_alignment_audit",      # summary row = crossJoin chain of 1-row aggregates
     "corpus_dsir_sample",       # crossJoin(broadcast 1-row normalizer)
     "emb_pca_power",            # broadcast d^2-row Gram grid + 64-row

@@ -51,6 +51,36 @@ def test_token_budget_conservation(spark, sf_dir):
         assert (r.freed_tokens > 0) == bool(r.capped)
 
 
+def test_multi_source_bfs_equals_per_seed_bfs(spark, sf_dir):
+    from codegraph_spark.operators.traversal import (
+        bfs_multi_source,
+        bfs_reachable,
+    )
+    from codegraph_spark.queries.graph import _graph
+
+    g = _graph(spark, sf_dir)
+    calls = g.typed_edges("CALLS").select("src", "dst")
+    members = (
+        calls.select(F.col("src").alias("id"))
+        .unionByName(calls.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seed_ids = [r.id for r in members.orderBy("id").limit(3).collect()]
+    seeds = members.orderBy("id").limit(3).select(
+        F.col("id").alias("seed"), "id"
+    )
+    got = {
+        (r.seed, r.id, r.hops)
+        for r in bfs_multi_source(calls, seeds, max_hops=4).collect()
+    }
+    want = set()
+    for s in seed_ids:
+        src = spark.createDataFrame([(s,)], "id string")
+        for r in bfs_reachable(calls, src, max_hops=4).collect():
+            want.add((s, r.id, r.hops))
+    assert got == want and want  # identical, and non-vacuous
+
+
 def test_hopping_windows_cover_each_event_four_times(spark, sf_dir):
     agg = ev_hopping_agg(spark, sf_dir)
     n_events = load_table(spark, sf_dir, "events").count()

@@ -108,6 +108,13 @@ AUDIT = [
     "mm_mjpeg_scene_cut",
     "ev_quantiles_sketch",
     "stream_quantiles_sketch",
+    "mm_wav_roundtrip",
+    "mm_stored_wav_meta",
+    "sim_prototypicality_prune",
+    "corpus_token_budget_plan",
+    "ev_hopping_agg",
+    "stream_hopping_counts",
+    "graph_harmonic_sampled",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -87,6 +87,13 @@ PROBES = [
     "stream_image_meta",
     "mm_mjpeg_scene_cut",
     "ev_quantiles_sketch",
+    "mm_wav_roundtrip",
+    "mm_stored_wav_meta",
+    "sim_prototypicality_prune",
+    "corpus_token_budget_plan",
+    "ev_hopping_agg",
+    "stream_hopping_counts",
+    "graph_harmonic_sampled",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
