@@ -910,6 +910,169 @@ ORDER BY event_type
 """
 
 
+# --- ev_hll_distinct: HyperLogLog cardinality sketch + audit ------------------
+#: from-scratch HyperLogLog (Flajolet et al. 2007) over the repo's
+#: md5-prefix hash rule: p = 6 -> m = 64 registers; register =
+#: max(1 + leading-zeros of the 54-bit suffix) per bucket. The
+#: KMV note above says a built-in HLL's engine internals can't gate
+#: cross-engine — true, which is why this one OWNS the arithmetic:
+#: every step (bucketing, bit-length via bin(), the 2^(55-reg)
+#: integer harmonic sum, one literal-constant float division, a
+#: literal linear-counting lookup) is replayed identically by the
+#: DuckDB oracle. Registers are max-mergeable, so the streaming twin
+#: (stream_hll_distinct) drains to the identical sketch.
+_HLL_M = 64
+#: alpha_64 * m^2 * 2^55 precomputed as ONE double literal so both
+#: engines perform a single identical IEEE division + floor.
+_HLL_C = 1.046802484394006e20
+#: linear-counting estimates floor-rounded from 64*ln(64/V), V = count
+#: of zero registers 1..64 — a literal table, exact by construction.
+_HLL_LC = [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107,
+           102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55,
+           53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27,
+           25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6,
+           5, 4, 3, 2, 1, 0]
+
+
+def hll_register_rows(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, reg): the stateless projection ahead of
+    the register max — shared by the batch gate and the streaming
+    twin. Hash = the 60-bit md5-prefix rule (see _KMV_H); bucket =
+    low 6 bits; reg = 1 + leading zeros of the remaining 54 bits
+    (bit-length via bin(), identical in Spark and DuckDB)."""
+    # no pre-distinct: HLL is duplicate-insensitive by construction
+    # (same key -> same bucket/reg -> MAX unchanged), which is exactly
+    # what lets the streaming twin run this STATELESS ahead of a
+    # 64-rows-per-type register max — no dropDuplicates state at all
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint").alias("h"),
+    )
+    return hashed.select(
+        "event_type",
+        (F.col("h") % _HLL_M).cast("int").alias("bucket"),
+        # TRIM(LEADING ...) — Spark's two-arg ltrim takes (trimStr,
+        # str), the REVERSE of DuckDB's; the standard form is
+        # unambiguous in both engines
+        F.expr(
+            "CAST(55 - length(trim(LEADING '0' FROM bin(h div 64))) AS INT)"
+        ).alias("reg"),
+    )
+
+
+def hll_estimate_from_registers(
+    spark: SparkSession, sf_dir: str, registers: DataFrame
+) -> DataFrame:
+    """Estimate + exact-audit tail over a drained (event_type, bucket,
+    reg) register table — the batch arithmetic both the batch gate and
+    the streaming twin finish with."""
+    lc = F.array(*[F.lit(v) for v in _HLL_LC])
+    per_type = registers.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - reg)"))
+        .alias("z_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    est = per_type.select(
+        "event_type",
+        F.expr(
+            f"CAST(floor({_HLL_C!r} / CAST(z_present"
+            f" + ({_HLL_M} - n_buckets) * shiftleft(CAST(1 AS BIGINT), 55)"
+            " AS DOUBLE)) AS BIGINT)"
+        ).alias("raw_est"),
+        (F.lit(_HLL_M) - F.col("n_buckets")).cast("int").alias("zeros"),
+    ).select(
+        "event_type",
+        F.when(
+            (F.col("zeros") > 0) & (F.col("raw_est") <= 5 * _HLL_M / 2),
+            F.element_at(lc, F.col("zeros")).cast("bigint"),
+        ).otherwise(F.col("raw_est")).alias("hll_est"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "n_exact", "hll_est",
+            F.expr("(abs(hll_est - n_exact) * 1000) div n_exact")
+            .alias("err_pm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ev_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality per event_type through a from-scratch
+    HyperLogLog sketch, exact counts alongside as the error audit —
+    the industry-standard bounded-state cardinality answer
+    (approx_count_distinct's algorithm, deterministic here because
+    the hash and every estimate step are owned by this module).
+    State = at most 64 one-byte-shaped register rows per group at ANY
+    input volume, merged by MAX — cheaper than KMV's k int64s and the
+    canonical 100 TB telemetry shape.
+
+    Scale shape: one distinct over (type, user) — the same two-stage
+    distinct the exact count pays — then a (type, bucket)-keyed max
+    (map-side combining, 64 rows per type) and O(types) estimate
+    arithmetic. The small-range branch applies Flajolet's
+    linear-counting correction through a literal lookup table."""
+    registers = hll_register_rows(
+        load_table(spark, sf_dir, "events")
+    ).groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+    return hll_estimate_from_registers(spark, sf_dir, registers)
+
+
+def _hll_sql() -> str:
+    lc_list = ", ".join(str(v) for v in _HLL_LC)
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events
+),
+regs AS (
+    SELECT event_type, CAST(h % {_HLL_M} AS INT) AS bucket,
+           CAST(max(55 - length(ltrim(bin(h // 64), '0'))) AS INT) AS reg
+    FROM hashed GROUP BY 1, 2
+),
+per_type AS (
+    SELECT event_type,
+           CAST(sum(1::BIGINT << (55 - reg)) AS BIGINT) AS z_present,
+           count(*) AS n_buckets
+    FROM regs GROUP BY event_type
+),
+est AS (
+    SELECT event_type,
+           CAST(floor({_HLL_C!r} / CAST(z_present
+               + ({_HLL_M} - n_buckets) * (1::BIGINT << 55) AS DOUBLE))
+               AS BIGINT) AS raw_est,
+           CAST({_HLL_M} - n_buckets AS INT) AS zeros
+    FROM per_type
+),
+picked AS (
+    SELECT event_type,
+           CASE WHEN zeros > 0 AND raw_est <= {5 * _HLL_M // 2}
+                THEN CAST(list_extract([{lc_list}], zeros) AS BIGINT)
+                ELSE raw_est END AS hll_est
+    FROM est
+),
+exact AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM hashed
+    GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact, p.hll_est,
+       CAST(abs(p.hll_est - e.n_exact) * 1000 // e.n_exact AS BIGINT) AS err_pm
+FROM exact e JOIN picked p USING (event_type)
+ORDER BY e.event_type
+"""
+
+
 # --- ev_cusum_drift: CUSUM drift detection over hourly volumes ----------------
 def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection per event type over hourly
@@ -1285,6 +1448,7 @@ QUERIES = {
     "ev_transition_matrix": ev_transition_matrix,
     "ev_cms_topk": ev_cms_topk,
     "ev_kmv_distinct": ev_kmv_distinct,
+    "ev_hll_distinct": ev_hll_distinct,
     "ev_hourly_agg": ev_hourly_agg,
     "ev_hopping_agg": ev_hopping_agg,
     "ev_dau_wau": ev_dau_wau,
@@ -1310,6 +1474,7 @@ ORACLES = {
     "ev_transition_matrix": _TRANSITION_SQL,
     "ev_cms_topk": _CMS_SQL,
     "ev_kmv_distinct": _KMV_SQL,
+    "ev_hll_distinct": _hll_sql(),
     "ev_hourly_agg": _HOURLY_SQL,
     "ev_hopping_agg": _HOPPING_SQL,
     "ev_dau_wau": _DAU_WAU_SQL,

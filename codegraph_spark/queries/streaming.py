@@ -119,6 +119,37 @@ def stream_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_cent_hist(hist)
 
 
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog maintained INCREMENTALLY — the register table is
+    max-mergeable by construction (cell-wise MAX), so complete-mode
+    state = at most 64 rows per event_type at ANY input volume, and
+    the drained registers equal the batch registers by merge
+    commutativity. The shared estimate tail
+    (events.hll_estimate_from_registers) runs over the drain; oracle =
+    the batch HLL SQL, so a hash match proves incremental sketch ≡
+    batch sketch ≡ the owned estimate arithmetic, bit for bit."""
+    from codegraph_spark.queries.events import (
+        hll_estimate_from_registers,
+        hll_register_rows,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    registers = run_available_now(
+        hll_register_rows(ev.select("event_type", "user_id"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("reg").alias("reg")),
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return hll_estimate_from_registers(spark, sf_dir, registers)
+
+
+def _stream_hll_sql() -> str:
+    from codegraph_spark.queries.events import _hll_sql
+
+    return _hll_sql()
+
+
 def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cardinality via the KMV sketch (custom stateful
     operator #4, :func:`streaming/incremental.streaming_kmv`): state =
@@ -730,6 +761,7 @@ QUERIES = {
     "stream_cms_topk": stream_cms_topk,
     "stream_quantiles_sketch": stream_quantiles_sketch,
     "stream_kmv_distinct": stream_kmv_distinct,
+    "stream_hll_distinct": stream_hll_distinct,
     "stream_hourly_counts": stream_hourly_counts,
     "stream_hopping_counts": stream_hopping_counts,
     "stream_funnel": stream_funnel,
@@ -753,6 +785,7 @@ ORACLES = {
     "stream_cusum_drift": _STREAM_CUSUM_SQL,
     "stream_cms_topk": _STREAM_CMS_SQL,
     "stream_kmv_distinct": _STREAM_KMV_SQL,
+    "stream_hll_distinct": _stream_hll_sql(),
     "stream_interval_join": _STREAM_INTERVAL_SQL,
     "stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "stream_hourly_counts": _STREAM_HOURLY_SQL,

@@ -51,6 +51,59 @@ def test_token_budget_conservation(spark, sf_dir):
         assert (r.freed_tokens > 0) == bool(r.capped)
 
 
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """The HLL merge law: registers over any partition of the input,
+    merged cell-wise by MAX, equal the whole-input registers — the
+    property that makes the streaming twin ≡ the batch sketch."""
+    from codegraph_spark.queries.events import hll_register_rows
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    whole = {
+        (r.event_type, r.bucket): r.reg
+        for r in hll_register_rows(ev)
+        .groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+        .collect()
+    }
+    lo = hll_register_rows(ev.filter(F.col("user_id") % 2 == 0))
+    hi = hll_register_rows(ev.filter(F.col("user_id") % 2 == 1))
+    merged = {
+        (r.event_type, r.bucket): r.reg
+        for r in lo.unionByName(hi)
+        .groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+        .collect()
+    }
+    assert merged == whole and whole
+
+
+def test_hll_duplicate_insensitive(spark, sf_dir):
+    """Feeding each event twice must not move a single register —
+    the property that lets the streaming twin skip dropDuplicates."""
+    from codegraph_spark.queries.events import hll_register_rows
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    once = sorted(
+        map(tuple, hll_register_rows(ev)
+            .groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+            .collect())
+    )
+    twice = sorted(
+        map(tuple, hll_register_rows(ev.unionByName(ev))
+            .groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+            .collect())
+    )
+    assert once == twice
+
+
+def test_hll_error_within_bound(spark, sf_dir):
+    from codegraph_spark.queries.events import ev_hll_distinct
+
+    rows = ev_hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 3 sigma of HLL's 1.04/sqrt(64) = 13% per-register-set error
+        assert r.err_pm <= 390, (r.event_type, r.err_pm)
+
+
 def test_multi_source_bfs_equals_per_seed_bfs(spark, sf_dir):
     from codegraph_spark.operators.traversal import (
         bfs_multi_source,

@@ -115,6 +115,8 @@ AUDIT = [
     "ev_hopping_agg",
     "stream_hopping_counts",
     "graph_harmonic_sampled",
+    "ev_hll_distinct",
+    "stream_hll_distinct",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -94,6 +94,8 @@ PROBES = [
     "ev_hopping_agg",
     "stream_hopping_counts",
     "graph_harmonic_sampled",
+    "ev_hll_distinct",
+    "stream_hll_distinct",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
