@@ -1632,7 +1632,88 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_ngram_jaccard`'s EXACT semantics through PREFIX
+    FILTERING (PPJoin, Xiao et al. 2008) — the other classic
+    set-similarity candidate generator beside the df-capped posting
+    join: order each rep's shingles rarest-first (by global df, ties
+    by shingle — a per-doc array sort, NO global rank), keep only the
+    first ``n − ceil(t·n) + 1`` as the doc's PREFIX (t = 0.5 ⇒
+    ``floor(n/2) + 1``), and join on prefix tokens only. Completeness
+    is the prefix-filtering lemma: Jaccard ≥ t forces an overlap of at
+    least ``ceil(t·n)`` per side, so some shared token must land in
+    both prefixes under the common order. Hot (stopword-grade)
+    shingles sort LAST and fall out of most prefixes — the same skew
+    the df-cap handles, mitigated here by the ordering itself, with
+    the salted join guarding what remains. Verification is one exact
+    ``array_intersect`` over the full hashed shingle sets (arrays
+    bounded by document length, never a posting explosion).
+
+    Shares dedup_ngram_jaccard's oracle — the point IS result
+    identity between the two candidate generators (the
+    o1_search_indexed precedent)."""
+    from codegraph_spark.operators.skew import salted_self_pairs
+
+    cl = _cliques(spark, sf_dir)
+    sh = _rep_shingles(spark, sf_dir)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle")))
+            .alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.transform(F.col("toks"), lambda t: F.xxhash64(t.shingle))
+            .alias("full"),
+            F.expr(
+                "transform(slice(toks, 1, CAST(size(toks) div 2 AS INT) + 1),"
+                " t -> t.shingle)"
+            ).alias("prefix"),
+        )
+    )
+    prefix_rows = docs.select(
+        "doc_id", F.explode("prefix").alias("shingle")
+    )
+    cands = (
+        salted_self_pairs(prefix_rows, ["shingle"], "doc_id", n_salt=8,
+                          hot_threshold=_CONTAIN_DF_CUTOFF)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+                    F.col("full").alias("fa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+                    F.col("full").alias("fb"))
+    shared = (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", "na", "nb",
+            F.size(F.array_intersect("fa", "fb")).alias("shared"),
+        )
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    rep_pairs = (
+        shared
+        .withColumn("jaccard", F.floor(jac * 1000) / 1000)
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = cl.groupBy("rep_id").agg(F.count(F.lit(1)).alias("_sz"))
+    intra = (
+        sizes.filter(F.col("_sz") >= 2)
+        .join(counts, sizes.rep_id == counts.doc_id, "left_semi")
+        .select("rep_id", (F.lit(1000).cast("double") / 1000).alias("jaccard"))
+    )
+    return _expand_rep_pairs(rep_pairs, intra, cl)
+
+
 QUERIES = {
+    "dedup_jaccard_ppjoin": dedup_jaccard_ppjoin,
     "text_contamination_bloom": text_contamination_bloom,
     "corpus_dedup_keep_best": corpus_dedup_keep_best,
     "dedup_exact": dedup_exact,
@@ -1650,6 +1731,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_jaccard_ppjoin": _NGRAM_SQL,
     "text_contamination_bloom": _contamination_bloom_sql(),
     "corpus_dedup_keep_best": _keep_best_sql(),
     "corpus_dedup_rate": _DEDUP_RATE_SQL,

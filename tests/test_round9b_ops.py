@@ -51,6 +51,20 @@ def test_token_budget_conservation(spark, sf_dir):
         assert (r.freed_tokens > 0) == bool(r.capped)
 
 
+def test_ppjoin_identical_to_posting_join(spark, sf_dir):
+    """The PPJoin candidate generator must reproduce the df-capped
+    posting join's output EXACTLY — two independent candidate
+    strategies, one semantics (the o1_search_indexed discipline)."""
+    from codegraph_spark.queries.dedup import (
+        dedup_jaccard_ppjoin,
+        dedup_ngram_jaccard,
+    )
+
+    pp = sorted(map(tuple, dedup_jaccard_ppjoin(spark, sf_dir).collect()))
+    pj = sorted(map(tuple, dedup_ngram_jaccard(spark, sf_dir).collect()))
+    assert pp == pj
+
+
 def test_hll_registers_merge_by_max(spark, sf_dir):
     """The HLL merge law: registers over any partition of the input,
     merged cell-wise by MAX, equal the whole-input registers — the

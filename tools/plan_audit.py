@@ -117,6 +117,7 @@ AUDIT = [
     "graph_harmonic_sampled",
     "ev_hll_distinct",
     "stream_hll_distinct",
+    "dedup_jaccard_ppjoin",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -9,7 +9,7 @@ distribution-preserving replica machinery at 100 REPLICAS (~sf10:
 story the engine stakes the most on: exact + MinHash-LSH dedup
 (candidate generation), Bloom decontamination, the distributed
 exact-rank family (the round-9 rewrites), LSH-cosine ANN (adaptive
-plane count grows with n), and two linear controls. A genuinely linear
+plane count grows with n), two linear controls, the real-codec kernels, the HLL sketch, and the tagged multi-source BFS. A genuinely linear
 operator lands at ratio <= ~100 (usually far less — fixed overheads
 amortize); a quadratic would land at ~10,000.
 
@@ -42,6 +42,10 @@ PROBES = [
     "text_quality_score",        # linear control (pure column program)
     "a8_first_event_per_user",   # linear control (per-user window)
     "ev_quantiles_sketch",       # histogram sketch (should be ~flat)
+    "mm_jpeg_roundtrip",         # real-codec kernel (honest, unmemoized)
+    "mm_wav_roundtrip",          # audio-container kernel
+    "ev_hll_distinct",           # HLL sketch (should be ~flat)
+    "graph_harmonic_sampled",    # tagged multi-source BFS
 ]
 
 FLAG_FACTOR = 2.5  # same accusation line as SCALE.md, at 100x

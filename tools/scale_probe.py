@@ -96,6 +96,7 @@ PROBES = [
     "graph_harmonic_sampled",
     "ev_hll_distinct",
     "stream_hll_distinct",
+    "dedup_jaccard_ppjoin",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
