@@ -910,6 +910,151 @@ ORDER BY event_type
 """
 
 
+# --- ev_kmv_overlap: set-overlap estimation from KMV sketches -----------------
+def ev_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience OVERLAP between daily active-user sets
+    estimated from KMV sketches — the set-OPERATION power cardinality
+    sketches buy (Beyer et al. 2007; the theta-sketch idea): for
+    segments A and B, the k smallest hashes of A∪B are computable
+    from the two k-sets alone, and the fraction of them present in
+    BOTH sketches is an unbiased Jaccard estimate. The full per-pair
+    scan never runs — at 100 TB you keep one 32-int64 sketch per
+    segment and answer any pairwise overlap (day-over-day retention
+    overlap here; event types all share one audience in this corpus,
+    so days are the NON-VACUOUS segmentation: exact Jaccard 0.77-0.84)
+    from sketches. Exact Jaccard rides along as the error audit
+    (gate-scale only). Deterministic given the md5 hash rule, so the
+    oracle replays every step.
+
+    Scale shape: one distinct + one per-segment k-smallest window
+    (bounded state, as ev_kmv_distinct), then a segments×segments
+    sketch join (never corpus-sized); the exact audit is one
+    user-keyed self-join at gate scale."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.dayofmonth("ts").alias("event_type"), "user_id")
+        .filter(F.col("event_type") <= _OVERLAP_DAYS)
+        .select(F.col("event_type").cast("string").alias("event_type"),
+                "user_id")
+    )
+    hashed = ev.distinct().select(
+        "event_type", "user_id",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint").alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketches = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )
+    a = sketches.select(F.col("event_type").alias("type_a"),
+                        F.col("sk").alias("ska"))
+    b = sketches.select(F.col("event_type").alias("type_b"),
+                        F.col("sk").alias("skb"))
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a", "type_b",
+            F.expr(
+                f"slice(array_sort(array_distinct(concat(ska, skb))),"
+                f" 1, {_KMV_K})"
+            ).alias("sku"),
+            F.array_intersect("ska", "skb").alias("both"),
+        )
+        .select(
+            "type_a", "type_b",
+            F.expr(
+                "CAST(size(array_intersect(sku, both)) * 1000"
+                " div size(sku) AS BIGINT)"
+            ).alias("jac_est_pm"),
+        )
+    )
+    ua = hashed.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = hashed.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    nn = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        inter
+        .join(nn.select(F.col("event_type").alias("type_a"),
+                        F.col("n").alias("na")), "type_a")
+        .join(nn.select(F.col("event_type").alias("type_b"),
+                        F.col("n").alias("nb")), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.expr("CAST(n_inter * 1000 div (na + nb - n_inter) AS BIGINT)")
+            .alias("jac_pm"),
+        )
+    )
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", "jac_pm", "jac_est_pm",
+            F.expr("CAST(abs(jac_est_pm - jac_pm) AS BIGINT)")
+            .alias("err_abs_pm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+#: day-of-month horizon for the overlap gate: first week only, so the
+#: pair table stays 21 rows and the gate is quick.
+_OVERLAP_DAYS = 7
+
+
+_KMV_OVERLAP_SQL = f"""
+WITH hashed AS (
+    SELECT DISTINCT CAST(day(ts) AS VARCHAR) AS event_type, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events WHERE day(ts) <= {_OVERLAP_DAYS}
+),
+sketches AS (
+    SELECT event_type, list_sort(list(h)) AS sk
+    FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+),
+est AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(len(list_intersect(
+                    (list_sort(list_distinct(a.sk || b.sk)))[1:{_KMV_K}],
+                    list_intersect(a.sk, b.sk)))
+                * 1000 // len((list_sort(list_distinct(a.sk || b.sk)))[1:{_KMV_K}])
+                AS BIGINT) AS jac_est_pm
+    FROM sketches a JOIN sketches b ON a.event_type < b.event_type
+),
+nn AS (SELECT event_type, count(*) AS n FROM hashed GROUP BY event_type),
+inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_inter
+    FROM hashed a JOIN hashed b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT i.type_a, i.type_b,
+           CAST(i.n_inter * 1000 // (na.n + nb.n - i.n_inter) AS BIGINT) AS jac_pm
+    FROM inter i
+    JOIN nn na ON na.event_type = i.type_a
+    JOIN nn nb ON nb.event_type = i.type_b
+)
+SELECT e.type_a, e.type_b, e.jac_pm, s.jac_est_pm,
+       CAST(abs(s.jac_est_pm - e.jac_pm) AS BIGINT) AS err_abs_pm
+FROM exact e JOIN est s USING (type_a, type_b)
+ORDER BY e.type_a, e.type_b
+"""
+
+
 # --- ev_hll_distinct: HyperLogLog cardinality sketch + audit ------------------
 #: from-scratch HyperLogLog (Flajolet et al. 2007) over the repo's
 #: md5-prefix hash rule: p = 6 -> m = 64 registers; register =
@@ -1449,6 +1594,7 @@ QUERIES = {
     "ev_cms_topk": ev_cms_topk,
     "ev_kmv_distinct": ev_kmv_distinct,
     "ev_hll_distinct": ev_hll_distinct,
+    "ev_kmv_overlap": ev_kmv_overlap,
     "ev_hourly_agg": ev_hourly_agg,
     "ev_hopping_agg": ev_hopping_agg,
     "ev_dau_wau": ev_dau_wau,
@@ -1475,6 +1621,7 @@ ORACLES = {
     "ev_cms_topk": _CMS_SQL,
     "ev_kmv_distinct": _KMV_SQL,
     "ev_hll_distinct": _hll_sql(),
+    "ev_kmv_overlap": _KMV_OVERLAP_SQL,
     "ev_hourly_agg": _HOURLY_SQL,
     "ev_hopping_agg": _HOPPING_SQL,
     "ev_dau_wau": _DAU_WAU_SQL,

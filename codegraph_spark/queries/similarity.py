@@ -2411,6 +2411,11 @@ ORDER BY q_id, rn
 #: examples teach the least per token.
 _PROTO_PRUNE_PCT = 25
 
+#: past this many clusters the centroid table stops broadcasting and
+#: the prototypicality join falls back to a label-keyed shuffle —
+#: counted, not assumed (the dedup hot-vocab guard discipline).
+_CENTROID_BROADCAST_MAX = 65_536
+
 
 def sim_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototypicality PRUNING — the other embedding-curation axis
@@ -2427,13 +2432,14 @@ def sim_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive, no cross-row float sums).
 
     Scale shape: one posexplode agg for centroids (shuffle keyed by
-    (label, dim), rows = n·d), one broadcast join back (k·d doubles —
-    at 100 TB with 10⁵ clusters × 10³ dims ≈ 800 MB that broadcast
-    needs the semi-join fallback documented in
-    operators/serving.shared_obj; at the gate's scale it is a k-row
-    literal), and ONE rank window partitioned by label — the fattest
-    partition is a cluster, never the corpus. The final audit agg
-    rides the same label-keyed shuffle."""
+    (label, dim), rows = n·d), the join back BROADCAST only while the
+    centroid table is COUNTED small (the hot-vocab guard discipline,
+    dedup._hot_split: at 100 TB with 10⁵ clusters × 10³ dims ≈
+    800 MB, the broadcast hint is dropped and the label-keyed shuffle
+    join runs instead — correct at any k, just not
+    broadcast-accelerated), and ONE rank window partitioned by label —
+    the fattest partition is a cluster, never the corpus. The final
+    audit agg rides the same label-keyed shuffle."""
     emb = _emb(spark, sf_dir)
     dims = emb.select("label", F.posexplode(F.col("v")).alias("dim", "x"))
     centroids = (
@@ -2442,8 +2448,13 @@ def sim_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
         .select("label", F.transform(F.col("pairs"), lambda p: p.m).alias("cv"))
     )
+    if (
+        centroids.limit(_CENTROID_BROADCAST_MAX + 1).count()
+        <= _CENTROID_BROADCAST_MAX
+    ):
+        centroids = F.broadcast(centroids)
     proto = (
-        emb.join(F.broadcast(centroids), "label")
+        emb.join(centroids, "label")
         .withColumn("proto", cosine(F.col("v"), F.col("cv")))
     )
     w = Window.partitionBy("label").orderBy(F.desc("proto"), "vec_id")

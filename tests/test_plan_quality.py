@@ -45,6 +45,9 @@ _UNKEYED_JOIN_OK = {
     "corpus_split_semantic_leakage",  # same shared trained inverted file
     "corpus_temperature_mix",   # crossJoin(1-row integer weight totals)
     "corpus_token_budget_plan",  # crossJoin(1-row token/weight totals)
+    "ev_kmv_overlap",           # sketch x sketch inequality join —
+                                # BOTH sides are segment-count-sized
+                                # (one 32-int64 sketch per day)
     "emb_alignment_audit",      # summary row = crossJoin chain of 1-row aggregates
     "corpus_dsir_sample",       # crossJoin(broadcast 1-row normalizer)
     "emb_pca_power",            # broadcast d^2-row Gram grid + 64-row

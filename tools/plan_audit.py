@@ -118,6 +118,7 @@ AUDIT = [
     "ev_hll_distinct",
     "stream_hll_distinct",
     "dedup_jaccard_ppjoin",
+    "ev_kmv_overlap",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -97,6 +97,7 @@ PROBES = [
     "ev_hll_distinct",
     "stream_hll_distinct",
     "dedup_jaccard_ppjoin",
+    "ev_kmv_overlap",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
