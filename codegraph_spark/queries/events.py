@@ -950,14 +950,14 @@ def ev_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.array_sort(F.collect_list("h")).alias("sk"))
     )
-    a = sketches.select(F.col("event_type").alias("type_a"),
+    a = sketches.select(F.col("event_type").alias("seg_a"),
                         F.col("sk").alias("ska"))
-    b = sketches.select(F.col("event_type").alias("type_b"),
+    b = sketches.select(F.col("event_type").alias("seg_b"),
                         F.col("sk").alias("skb"))
     est = (
-        a.join(b, F.col("type_a") < F.col("type_b"))
+        a.join(b, F.col("seg_a") < F.col("seg_b"))
         .select(
-            "type_a", "type_b",
+            "seg_a", "seg_b",
             F.expr(
                 f"slice(array_sort(array_distinct(concat(ska, skb))),"
                 f" 1, {_KMV_K})"
@@ -965,42 +965,42 @@ def ev_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_intersect("ska", "skb").alias("both"),
         )
         .select(
-            "type_a", "type_b",
+            "seg_a", "seg_b",
             F.expr(
                 "CAST(size(array_intersect(sku, both)) * 1000"
                 " div size(sku) AS BIGINT)"
             ).alias("jac_est_pm"),
         )
     )
-    ua = hashed.select(F.col("event_type").alias("type_a"), "user_id")
-    ub = hashed.select(F.col("event_type").alias("type_b"), "user_id")
+    ua = hashed.select(F.col("event_type").alias("seg_a"), "user_id")
+    ub = hashed.select(F.col("event_type").alias("seg_b"), "user_id")
     inter = (
         ua.join(ub, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     nn = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     exact = (
         inter
-        .join(nn.select(F.col("event_type").alias("type_a"),
-                        F.col("n").alias("na")), "type_a")
-        .join(nn.select(F.col("event_type").alias("type_b"),
-                        F.col("n").alias("nb")), "type_b")
+        .join(nn.select(F.col("event_type").alias("seg_a"),
+                        F.col("n").alias("na")), "seg_a")
+        .join(nn.select(F.col("event_type").alias("seg_b"),
+                        F.col("n").alias("nb")), "seg_b")
         .select(
-            "type_a", "type_b",
+            "seg_a", "seg_b",
             F.expr("CAST(n_inter * 1000 div (na + nb - n_inter) AS BIGINT)")
             .alias("jac_pm"),
         )
     )
     return (
-        exact.join(est, ["type_a", "type_b"])
+        exact.join(est, ["seg_a", "seg_b"])
         .select(
-            "type_a", "type_b", "jac_pm", "jac_est_pm",
+            "seg_a", "seg_b", "jac_pm", "jac_est_pm",
             F.expr("CAST(abs(jac_est_pm - jac_pm) AS BIGINT)")
             .alias("err_abs_pm"),
         )
-        .orderBy("type_a", "type_b")
+        .orderBy("seg_a", "seg_b")
     )
 
 
@@ -1025,7 +1025,7 @@ sketches AS (
     GROUP BY event_type
 ),
 est AS (
-    SELECT a.event_type AS type_a, b.event_type AS type_b,
+    SELECT a.event_type AS seg_a, b.event_type AS seg_b,
            CAST(len(list_intersect(
                     (list_sort(list_distinct(a.sk || b.sk)))[1:{_KMV_K}],
                     list_intersect(a.sk, b.sk)))
@@ -1035,23 +1035,23 @@ est AS (
 ),
 nn AS (SELECT event_type, count(*) AS n FROM hashed GROUP BY event_type),
 inter AS (
-    SELECT a.event_type AS type_a, b.event_type AS type_b,
+    SELECT a.event_type AS seg_a, b.event_type AS seg_b,
            count(*) AS n_inter
     FROM hashed a JOIN hashed b
       ON a.user_id = b.user_id AND a.event_type < b.event_type
     GROUP BY 1, 2
 ),
 exact AS (
-    SELECT i.type_a, i.type_b,
+    SELECT i.seg_a, i.seg_b,
            CAST(i.n_inter * 1000 // (na.n + nb.n - i.n_inter) AS BIGINT) AS jac_pm
     FROM inter i
-    JOIN nn na ON na.event_type = i.type_a
-    JOIN nn nb ON nb.event_type = i.type_b
+    JOIN nn na ON na.event_type = i.seg_a
+    JOIN nn nb ON nb.event_type = i.seg_b
 )
-SELECT e.type_a, e.type_b, e.jac_pm, s.jac_est_pm,
+SELECT e.seg_a, e.seg_b, e.jac_pm, s.jac_est_pm,
        CAST(abs(s.jac_est_pm - e.jac_pm) AS BIGINT) AS err_abs_pm
-FROM exact e JOIN est s USING (type_a, type_b)
-ORDER BY e.type_a, e.type_b
+FROM exact e JOIN est s USING (seg_a, seg_b)
+ORDER BY e.seg_a, e.seg_b
 """
 
 
