@@ -1643,11 +1643,18 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the prefix-filtering lemma: Jaccard ≥ t forces an overlap of at
     least ``ceil(t·n)`` per side, so some shared token must land in
     both prefixes under the common order. Hot (stopword-grade)
-    shingles sort LAST and fall out of most prefixes — the same skew
-    the df-cap handles, mitigated here by the ordering itself, with
-    the salted join guarding what remains. Verification is one exact
-    ``array_intersect`` over the full hashed shingle sets (arrays
-    bounded by document length, never a posting explosion).
+    shingles sort LAST and fall out of most prefixes; the tokens that
+    remain are ADDITIONALLY df-capped before candidate generation —
+    the posting join's exact contract (df ≤ cutoff everywhere at the
+    gate, so the gate is exact; at corpus scale a candidate would be
+    missed only if every shared PREFIX token is corpus-hot, the same
+    documented approximation the df-capped posting join carries —
+    without the cap, a fixed-vocabulary corpus sends every prefix
+    token hot and candidate volume goes quadratic, measured 37x
+    across 10x data on the replica; capped it probes at the data
+    ratio). Verification is one exact ``array_intersect`` over the
+    full hashed shingle sets (arrays bounded by document length,
+    never a posting explosion).
 
     Shares dedup_ngram_jaccard's oracle — the point IS result
     identity between the two candidate generators (the
@@ -1670,7 +1677,9 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("toks"), lambda t: F.xxhash64(t.shingle))
             .alias("full"),
             F.expr(
-                "transform(slice(toks, 1, CAST(size(toks) div 2 AS INT) + 1),"
+                "transform(filter("
+                " slice(toks, 1, CAST(size(toks) div 2 AS INT) + 1),"
+                f" t -> t.df <= {_CONTAIN_DF_CUTOFF}),"
                 " t -> t.shingle)"
             ).alias("prefix"),
         )

@@ -110,6 +110,14 @@ FLAG_FACTOR = 2.5
 #: scale-design conditions (the r5 lesson: name the cause, then fix or
 #: contract it).
 PROBE_NOTES = {
+    "dedup_jaccard_ppjoin": (
+        "prefix candidates carry the SAME df-cap contract as the "
+        "posting join and the two stay result-identical at x10 too "
+        "(2551 pairs each; the capped contract drops the same 9 "
+        "all-hot-shared pairs, 0.35%). Without the cap a fixed-"
+        "vocabulary corpus sends every prefix token hot and the "
+        "candidate join measured 37x across 10x data"
+    ),
     "dedup_edit_distance": (
         "output growth — the replica multiplies near-dup density, pairs "
         "79 -> 186k (2360x output) while the candidate plan stays "
