@@ -161,3 +161,17 @@ def test_dispatch_raw_pcm_length_mismatch_raises():
 def test_dispatch_compressed_codec_raises_named():
     with pytest.raises(NotImplementedError, match="mp3"):
         _decode_audio_payload(b"\xff\xfb\x90\x00", "mp3")
+
+
+def test_mislabeled_codec_fails_loudly():
+    """WAV bytes under a raw-pcm label (and vice versa) must raise,
+    never decode garbage: at ingest a wrong extension→codec mapping is
+    a data bug, and silent mis-decode would poison every downstream
+    stat."""
+    wav = encode_wav(_tone16(64), 8000)
+    # raw-pcm parse reads 'RIFF'+size as rate/count: count can't match
+    with pytest.raises(ValueError, match="declares"):
+        _decode_audio_payload(wav, "raw-pcm-v1")
+    raw = struct.pack(">II", 16000, 4) + bytes([1, 2, 3, 4])
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_audio_payload(raw, "wav")
