@@ -506,7 +506,11 @@ def audio_window_energy(audio: DataFrame, window: int = 256) -> DataFrame:
     ``window``-sample block, trailing partial windows dropped — the
     audio feature-extract shape (silence trimming / VAD prefilters
     compute exactly this). Integer math end to end so the oracle can
-    recompute it bit-for-bit from the text."""
+    recompute it bit-for-bit from the text.
+
+    MONO ONLY: a window over an interleaved multichannel stream would
+    mix channels, so non-mono inputs fail loudly here —
+    ``decode_audio_stats`` is the multichannel-safe aggregate path."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -516,9 +520,15 @@ def audio_window_energy(audio: DataFrame, window: int = 256) -> DataFrame:
             for doc_id, payload, codec in zip(
                 pdf["doc_id"], pdf["payload"], pdf["codec"]
             ):
-                samples, _mid, _rate, _ch, _bits = _decode_audio_payload(
+                samples, _mid, _rate, n_ch, _bits = _decode_audio_payload(
                     payload, codec
                 )
+                if n_ch != 1:
+                    raise ValueError(
+                        f"audio_window_energy is mono-only: doc {doc_id} has "
+                        f"{n_ch} interleaved channels and a flat window would "
+                        "span them; downmix first or use decode_audio_stats"
+                    )
                 n_win = samples.size // window
                 usable = samples[: n_win * window].reshape(n_win, window)
                 sq = usable.astype(np.int64)
@@ -545,7 +555,12 @@ def audio_zero_crossings(audio: DataFrame, window: int = 256) -> DataFrame:
     classic two-feature voiced/unvoiced discriminator every cheap VAD
     front-end computes. Samples are unsigned bytes, so "zero" is the
     128 midline and a crossing is a sign flip of (sample − 128):
-    pure integer comparisons, bit-identical in the oracle."""
+    pure integer comparisons, bit-identical in the oracle.
+
+    MONO ONLY: on an interleaved stereo stream the adjacent-pair sign
+    test would count cross-CHANNEL flips as crossings, so non-mono
+    inputs fail loudly — ``decode_audio_stats`` is the
+    multichannel-safe aggregate path."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -555,9 +570,16 @@ def audio_zero_crossings(audio: DataFrame, window: int = 256) -> DataFrame:
             for doc_id, payload, codec in zip(
                 pdf["doc_id"], pdf["payload"], pdf["codec"]
             ):
-                samples, midline, _rate, _ch, _bits = _decode_audio_payload(
+                samples, midline, _rate, n_ch, _bits = _decode_audio_payload(
                     payload, codec
                 )
+                if n_ch != 1:
+                    raise ValueError(
+                        f"audio_zero_crossings is mono-only: doc {doc_id} has "
+                        f"{n_ch} interleaved channels and adjacent-pair sign "
+                        "flips would cross channels; downmix first or use "
+                        "decode_audio_stats"
+                    )
                 n_win = samples.size // window
                 usable = samples[: n_win * window].reshape(n_win, window)
                 sgn = usable >= midline

@@ -932,27 +932,26 @@ def ev_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed self-join at gate scale."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .select(F.dayofmonth("ts").alias("event_type"), "user_id")
-        .filter(F.col("event_type") <= _OVERLAP_DAYS)
-        .select(F.col("event_type").cast("string").alias("event_type"),
-                "user_id")
+        .select(F.dayofmonth("ts").alias("seg"), "user_id")
+        .filter(F.col("seg") <= _OVERLAP_DAYS)
+        .select(F.col("seg").cast("string").alias("seg"), "user_id")
     )
     hashed = ev.distinct().select(
-        "event_type", "user_id",
+        "seg", "user_id",
         F.conv(
             F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
         ).cast("bigint").alias("h"),
     )
-    w = Window.partitionBy("event_type").orderBy("h")
+    w = Window.partitionBy("seg").orderBy("h")
     sketches = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
-        .groupBy("event_type")
+        .groupBy("seg")
         .agg(F.array_sort(F.collect_list("h")).alias("sk"))
     )
-    a = sketches.select(F.col("event_type").alias("seg_a"),
+    a = sketches.select(F.col("seg").alias("seg_a"),
                         F.col("sk").alias("ska"))
-    b = sketches.select(F.col("event_type").alias("seg_b"),
+    b = sketches.select(F.col("seg").alias("seg_b"),
                         F.col("sk").alias("skb"))
     est = (
         a.join(b, F.col("seg_a") < F.col("seg_b"))
@@ -972,20 +971,20 @@ def ev_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac_est_pm"),
         )
     )
-    ua = hashed.select(F.col("event_type").alias("seg_a"), "user_id")
-    ub = hashed.select(F.col("event_type").alias("seg_b"), "user_id")
+    ua = hashed.select(F.col("seg").alias("seg_a"), "user_id")
+    ub = hashed.select(F.col("seg").alias("seg_b"), "user_id")
     inter = (
         ua.join(ub, "user_id")
         .filter(F.col("seg_a") < F.col("seg_b"))
         .groupBy("seg_a", "seg_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    nn = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    nn = hashed.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
     exact = (
         inter
-        .join(nn.select(F.col("event_type").alias("seg_a"),
+        .join(nn.select(F.col("seg").alias("seg_a"),
                         F.col("n").alias("na")), "seg_a")
-        .join(nn.select(F.col("event_type").alias("seg_b"),
+        .join(nn.select(F.col("seg").alias("seg_b"),
                         F.col("n").alias("nb")), "seg_b")
         .select(
             "seg_a", "seg_b",
@@ -1011,42 +1010,42 @@ _OVERLAP_DAYS = 7
 
 _KMV_OVERLAP_SQL = f"""
 WITH hashed AS (
-    SELECT DISTINCT CAST(day(ts) AS VARCHAR) AS event_type, user_id,
+    SELECT DISTINCT CAST(day(ts) AS VARCHAR) AS seg, user_id,
            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
     FROM events WHERE day(ts) <= {_OVERLAP_DAYS}
 ),
 sketches AS (
-    SELECT event_type, list_sort(list(h)) AS sk
+    SELECT seg, list_sort(list(h)) AS sk
     FROM (
-        SELECT event_type, h,
-               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        SELECT seg, h,
+               row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
         FROM hashed
     ) WHERE rn <= {_KMV_K}
-    GROUP BY event_type
+    GROUP BY seg
 ),
 est AS (
-    SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
            CAST(len(list_intersect(
                     (list_sort(list_distinct(a.sk || b.sk)))[1:{_KMV_K}],
                     list_intersect(a.sk, b.sk)))
                 * 1000 // len((list_sort(list_distinct(a.sk || b.sk)))[1:{_KMV_K}])
                 AS BIGINT) AS jac_est_pm
-    FROM sketches a JOIN sketches b ON a.event_type < b.event_type
+    FROM sketches a JOIN sketches b ON a.seg < b.seg
 ),
-nn AS (SELECT event_type, count(*) AS n FROM hashed GROUP BY event_type),
+nn AS (SELECT seg, count(*) AS n FROM hashed GROUP BY seg),
 inter AS (
-    SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
            count(*) AS n_inter
     FROM hashed a JOIN hashed b
-      ON a.user_id = b.user_id AND a.event_type < b.event_type
+      ON a.user_id = b.user_id AND a.seg < b.seg
     GROUP BY 1, 2
 ),
 exact AS (
     SELECT i.seg_a, i.seg_b,
            CAST(i.n_inter * 1000 // (na.n + nb.n - i.n_inter) AS BIGINT) AS jac_pm
     FROM inter i
-    JOIN nn na ON na.event_type = i.seg_a
-    JOIN nn nb ON nb.event_type = i.seg_b
+    JOIN nn na ON na.seg = i.seg_a
+    JOIN nn nb ON nb.seg = i.seg_b
 )
 SELECT e.seg_a, e.seg_b, e.jac_pm, s.jac_est_pm,
        CAST(abs(s.jac_est_pm - e.jac_pm) AS BIGINT) AS err_abs_pm
@@ -1070,8 +1069,10 @@ _HLL_M = 64
 #: alpha_64 * m^2 * 2^55 precomputed as ONE double literal so both
 #: engines perform a single identical IEEE division + floor.
 _HLL_C = 1.046802484394006e20
-#: linear-counting estimates floor-rounded from 64*ln(64/V), V = count
-#: of zero registers 1..64 — a literal table, exact by construction.
+#: linear-counting estimates rounded to NEAREST from 64*ln(64/V), V =
+#: count of zero registers 1..64 — a literal table, exact by
+#: construction (round-half-up; pinned by
+#: test_hll_linear_counting_table_matches_formula).
 _HLL_LC = [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107,
            102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55,
            53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27,

@@ -1710,7 +1710,13 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: weights are floored to integer milli BEFORE the
     cross-source sum, so every downstream ratio is pure integer
     arithmetic — no cross-row float accumulation to drift between
-    engines (the corpus_source_audit discipline). Scale shape: one
+    engines (the corpus_source_audit discipline). The
+    budget×tokens×weight product is evaluated in 38-digit decimal
+    (Spark DECIMAL(38,0), DuckDB HUGEINT) because at full corpus
+    scale (t_total ~1e13 tokens, w ~3e9 milli) the int64 product
+    wraps; 2·1e13·3e9 ≈ 6e22 sits comfortably inside 38 digits, so
+    the arithmetic stays exact up to ~1e38 — far past 100 TB.
+    Scale shape: one
     scan → one source-keyed agg (bounded distinct sources), a 1-row
     totals broadcast, and an output-sized projection. No windows, no
     joins beyond the scalar broadcast."""
@@ -1734,7 +1740,10 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_src.crossJoin(F.broadcast(totals))
         .withColumn(
             "raw_alloc",
-            F.expr(f"CAST({_BUDGET_X} * t_total * w div w_total AS BIGINT)"),
+            F.expr(
+                f"CAST(CAST({_BUDGET_X} AS DECIMAL(38,0)) * t_total * w"
+                " div w_total AS BIGINT)"
+            ),
         )
         .withColumn(
             "alloc_tokens",
@@ -1774,8 +1783,10 @@ totals AS (
 ),
 planned AS (
     SELECT source, tok, n_docs,
-           {_BUDGET_X} * t_total * w // w_total AS raw_alloc,
-           least({_BUDGET_X} * t_total * w // w_total,
+           CAST(CAST({_BUDGET_X} AS HUGEINT) * t_total * w // w_total
+                AS BIGINT) AS raw_alloc,
+           least(CAST(CAST({_BUDGET_X} AS HUGEINT) * t_total * w // w_total
+                      AS BIGINT),
                  tok * {_EPOCH_CAP_MILLI} // 1000) AS alloc_tokens
     FROM weighted, totals
 )

@@ -120,6 +120,38 @@ def test_audio_energy_kernel(spark):
         audio_window_energy(bad).collect()
 
 
+def test_windowed_audio_kernels_reject_stereo(spark):
+    """audio_window_energy / audio_zero_crossings window the FLAT
+    sample stream, so an interleaved stereo input must fail loudly
+    (a window would span both channels; the ZCR sign test would count
+    cross-channel flips) — decode_audio_stats is the multichannel
+    path. Pins the ADVICE r9 finding."""
+    import numpy as np
+    import pytest as _pytest
+
+    from codegraph_spark.operators.multimodal import (
+        audio_window_energy,
+        audio_zero_crossings,
+        decode_audio_stats,
+    )
+    from codegraph_spark.operators.wav_stdlib import encode_wav
+
+    frames = np.tile(
+        np.array([[40, 200]], dtype=np.uint8), (512, 1)
+    )  # L=40, R=200: every adjacent flat-stream pair flips sign
+    wav = encode_wav(frames, sample_rate=8000)
+    audio = spark.createDataFrame(
+        [(1, bytearray(wav), "wav")], "doc_id long, payload binary, codec string"
+    )
+    with _pytest.raises(Exception, match="mono-only"):
+        audio_window_energy(audio, window=256).collect()
+    with _pytest.raises(Exception, match="mono-only"):
+        audio_zero_crossings(audio, window=256).collect()
+    # the multichannel-safe path still decodes it
+    stats = decode_audio_stats(audio).collect()
+    assert len(stats) == 1
+
+
 def test_empty_text_dropped(spark):
     docs = spark.createDataFrame(
         [(0, "abcd"), (1, "")], "doc_id long, text string"
