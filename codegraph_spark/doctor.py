@@ -7,6 +7,18 @@ registered queries, packaged for ad-hoc use on ANY DataFrame (CLI:
 the engine gets the 100 TB review checklist as a tool, not a code
 review. Checks are string-level over ``explain('formatted')`` output —
 the same surface a human plan review reads.
+
+BLIND SPOT — helper-job plans: the doctor (and the per-query gate
+built on it) sees only the plan of the DataFrame it is handed. Work a
+query function runs in SEPARATE jobs on the side — fixture builders,
+``collect()``-ed bound/percentile probes, convergence checks inside
+iterative loops — never appears in that plan and therefore escapes the
+gate. Those helper jobs need the same review by hand: r9's one
+corpus-sized unpartitioned window lived in exactly such a helper
+(``streaming/incremental.prepare_reordered_events``'s ntile fixture
+split, since replaced by approx-percentile ts-range slicing). When a
+query function launches side jobs, run ``diagnose`` on each side
+DataFrame too, or keep the side job to bounded aggregates.
 """
 
 from __future__ import annotations

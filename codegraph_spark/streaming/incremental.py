@@ -709,13 +709,22 @@ def prepare_reordered_events(
     spark: SparkSession, sf_dir: str, n_slices: int = 6
 ) -> tuple[str, int]:
     """Bounded-disorder events source for the reorder-buffer gate:
-    the events table is cut into ``n_slices`` equal-count time slices
+    the events table is cut into ``n_slices`` contiguous time slices
     and the files of each adjacent pair are SWAPPED (arrival order
     s1,s0,s3,s2,...), so cross-batch timestamps go backwards — the
     strict operator raises on this stream — while disorder stays
     bounded by one pair's time span. Returns (dir, horizon_us) where
     horizon_us = the max swapped-pair span + 1: the exact contract
     under which the buffered operator equals the batch oracle.
+
+    Slicing is by TS-RANGE against ``n_slices - 1`` approx-percentile
+    cutpoints (one bounded agg job + a stateless per-row comparison),
+    NOT an ordered global window: an arrival-order simulation needs
+    contiguous bounded-span slices, not exact equal counts, and the
+    previous ``ntile`` formulation sorted the whole events table
+    through one partition (r9 VERDICT item 2) — the one shape the
+    plan doctor forbids in query plans, hiding here in a helper job.
+
     Harness machinery for the gate (the production knob is just the
     horizon); cached per (sf_dir, content fingerprint, n_slices) under
     /tmp — an in-place rewrite of the events table changes the
@@ -726,13 +735,11 @@ def prepare_reordered_events(
     import json
     import shutil
 
-    from pyspark.sql import Window
-
     from codegraph_spark.sources.tables import load_table
 
     fp = _table_fingerprint(sf_dir, "events")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ev|{fp}|{n_slices}".encode()
+        f"{os.path.abspath(sf_dir)}|ev|{fp}|{n_slices}|tsrange-v2".encode()
     ).hexdigest()[:12]
     out_dir = os.path.join("/tmp", "spark_graft_ooo", tag)
     meta_path = os.path.join(out_dir, "_META.json")
@@ -741,8 +748,21 @@ def prepare_reordered_events(
             return out_dir, int(json.load(f)["horizon_us"])
     os.makedirs(out_dir, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    sliced = ev.withColumn("_slice", F.ntile(n_slices).over(w) - 1).persist()
+    # ts arrives TIMESTAMP_NTZ from parquet; unix_micros wants TIMESTAMP.
+    # The same cast is applied in the agg and the per-row comparison, so
+    # the session-timezone shift cancels.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cuts_row = ev.agg(
+        F.percentile_approx(
+            ts_us,
+            F.array(*[F.lit(i / n_slices) for i in range(1, n_slices)]),
+            10_000,
+        ).alias("cuts")
+    ).collect()[0]["cuts"]
+    slice_col = F.lit(0)
+    for c in cuts_row or []:
+        slice_col = slice_col + F.when(ts_us >= F.lit(int(c)), 1).otherwise(0)
+    sliced = ev.withColumn("_slice", slice_col).persist()
     bounds = {
         r["_slice"]: (r["mn"], r["mx"])
         for r in sliced.groupBy("_slice")

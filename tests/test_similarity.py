@@ -332,6 +332,60 @@ def test_semantic_dedup_pair_volume_stays_linear_with_adaptive_k(spark):
     assert per_row[4096] <= 4 * occupancy
 
 
+def test_dedup_semantic_adaptive_gate_shape_and_output(spark, sf_dir):
+    """The r10 production-plan gate: adaptive k (ceil(n/4) = 125 at the
+    500-vector fixture) must resolve the assign_ivf_auto dispatch to
+    the Arrow flat-argmax kernel (MapInPandas in the plan — the same
+    kernel a 100 TB run uses below the two-level threshold), and the
+    pruned set must be exactly the planted clones, each kept by its
+    source at cosine 1.0."""
+    from codegraph_spark import doctor
+    from codegraph_spark.queries.similarity import dedup_semantic_adaptive
+
+    df = dedup_semantic_adaptive(spark, sf_dir)
+    plan = doctor.plan_text(df)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    rows = {r["pruned_id"]: r for r in df.collect()}
+    clone_ids = {v + 1_000_000 for v in range(0, 500, 40)}
+    assert set(rows) == clone_ids
+    for cid in clone_ids:
+        assert rows[cid]["kept_id"] == cid - 1_000_000
+        assert rows[cid]["cosine"] == 1.0
+
+
+def test_sampled_trainer_plus_auto_dispatch_production_path(spark, sf_dir):
+    """The full production composition the adaptive gate decomposes
+    (gate: exact-rule centroids + auto-dispatch + prune; here: the
+    REAL sampled Lloyd trainer feeding the same dispatch at the same
+    adaptive k): identical vectors co-assign deterministically (clone
+    inherits source cluster through the kernel, not by construction)
+    and the within-cluster pair volume stays at occupancy scale —
+    linear in n, the SemDeDup scale contract."""
+    from codegraph_spark.queries.similarity import (
+        _emb,
+        assign_ivf_auto,
+        plant_clones,
+        train_ivf_kmeans_sampled,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    n = emb.count()
+    k = max(1, -(-n // 4))
+    assert k > 64  # the flat Arrow-kernel regime of the dispatch table
+    cents = train_ivf_kmeans_sampled(emb, k=k, iters=4)
+    assert cents.count() == k
+    assigned = assign_ivf_auto(plant_clones(emb, "vec_id"), cents)
+    a = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    for v in range(0, n, 40):
+        assert a[v + 1_000_000] == a[v]
+    sizes: dict[int, int] = {}
+    for c in a.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    pairs = sum(s * (s - 1) // 2 for s in sizes.values())
+    assert pairs / len(a) <= 16 * 4  # pairs-per-row bounded by O(occupancy)
+
+
 # --- PQ (product quantization) ------------------------------------------------
 
 

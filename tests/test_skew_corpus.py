@@ -44,6 +44,7 @@ SKEW_SET = [
     "text_lm_score",
     "sim_lsh_cosine",
     "dedup_semantic",
+    "dedup_semantic_adaptive",
     "sim_ivf_pq",
     "sim_lsh_recall",
     "emb_quantize_int8",
