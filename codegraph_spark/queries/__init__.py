@@ -28,6 +28,7 @@ _MODULES = [
     "codegraph_spark.queries.dedup",
     "codegraph_spark.queries.similarity",
     "codegraph_spark.queries.text",
+    "codegraph_spark.queries.web",
     "codegraph_spark.queries.retrieval",
     "codegraph_spark.queries.layout",
     "codegraph_spark.queries.events",

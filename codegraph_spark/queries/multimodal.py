@@ -870,11 +870,13 @@ _STORED_SUBSET_MOD = 5
 
 
 def _stored_media_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once on-disk media corpus for :func:`mm_stored_media_meta`:
-    REAL .png/.jpg files (stdlib codecs, deterministic content from the
-    documents table), so a driver gate can exercise the full stored-
-    bytes path — ``binaryFile`` scan → codec-from-extension → decode
-    dispatch — rather than synthesizing payloads inside the kernel.
+    """Build-once on-disk media corpus for the stored-bytes gates
+    (:func:`mm_stored_media_meta`, :func:`mm_stored_wav_meta`,
+    :func:`mm_stored_mjpeg_scene_cut`): REAL .png/.jpg/.wav/.mjpeg
+    files (stdlib codecs, deterministic content from the documents
+    table), so driver gates can exercise the full stored-bytes path —
+    ``binaryFile`` scan → codec-from-extension → decode dispatch —
+    rather than synthesizing payloads inside the kernel.
 
     Cached per (sf_dir, documents content fingerprint) under /tmp with
     a ``_DONE`` sentinel — the read_documents_stream split-cache
@@ -892,7 +894,7 @@ def _stored_media_dir(spark: SparkSession, sf_dir: str) -> str:
 
     fp = _table_fingerprint(sf_dir, "documents")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|media-v2".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|media-v3".encode()
     ).hexdigest()[:12]
     root = os.path.join("/tmp", "spark_graft_media", tag)
     done = os.path.join(root, "_DONE")
@@ -955,7 +957,29 @@ def _stored_media_dir(spark: SparkSession, sf_dir: str) -> str:
                     encode_wav(smp.reshape(n_frames, ch), rate,
                                info=f"doc{doc_id}"),
                 )
-                n += 2
+                # the video arm: the mm_mjpeg_scene_cut stream rule
+                # (watermarked flat scenes, genuine concatenated q90
+                # JPEGs), stored as a real .mjpeg alongside
+                vw, vh, n_scenes = 16 + doc_id % 16, 16, 2 + doc_id % 3
+                wm = np.frombuffer(
+                    (doc_id & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"),
+                    dtype=np.uint8,
+                )
+
+                def _vframe(s: int) -> bytes:
+                    vpx = np.full(vw * vh, 40 + 60 * (s % 4), dtype=np.uint8)
+                    vpx[:8] = wm
+                    return encode_jpeg_gray(vpx, vw, vh, quality=90)
+
+                _emit(
+                    f"{doc_id:012d}.mjpeg",
+                    b"".join(
+                        _vframe(s)
+                        for s in range(n_scenes)
+                        for _f in range(_MJPEG_FRAMES_PER_SCENE)
+                    ),
+                )
+                n += 3
             yield pd.DataFrame({"n": [n]})
 
     docs.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
@@ -1061,6 +1085,82 @@ def _stored_wav_sql() -> str:
     return _MM_WAV_SQL.replace(
         "WHERE length(text) > 0",
         f"WHERE length(text) > 0 AND doc_id % {_STORED_SUBSET_MOD} = 0",
+    )
+
+
+def mm_stored_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED-payload gate for the VIDEO modality (r9 VERDICT "Next
+    round" 5 — images and audio had stored-file gates, MJPEG decoded
+    honestly but only from kernel-synthesized bytes): real ``.mjpeg``
+    files on disk (written by the same build-once fixture, genuine
+    concatenated q90 JPEGs under the mm_mjpeg_scene_cut stream rule)
+    cross the full production path — ``binaryFile`` scan →
+    codec-from-extension (sources/media.read_media_dir, 'mjpeg' →
+    video/mjpeg) → marker-walk re-segmentation
+    (operators/jpeg_stdlib.mjpeg_frame_bounds) → per-frame decode
+    through the production dispatch → scene-cut thresholding. Same
+    engine-independent literal oracle as mm_mjpeg_scene_cut
+    (n_frames / n_cuts / first_cut from doc_id arithmetic), restricted
+    to the stored subset: a wrong file write, a misrouted extension, a
+    broken marker walk, or a decode regression all hash-mismatch."""
+    from codegraph_spark.operators.jpeg_stdlib import mjpeg_frame_bounds
+    from codegraph_spark.operators.multimodal import _decode_payload
+    from codegraph_spark.sources.media import read_media_dir
+
+    root = _stored_media_dir(spark, sf_dir)
+    media = read_media_dir(spark, root, modality="video")
+    parsed = media.select(
+        F.regexp_extract("path", r"(\d+)\.mjpeg$", 1)
+        .cast("long").alias("doc_id"),
+        "codec",
+        "payload",
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                if codec != "mjpeg":
+                    raise ValueError(
+                        f"stored video gate expects mjpeg, got {codec!r}"
+                    )
+                stream = bytes(payload)
+                sums, n = [], None
+                for lo, hi in mjpeg_frame_bounds(stream):
+                    dw, dh, px = _decode_payload(stream[lo:hi], "jpeg")
+                    n = dw * dh
+                    sums.append(int(px.astype(np.int64).sum()))
+                cuts = [
+                    i
+                    for i in range(1, len(sums))
+                    if abs(sums[i] - sums[i - 1]) * 1000 // n
+                    > _MJPEG_CUT_MILLI
+                ]
+                out.append(
+                    (int(doc_id), len(sums), len(cuts),
+                     cuts[0] if cuts else -1)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "n_cuts", "first_cut"]
+            )
+
+    return parsed.mapInPandas(
+        kernel, "doc_id long, n_frames int, n_cuts int, first_cut int"
+    ).orderBy("doc_id")
+
+
+def _stored_mjpeg_sql() -> str:
+    # the mm_mjpeg_scene_cut literals, restricted to the stored subset
+    # (the fixture also drops empty/non-ascii docs — mirror that)
+    return _MM_MJPEG_SQL.replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % {_STORED_SUBSET_MOD} = 0"
+        " AND length(text) > 0",
     )
 
 
@@ -1179,6 +1279,7 @@ QUERIES = {
     "mm_wav_roundtrip": mm_wav_roundtrip,
     "mm_stored_wav_meta": mm_stored_wav_meta,
     "mm_stored_media_meta": mm_stored_media_meta,
+    "mm_stored_mjpeg_scene_cut": mm_stored_mjpeg_scene_cut,
     "mm_jpeg_roundtrip": mm_jpeg_roundtrip,
     "mm_mjpeg_scene_cut": mm_mjpeg_scene_cut,
     "mm_png_roundtrip": mm_png_roundtrip,
@@ -1198,6 +1299,7 @@ ORACLES = {
     "mm_wav_roundtrip": _MM_WAV_SQL,
     "mm_stored_wav_meta": _stored_wav_sql(),
     "mm_stored_media_meta": _MM_STORED_SQL,
+    "mm_stored_mjpeg_scene_cut": _stored_mjpeg_sql(),
     "mm_jpeg_roundtrip": _MM_JPEG_SQL,
     "mm_mjpeg_scene_cut": _MM_MJPEG_SQL,
     "mm_png_roundtrip": _MM_PNG_SQL,

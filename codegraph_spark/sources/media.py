@@ -35,6 +35,8 @@ MEDIA_TYPES = {
     "mp3": ("audio", "mp3"),
     "flac": ("audio", "flac"),
     "rawpcm": ("audio", "raw-pcm-v1"),
+    "mjpeg": ("video", "mjpeg"),
+    "mjpg": ("video", "mjpeg"),
     "mp4": ("video", "h264"),
     "mkv": ("video", "h264"),
     "webm": ("video", "vp9"),

@@ -45,6 +45,8 @@ SKEW_SET = [
     "sim_lsh_cosine",
     "dedup_semantic",
     "dedup_semantic_adaptive",
+    "text_html_extract",
+    "text_html_boilerplate_audit",
     "sim_ivf_pq",
     "sim_lsh_recall",
     "emb_quantize_int8",
