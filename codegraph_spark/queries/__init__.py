@@ -138,6 +138,12 @@ _REVERIFY: dict[str, int] = {
     "ev_funnel": 5,            # round 5: NULLIF zero-user conversion
     "corpus_filter_funnel": 5,  # round 5: NULLIF empty-corpus yield
     "stream_funnel": 5,        # round 5: 0 counts on empty drain
+    "stream_transitions_ooo": 10,   # round 10: ooo fixture sliced by
+                                    # ts-range percentiles (was ntile)
+    "stream_dedup_minhash_ooo": 10,  # round 10: same fixture change
+    "corpus_token_budget_plan": 10,  # round 10: decimal(38)/hugeint
+                                     # product (same values at gate sf)
+    "ev_kmv_overlap": 10,      # round 10: seg aliases (oracle-identical)
 }
 
 

@@ -119,6 +119,10 @@ AUDIT = [
     "stream_hll_distinct",
     "dedup_jaccard_ppjoin",
     "ev_kmv_overlap",
+    "dedup_semantic_adaptive",
+    "text_html_extract",
+    "text_html_boilerplate_audit",
+    "mm_stored_mjpeg_scene_cut",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -46,6 +46,12 @@ PROBES = [
     "mm_wav_roundtrip",          # audio-container kernel
     "ev_hll_distinct",           # HLL sketch (should be ~flat)
     "graph_harmonic_sampled",    # tagged multi-source BFS
+    "dedup_semantic_adaptive",   # r10: the SemDeDup production plan
+                                 # (k tracks n; 200k vecs -> k=50k rides
+                                 # the flat kernel just under the
+                                 # two-level threshold)
+    "text_html_extract",         # r10: raw-web front door (pure column
+                                 # program — linear control family)
 ]
 
 FLAG_FACTOR = 2.5  # same accusation line as SCALE.md, at 100x

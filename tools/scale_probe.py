@@ -98,6 +98,10 @@ PROBES = [
     "stream_hll_distinct",
     "dedup_jaccard_ppjoin",
     "ev_kmv_overlap",
+    "dedup_semantic_adaptive",
+    "text_html_extract",
+    "text_html_boilerplate_audit",
+    "mm_stored_mjpeg_scene_cut",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
@@ -137,10 +141,18 @@ PROBE_NOTES = {
         "clusters), where within-cluster pair volume is n²/k over "
         "DISTINCT vectors — quadratic by construction (the r7 "
         "exact-group collapse bounds it by distinct vectors, so "
-        "duplicate-heavy corpora collapse first); the production "
-        "contract sets k ∝ n/occupancy, now runnable end-to-end via "
-        "train_ivf_kmeans_sampled (O(1) Spark jobs, bounded sample) — "
-        "measured by the dedicated adaptive-k probe below"
+        "duplicate-heavy corpora collapse first); ALGORITHM-CHECK-ONLY "
+        "since r10 — the production plan (k ∝ n, auto-dispatched "
+        "assignment) is the registered dedup_semantic_adaptive gate, "
+        "whose probe row above is the one held to the data ratio, plus "
+        "the dedicated sampled-trainer probe below"
+    ),
+    "dedup_semantic_adaptive": (
+        "the r10 production-plan gate: k = ceil(n_distinct/4) tracks "
+        "the corpus (125 -> 1250 across the replica), assignment "
+        "auto-dispatches to the Arrow flat-argmax kernel, and the "
+        "within-cluster rep pair volume stays at occupancy scale — "
+        "this row, not dedup_semantic's, is the SemDeDup scale claim"
     ),
 }
 
