@@ -1109,12 +1109,15 @@ def mm_stored_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _stored_media_dir(spark, sf_dir)
     media = read_media_dir(spark, root, modality="video")
+    # binaryFile packs these ~KB files into very few partitions; spread
+    # the per-file Python decode across cores (the heavy-kernel hint
+    # every codec gate applies)
     parsed = media.select(
         F.regexp_extract("path", r"(\d+)\.mjpeg$", 1)
         .cast("long").alias("doc_id"),
         "codec",
         "payload",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def kernel(batches):
         import numpy as np

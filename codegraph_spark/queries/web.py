@@ -133,26 +133,29 @@ def html_block_stats(page: Column) -> Column:
     lined = F.regexp_replace(
         cleaned, "</(p|div|title|h[1-6]|li)>|<br */?>", "\n"
     )
+    # two chained transforms so the tag-strip regex runs ONCE per line
+    # (HOF lambdas can't bind intermediates; a single transform would
+    # evaluate the strip twice — measured ~25% of the per-doc pass)
+    pre = F.transform(
+        F.split(lined, "\n"),
+        lambda raw: F.struct(
+            F.trim(F.regexp_replace(raw, "<[^>]+>", "")).alias("sx"),
+            F.aggregate(
+                F.regexp_extract_all(raw, F.lit("<a[^>]*>([^<]*)</a>"), 1),
+                F.lit(0),
+                lambda acc, a: acc + F.length(a),
+            ).alias("link_len"),
+        ),
+    )
     return F.filter(
         F.transform(
-            F.split(lined, "\n"),
-            lambda raw: F.struct(
-                _unescape(
-                    F.trim(F.regexp_replace(raw, "<[^>]+>", ""))
-                ).alias("txt"),
+            pre,
+            lambda s: F.struct(
+                _unescape(s["sx"]).alias("txt"),
                 F.size(
-                    F.filter(
-                        F.split(
-                            F.trim(F.regexp_replace(raw, "<[^>]+>", "")), " "
-                        ),
-                        lambda w: w != "",
-                    )
+                    F.filter(F.split(s["sx"], " "), lambda w: w != "")
                 ).alias("wc"),
-                F.aggregate(
-                    F.regexp_extract_all(raw, F.lit("<a[^>]*>([^<]*)</a>"), 1),
-                    F.lit(0),
-                    lambda acc, a: acc + F.length(a),
-                ).alias("link_len"),
+                s["link_len"].alias("link_len"),
             ),
         ),
         lambda s: s["txt"] != "",
@@ -224,14 +227,20 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering of the bounded output."""
     docs = load_table(spark, sf_dir, "documents")
     page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
-    blocks = html_block_stats(page)
-    kept = F.filter(blocks, _keep)
-    extracted = F.array_join(
-        F.transform(kept, lambda s: s["txt"]), "\n"
+    # materialize the block array ONCE per row before deriving stats —
+    # referencing the raw expression from several output columns would
+    # inline (and re-evaluate) the whole page-build + regex tree per
+    # reference (no CSE across projection items; measured ~2x)
+    blocked = docs.select(
+        "doc_id", html_block_stats(page).alias("b")
+    ).select(
+        "doc_id", "b",
+        F.array_join(
+            F.transform(F.filter("b", _keep), lambda s: s["txt"]), "\n"
+        ).alias("x"),
     )
     return (
-        docs.select("doc_id", blocks.alias("b"), extracted.alias("x"))
-        .select(
+        blocked.select(
             "doc_id",
             F.size("b").alias("n_blocks"),
             F.size(F.filter("b", _keep)).alias("n_kept"),
@@ -287,17 +296,20 @@ def text_html_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (bounded distinct sources)."""
     docs = load_table(spark, sf_dir, "documents")
     page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
-    blocks = html_block_stats(page)
-    per_doc = docs.select(
+    # materialize the block array once per row (see text_html_extract)
+    blocked = docs.select(
+        "source", html_block_stats(page).alias("b")
+    )
+    per_doc = blocked.select(
         "source",
-        F.size(blocks).alias("nb"),
-        F.size(F.filter(blocks, _keep)).alias("nk"),
+        F.size("b").alias("nb"),
+        F.size(F.filter("b", _keep)).alias("nk"),
         F.size(
-            F.filter(blocks, lambda s: s["wc"] < _MIN_WORDS)
+            F.filter("b", lambda s: s["wc"] < _MIN_WORDS)
         ).alias("nshort"),
         F.size(
             F.filter(
-                blocks,
+                "b",
                 lambda s: (s["wc"] >= _MIN_WORDS)
                 & (
                     s["link_len"] * _LINK_DENS_DEN
@@ -306,7 +318,7 @@ def text_html_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nlink"),
         F.aggregate(
-            F.filter(blocks, _keep),
+            F.filter("b", _keep),
             F.lit(0).cast("bigint"),
             lambda acc, s: acc + F.length(s["txt"]),
         ).alias("kept_chars"),

@@ -82,11 +82,15 @@ def main() -> None:
         _stored_media_dir(spark, d)  # fixture prewarm (outside timing)
 
     def measure(fn):
+        # noop write forces full evaluation (see scale_probe.measure —
+        # a bare count() would let Catalyst prune projection-only work)
         times = {}
         for label, d in (("x1", BASE), ("x100", SCALE100_DIR)):
+            df = fn(spark, d)
             t0 = time.perf_counter()
-            n = fn(spark, d).count()
-            times[label] = (time.perf_counter() - t0, n)
+            df.write.format("noop").mode("overwrite").save()
+            secs = time.perf_counter() - t0
+            times[label] = (secs, df.count())
         return times
 
     rows = []

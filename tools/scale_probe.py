@@ -154,6 +154,32 @@ PROBE_NOTES = {
         "within-cluster rep pair volume stays at occupancy scale — "
         "this row, not dedup_semantic's, is the SemDeDup scale claim"
     ),
+    "text_html_extract": (
+        "input growth, not superlinearity: the replica interleaves a "
+        "marker token every 3rd word, so each replica document carries "
+        "4/3 the words -> 4/3 the per-doc regex work; expected ratio "
+        "~13.3 at 10x rows, measured right on it — the per-doc pass "
+        "itself is a zero-shuffle column program, strictly linear in "
+        "page bytes"
+    ),
+    "text_html_boilerplate_audit": (
+        "same 4/3 input growth as text_html_extract (shared block "
+        "pass) plus one bounded source-keyed aggregation"
+    ),
+    "mm_stored_wav_meta": (
+        "10.4 vs the 10x file-count ratio — the stored fixture holds "
+        "10x as many .wav files of the same per-doc clip-length "
+        "distribution; a binaryFile scan + decode is file-count linear "
+        "and the 4% excess is host noise"
+    ),
+    "corpus_split_semantic_leakage": (
+        "within-cluster eval x train pair scoring over the k=8 trained "
+        "quantizer (the dedup_semantic algorithm-check family): pair "
+        "volume n_eval*n_train/k grows quadratic-by-config at fixed k "
+        "but the eval side is the 2% split so the absolute cost stays "
+        "small; the adaptive-k contract (k tracks n) applies here the "
+        "same way and is what a 100 TB run would set"
+    ),
 }
 
 
@@ -401,11 +427,19 @@ def main() -> None:
         _stored_media_dir(spark, d)
 
     def measure(fn) -> dict:
+        # FORCE full evaluation with a noop write: a bare .count() lets
+        # Catalyst prune every projected column, so a projection-only
+        # query (text_html_extract, text_quality_score, ...) would time
+        # a row count, not its regex/hash work — a vacuous ratio
+        # (caught in r10; aggregation- and kernel-ended probes are
+        # unaffected since their plans can't prune the work).
         times = {}
         for label, d in (("x1", BASE), ("x10", SCALE_DIR)):
+            df = fn(spark, d)
             t0 = time.perf_counter()
-            n = fn(spark, d).count()
-            times[label] = (time.perf_counter() - t0, n)
+            df.write.format("noop").mode("overwrite").save()
+            secs = time.perf_counter() - t0
+            times[label] = (secs, df.count())
         return times
 
     rows = []
@@ -439,7 +473,11 @@ def main() -> None:
             "interleave for text, norm-preserving sign flips for vectors,\n"
             "key offsets for relational ids — so near-dup/bucket density\n"
             "per replica matches the original instead of cloning).\n"
-            "local[16], warm session, single run each; a probe whose first\npass crosses the flag line is re-measured and scored best-of-2\nper side (this shared host shows transient >2x interference).\n\n"
+            "local[16], warm session, single run each; a probe whose first\npass crosses the flag line is re-measured and scored best-of-2\nper side (this shared host shows transient >2x interference).\n"
+            "Each probe is forced through a `noop`-format write so the\n"
+            "FULL plan executes — a bare count() would let Catalyst prune\n"
+            "projection-only work (r10 harness fix; aggregation- and\n"
+            "kernel-ended probes are unaffected).\n\n"
             "A linear operator shows time ratio ≈ 10 (often less: fixed\n"
             "per-query overheads amortize); a hidden all-pairs quadratic\n"
             "would show ≈ 100.\n\n"
