@@ -135,6 +135,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ac.add_argument("--limit", type=int, default=100,
                     help="max rows per table (0 = unlimited)")
+    aw = au.add_parser(
+        "web",
+        help="raw-web front door: per-source boilerplate attribution + "
+             "per-doc extraction stats (queries/web.py)",
+    )
+    aw.add_argument("--limit", type=int, default=100,
+                    help="max rows per table (0 = unlimited)")
 
     srv = sub.add_parser("serve", help="long-running servers").add_subparsers(
         dest="what", required=True
@@ -271,12 +278,19 @@ def run_command(args: argparse.Namespace, spark) -> Any:
             raise SystemExit("audit needs --sf-dir DIR (the corpus root)")
         queries, _ = collect()
         tables = {}
-        for name in (
-            "corpus_mix_summary",
-            "corpus_source_audit",
-            "corpus_dedup_rate",
-            "corpus_quality_calibration",
-        ):
+        table_sets = {
+            "corpus": (
+                "corpus_mix_summary",
+                "corpus_source_audit",
+                "corpus_dedup_rate",
+                "corpus_quality_calibration",
+            ),
+            "web": (
+                "text_html_boilerplate_audit",
+                "text_html_extract",
+            ),
+        }
+        for name in table_sets[args.what]:
             df = queries[name](spark, args.sf_dir)
             if args.limit > 0:
                 df = df.limit(args.limit)

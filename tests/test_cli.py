@@ -80,6 +80,23 @@ def test_cli_audit_corpus_runs(spark, sf_dir):
         assert t["columns"] and len(t["rows"]) <= 3
 
 
+def test_cli_audit_web_runs(spark, sf_dir):
+    from codegraph_spark.__main__ import _build_parser, run_command
+
+    out = run_command(
+        _build_parser().parse_args(
+            ["--sf-dir", sf_dir, "audit", "web", "--limit", "3"]
+        ),
+        spark,
+    )
+    assert set(out["tables"]) == {
+        "text_html_boilerplate_audit",
+        "text_html_extract",
+    }
+    for t in out["tables"].values():
+        assert t["columns"] and len(t["rows"]) <= 3
+
+
 def test_cli_index_docs_code_graph_flag():
     args = _build_parser().parse_args(
         ["index", "docs", "./docs", "--out", "/tmp/g", "--code-graph", "/tmp/code"]
