@@ -745,7 +745,52 @@ def stream_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-web front door AT THE INGEST DOOR (the stream_image_meta
+    shape applied to r10's HTML family): each arriving document is
+    HTML-wrapped and pushed through the SAME five-rule main-content
+    extraction column program the batch query uses (queries/web.py —
+    a stateless projection runs unchanged under Structured Streaming),
+    one micro-batch at a time, append mode, NO state at all. This is
+    how a 100 TB crawl intake actually runs extraction: per arriving
+    WARC batch, emitting ~60 bytes of stats + a content hash per page.
+    Same oracle as text_html_extract: a hash match proves the
+    streaming drain equals the batch extraction however the input
+    splits into micro-batches."""
+    from codegraph_spark.queries.web import (
+        _keep,
+        html_block_stats,
+        html_wrap,
+    )
+    from codegraph_spark.streaming.incremental import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
+    blocked = docs.select(
+        "doc_id", html_block_stats(page).alias("b")
+    ).select(
+        "doc_id", "b",
+        F.array_join(
+            F.transform(F.filter("b", _keep), lambda s: s["txt"]), "\n"
+        ).alias("x"),
+    )
+    proj = blocked.select(
+        "doc_id",
+        F.size("b").alias("n_blocks"),
+        F.size(F.filter("b", _keep)).alias("n_kept"),
+        F.length("x").cast("bigint").alias("extracted_len"),
+        F.md5(F.col("x").cast("binary")).alias("extract_md5"),
+    ).select(
+        "doc_id", "n_blocks", "n_kept",
+        F.expr("CAST(n_kept * 1000 div n_blocks AS BIGINT)")
+        .alias("kept_pm"),
+        "extracted_len", "extract_md5",
+    )
+    return run_available_now(proj, output_mode="append").orderBy("doc_id")
+
+
 from codegraph_spark.queries.multimodal import _MM_META_SQL as _STREAM_MM_META_SQL  # noqa: E402
+from codegraph_spark.queries.web import _HTML_EXTRACT_SQL as _STREAM_HTML_EXTRACT_SQL  # noqa: E402
 from codegraph_spark.queries.events import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
 from codegraph_spark.queries.events import _KMV_SQL as _STREAM_KMV_SQL  # noqa: E402
 from codegraph_spark.queries.events import _TRANSITION_SQL as _STREAM_TRANSITION_SQL  # noqa: E402
@@ -753,6 +798,7 @@ from codegraph_spark.queries.events import _CUSUM_SQL as _STREAM_CUSUM_SQL  # no
 
 QUERIES = {
     "stream_image_meta": stream_image_meta,
+    "stream_html_extract": stream_html_extract,
     "stream_dedup_minhash": stream_dedup_minhash,
     "stream_dedup_minhash_ooo": stream_dedup_minhash_ooo,
     "stream_transition_matrix": stream_transition_matrix,
@@ -777,6 +823,7 @@ from codegraph_spark.queries.events import (  # noqa: E402
 
 ORACLES = {
     "stream_image_meta": _STREAM_MM_META_SQL,
+    "stream_html_extract": _STREAM_HTML_EXTRACT_SQL,
     "stream_dedup_minhash": _stream_minhash_dedup_sql(),
     "stream_quantiles_sketch": _STREAM_QSK_SQL,
     "stream_dedup_minhash_ooo": _stream_minhash_dedup_sql(),

@@ -377,12 +377,89 @@ ORDER BY source
 """
 
 
+# --- web_extract_yield: the crawl-yield funnel ---------------------------------
+def web_extract_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE number every crawl pipeline reports — what fraction of
+    raw crawl bytes survives main-content extraction (CommonCrawl →
+    clean-text yields run ~15-25%; a collapsing yield means template
+    churn upstream, an inflating one means boilerplate leaking
+    through). One row: pages, block counts, bytes in (raw page) vs
+    bytes out (extracted prose), yield in per-mille — integer
+    arithmetic so the engines agree exactly.
+
+    Scale shape: the shared per-doc block pass + ONE global aggregate
+    (map-side combining; a single 6-column row out)."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
+    blocked = docs.select(
+        F.length(page).cast("bigint").alias("page_len"),
+        html_block_stats(page).alias("b"),
+    ).select(
+        "page_len",
+        F.size("b").alias("nb"),
+        F.size(F.filter("b", _keep)).alias("nk"),
+        F.aggregate(
+            F.filter("b", _keep),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.length(s["txt"]),
+        ).alias("chars_out"),
+    )
+    # coalesce: the global agg emits one row even on an empty corpus,
+    # with NULL sums — pin them to 0 identically in both engines
+    return blocked.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("bigint").alias("blocks_total"),
+        F.coalesce(F.sum("nk"), F.lit(0)).cast("bigint").alias("blocks_kept"),
+        F.coalesce(F.sum("page_len"), F.lit(0)).cast("bigint")
+        .alias("chars_in"),
+        F.coalesce(F.sum("chars_out"), F.lit(0)).cast("bigint")
+        .alias("chars_out"),
+    ).select(
+        "n_pages", "blocks_total", "blocks_kept", "chars_in", "chars_out",
+        F.expr(
+            "CAST(CASE WHEN chars_in = 0 THEN 0"
+            " ELSE chars_out * 1000 div chars_in END AS BIGINT)"
+        ).alias("yield_pm"),
+    )
+
+
+_YIELD_SQL = f"""
+WITH paged AS (
+    SELECT doc_id, {_WRAP_SQL} AS page FROM documents
+),
+blocked AS (
+    SELECT CAST(length(page) AS BIGINT) AS page_len,
+           {_BLOCKS_SQL} AS b
+    FROM paged
+),
+per_doc AS (
+    SELECT page_len, len(b) AS nb,
+           len(list_filter(b, s -> {_KEEP_SQL})) AS nk,
+           coalesce(list_sum(list_transform(
+               list_filter(b, s -> {_KEEP_SQL}), s -> length(s.txt))), 0)
+               AS chars_out
+    FROM blocked
+)
+SELECT count(*) AS n_pages,
+       CAST(coalesce(sum(nb), 0) AS BIGINT) AS blocks_total,
+       CAST(coalesce(sum(nk), 0) AS BIGINT) AS blocks_kept,
+       CAST(coalesce(sum(page_len), 0) AS BIGINT) AS chars_in,
+       CAST(coalesce(sum(chars_out), 0) AS BIGINT) AS chars_out,
+       CAST(CASE WHEN coalesce(sum(page_len), 0) = 0 THEN 0
+            ELSE sum(chars_out) * 1000 // sum(page_len) END AS BIGINT)
+           AS yield_pm
+FROM per_doc
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
+    "web_extract_yield": web_extract_yield,
 }
 
 ORACLES = {
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_html_boilerplate_audit": _HTML_AUDIT_SQL,
+    "web_extract_yield": _YIELD_SQL,
 }

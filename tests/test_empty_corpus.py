@@ -54,6 +54,7 @@ _GLOBAL_ROWS = {
     "ev_funnel",
     "q6_forecast_revenue",
     "stream_funnel",
+    "web_extract_yield",
 }
 
 

@@ -47,6 +47,8 @@ SKEW_SET = [
     "dedup_semantic_adaptive",
     "text_html_extract",
     "text_html_boilerplate_audit",
+    "web_extract_yield",
+    "stream_html_extract",
     "sim_ivf_pq",
     "sim_lsh_recall",
     "emb_quantize_int8",

@@ -123,6 +123,7 @@ AUDIT = [
     "text_html_extract",
     "text_html_boilerplate_audit",
     "mm_stored_mjpeg_scene_cut",
+    "web_extract_yield",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -102,6 +102,8 @@ PROBES = [
     "text_html_extract",
     "text_html_boilerplate_audit",
     "mm_stored_mjpeg_scene_cut",
+    "web_extract_yield",
+    "stream_html_extract",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
