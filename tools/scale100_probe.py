@@ -84,10 +84,12 @@ def main() -> None:
     def measure(fn):
         # noop write forces full evaluation (see scale_probe.measure —
         # a bare count() would let Catalyst prune projection-only work)
+        # fn() inside the timer: streaming queries drain eagerly during
+        # construction (see scale_probe.measure)
         times = {}
         for label, d in (("x1", BASE), ("x100", SCALE100_DIR)):
-            df = fn(spark, d)
             t0 = time.perf_counter()
+            df = fn(spark, d)
             df.write.format("noop").mode("overwrite").save()
             secs = time.perf_counter() - t0
             times[label] = (secs, df.count())

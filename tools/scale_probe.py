@@ -157,10 +157,10 @@ PROBE_NOTES = {
         "this row, not dedup_semantic's, is the SemDeDup scale claim"
     ),
     "text_html_extract": (
-        "input growth, not superlinearity: the replica interleaves a "
-        "marker token every 3rd word, so each replica document carries "
-        "4/3 the words -> 4/3 the per-doc regex work; expected ratio "
-        "~13.3 at 10x rows, measured right on it — the per-doc pass "
+        "if this row reads above 10x it is input growth, not "
+        "superlinearity: the replica interleaves a marker token every "
+        "3rd word, so each replica document carries 4/3 the words -> "
+        "4/3 the per-doc regex work (ceiling ~13.3x); the per-doc pass "
         "itself is a zero-shuffle column program, strictly linear in "
         "page bytes"
     ),
@@ -435,10 +435,13 @@ def main() -> None:
         # a row count, not its regex/hash work — a vacuous ratio
         # (caught in r10; aggregation- and kernel-ended probes are
         # unaffected since their plans can't prune the work).
+        # fn() must sit INSIDE the timed region: streaming queries
+        # drain eagerly during construction (run_available_now), so
+        # timing only the write would miss their real work entirely
         times = {}
         for label, d in (("x1", BASE), ("x10", SCALE_DIR)):
-            df = fn(spark, d)
             t0 = time.perf_counter()
+            df = fn(spark, d)
             df.write.format("noop").mode("overwrite").save()
             secs = time.perf_counter() - t0
             times[label] = (secs, df.count())
