@@ -78,6 +78,32 @@ HEADLINE = [
 #: only when the testdata scale or box changes.
 CALIB_REF_SEC = 0.1034
 
+#: LIMITATION of the single JVM probe (r10 ADVICE): several headline
+#: queries are dominated by Python/Arrow mapInPandas kernels whose
+#: host-drift profile (Python interpreter, Arrow IPC, fork latency)
+#: need not track the JVM scan path, so value_normalized can over- or
+#: under-correct those rows. A second calibration probe (fixed Arrow
+#: round-trip + numpy kernel, no code under test) measures the Python
+#: lane; value_normalized_classed rescales each query by the probe
+#: matching its dominant execution lane. value_normalized keeps the
+#: r10 formula (JVM probe over the whole total) so round-over-round
+#: comparisons with BENCH_r10 and earlier remain valid.
+CALIB_PY_REF_SEC = 0.5281  # pinned round-11 (three best-of-5 trials:
+#: 0.5334 / 0.5281 / 0.6231 — min taken, same rule as CALIB_REF_SEC)
+
+#: headline rows whose wall time is dominated by Arrow-kernel work
+#: (codec decode/encode, stateful pandas operators, flat-argmax
+#: assignment) rather than JVM scan/agg/join.
+PY_KERNEL_QUERIES = {
+    "mm_image_meta",
+    "mm_png_roundtrip",
+    "mm_jpeg_roundtrip",
+    "mm_wav_roundtrip",
+    "mm_stored_mjpeg_scene_cut",
+    "stream_dedup_minhash",
+    "dedup_semantic_adaptive",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,6 +164,31 @@ def main() -> None:
 
     calib_sec = _calibrate()
 
+    # Python-lane calibration probe: a FIXED Arrow round-trip + numpy
+    # kernel over a constant 2M-row range (no code under test), timed
+    # best-of-5 — measures interpreter/Arrow/fork speed this run the
+    # way _calibrate measures JVM scan speed (see CALIB_PY_REF_SEC).
+    def _calibrate_py() -> float:
+        import numpy as np
+        import pandas as pd
+
+        def kernel(batches):
+            for pdf in batches:
+                a = pdf["id"].to_numpy(dtype=np.int64)
+                b = (a * 2654435761) % 1000003
+                m = np.cumsum(b % 251)
+                yield pd.DataFrame({"v": [int(m[-1]) if len(m) else 0]})
+
+        df = spark.range(0, 2_000_000, 1, 32).mapInPandas(kernel, "v long")
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            df.agg(F.sum("v")).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    calib_py_sec = _calibrate_py()
+
     # Five passes per query, report the best: the serving model is a
     # warm store (the reference's own <1s/<2s bounds are against a warm
     # Neo4j), and measured JIT/codegen ramp on this box continues into
@@ -169,8 +220,23 @@ def main() -> None:
         "ingest_sec": ingest_sec,
         "calib_sec": calib_sec,
         "calib_ref_sec": CALIB_REF_SEC,
+        "calib_py_sec": calib_py_sec,
+        "calib_py_ref_sec": CALIB_PY_REF_SEC,
         "value_normalized": round(total * CALIB_REF_SEC / calib_sec, 3)
         if calib_sec > 0 else total,
+        # per-lane normalization (r10 ADVICE): each query rescaled by
+        # the calibration probe matching its dominant execution lane
+        "value_normalized_classed": round(
+            sum(
+                t * (
+                    CALIB_PY_REF_SEC / calib_py_sec
+                    if name in PY_KERNEL_QUERIES
+                    else CALIB_REF_SEC / calib_sec
+                )
+                for name, t in timings.items()
+            ),
+            3,
+        ) if calib_sec > 0 and calib_py_sec > 0 else total,
         "note": (
             "any 'WindowExec: No Partition Defined' warnings in this "
             "run's log tail come from histogram-bounded inputs (e.g. "

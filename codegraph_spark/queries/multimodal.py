@@ -1158,8 +1158,11 @@ def mm_stored_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stored_mjpeg_sql() -> str:
-    # the mm_mjpeg_scene_cut literals, restricted to the stored subset
-    # (the fixture also drops empty/non-ascii docs — mirror that)
+    # the mm_mjpeg_scene_cut literals, restricted to the stored subset.
+    # Of the fixture's two text preconditions, only the empty-text DROP
+    # needs mirroring here; a non-ASCII doc does not get dropped — it
+    # ABORTS the fixture build loudly (_ascii_nonempty's assert_true),
+    # so no SQL-side filter for it exists or should be added.
     return _MM_MJPEG_SQL.replace(
         "FROM documents",
         f"FROM documents WHERE doc_id % {_STORED_SUBSET_MOD} = 0"

@@ -1539,14 +1539,25 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.9)
         .select("cluster", "rep_a", "rep_b", "cos")
     )
+    # qualified-alias join: members and gpairs share lineage, so an
+    # unaliased cluster==cluster predicate resolves trivially true
+    # (Spark logs it and joins on rep_id alone — correct only while
+    # cluster is functional on rep_id). Aliasing both sides makes the
+    # cluster-equality predicate real.
+    m, g = members.alias("semw_m"), gpairs.alias("semw_g")
     across = (
-        members.join(
-            gpairs,
-            (members["cluster"] == gpairs["cluster"])
-            & (members["rep_id"] == gpairs["rep_b"]),
+        m.join(
+            g,
+            (F.col("semw_m.cluster") == F.col("semw_g.cluster"))
+            & (F.col("semw_m.rep_id") == F.col("semw_g.rep_b")),
         )
-        .filter(F.col("rep_a") < F.col("vec_id"))
-        .select(members["cluster"], "vec_id", F.col("rep_a").alias("cand_id"), "cos")
+        .filter(F.col("semw_g.rep_a") < F.col("semw_m.vec_id"))
+        .select(
+            F.col("semw_m.cluster").alias("cluster"),
+            F.col("semw_m.vec_id").alias("vec_id"),
+            F.col("semw_g.rep_a").alias("cand_id"),
+            F.col("semw_g.cos").alias("cos"),
+        )
     )
     cands = within.unionByName(across)
     return (
@@ -1706,14 +1717,24 @@ def dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.9)
         .select("cluster", "rep_a", "rep_b", "cos")
     )
+    # qualified-alias join (same rationale as the fixed-k gate above):
+    # aug and rpairs share lineage; without aliases the cluster
+    # equality resolves trivially true and the join silently keys on
+    # rep_id alone. Alias both sides so the predicate is real.
+    am, rg = aug.alias("sema_m"), rpairs.alias("sema_g")
     across = (
-        aug.join(
-            rpairs,
-            (aug["cluster"] == rpairs["cluster"])
-            & (aug["rep_id"] == rpairs["rep_b"]),
+        am.join(
+            rg,
+            (F.col("sema_m.cluster") == F.col("sema_g.cluster"))
+            & (F.col("sema_m.rep_id") == F.col("sema_g.rep_b")),
         )
-        .filter(F.col("rep_a") < F.col("vec_id"))
-        .select(aug["cluster"], "vec_id", F.col("rep_a").alias("cand_id"), "cos")
+        .filter(F.col("sema_g.rep_a") < F.col("sema_m.vec_id"))
+        .select(
+            F.col("sema_m.cluster").alias("cluster"),
+            F.col("sema_m.vec_id").alias("vec_id"),
+            F.col("sema_g.rep_a").alias("cand_id"),
+            F.col("sema_g.cos").alias("cos"),
+        )
     )
     cands = within.unionByName(across)
     return (

@@ -739,7 +739,7 @@ def prepare_reordered_events(
 
     fp = _table_fingerprint(sf_dir, "events")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ev|{fp}|{n_slices}|tsrange-v2".encode()
+        f"{os.path.abspath(sf_dir)}|ev|{fp}|{n_slices}|tsrange-v3".encode()
     ).hexdigest()[:12]
     out_dir = os.path.join("/tmp", "spark_graft_ooo", tag)
     meta_path = os.path.join(out_dir, "_META.json")
@@ -752,15 +752,40 @@ def prepare_reordered_events(
     # The same cast is applied in the agg and the per-row comparison, so
     # the session-timezone shift cancels.
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    cuts_row = ev.agg(
+    agg_row = ev.agg(
         F.percentile_approx(
             ts_us,
             F.array(*[F.lit(i / n_slices) for i in range(1, n_slices)]),
             10_000,
-        ).alias("cuts")
-    ).collect()[0]["cuts"]
+        ).alias("cuts"),
+        F.min(ts_us).alias("mn"),
+        F.approx_count_distinct(ts_us).alias("ndv"),
+    ).collect()[0]
+    # DEDUPE the cutpoints and drop any at/below the global min:
+    # percentile_approx returns DATA VALUES, so heavily duplicated
+    # timestamps can repeat a cutpoint or pin one to the minimum —
+    # either would create an EMPTY slice, and a swapped pair with an
+    # empty side contributes no disorder, silently weakening the gate.
+    # After this filter every surviving slice is provably non-empty:
+    # each cut c is a data value (a row with ts == c lands in c's
+    # slice) and c > min(ts) (a row with ts == min lands below c).
+    mn = agg_row["mn"]
+    cuts = sorted(
+        {int(c) for c in (agg_row["cuts"] or []) if int(c) > int(mn)}
+    ) if mn is not None else []
+    if mn is not None and agg_row["ndv"] > 1 and not cuts:
+        # varied timestamps but every quantile collapsed onto the
+        # minimum (pathological hot-min skew): no swap is possible and
+        # the reorder gate would be vacuous — fail loudly per contract.
+        raise ValueError(
+            "prepare_reordered_events: timestamps vary but all "
+            f"{n_slices - 1} quantile cutpoints equal min(ts) — the "
+            "fixture cannot produce bounded disorder; raise n_slices "
+            "or fix the corpus"
+        )
+    n_slices = len(cuts) + 1  # effective slice count after dedupe
     slice_col = F.lit(0)
-    for c in cuts_row or []:
+    for c in cuts:
         slice_col = slice_col + F.when(ts_us >= F.lit(int(c)), 1).otherwise(0)
     sliced = ev.withColumn("_slice", slice_col).persist()
     bounds = {
@@ -783,6 +808,16 @@ def prepare_reordered_events(
                 (bounds[i + 1][1] - bounds[i][0]).total_seconds() * 1_000_000
             )
             horizon_us = max(horizon_us, span + 1)
+    # loud backstop (ADVICE r10): with >= 2 slices the cutpoint dedupe
+    # above guarantees the first swapped pair has BOTH sides non-empty
+    # spanning > 0 us, so a horizon stuck at the degenerate 1 means the
+    # fixture produced no real disorder — fail instead of green-lighting
+    # a vacuous reorder test.
+    if n_slices >= 2:
+        assert horizon_us > 1, (
+            "prepare_reordered_events: >=2 slices but no swapped pair "
+            "produced disorder (horizon_us == 1) — degenerate fixture"
+        )
     for pos, s in enumerate(order):
         part = os.path.join(out_dir, f"_p{s}")
         sliced.filter(F.col("_slice") == s).drop("_slice").coalesce(1).write.mode(

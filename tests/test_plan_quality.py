@@ -79,11 +79,26 @@ def _query_names():
 
 
 @pytest.mark.parametrize("name", _query_names())
-def test_no_cartesian_product(spark, sf_dir, name):
+def test_no_cartesian_product(spark, sf_dir, name, capfd):
     """No registered query may plan a CartesianProduct — unkeyed joins
     must be broadcast (BroadcastNestedLoopJoin over a 1-row/k-row side
-    is the sanctioned shape and stays O(n) at scale)."""
+    is the sanctioned shape and stays O(n) at scale).
+
+    Also asserts the analyzer logged no "Constructing trivially true
+    equals predicate" while the query was built: that warning means a
+    self-join's equality predicate compared a column with ITSELF (both
+    sides resolving to one attribute), so the condition is not the one
+    the author wrote — correct only by accident (r10 What's-wrong 1,
+    the SemDeDup cluster==cluster joins). The warning leaves no trace
+    in the final plan, so it is caught here at the log layer (capfd
+    sees the JVM's stderr appender)."""
     plan = _plan(spark, sf_dir, name)
+    jvm_err = capfd.readouterr().err
+    assert "trivially true" not in jvm_err, (
+        f"{name}: analyzer built a trivially-true join predicate — a "
+        f"self-join condition resolved both sides to the same attribute; "
+        f"alias the two sides and join on qualified columns"
+    )
     assert "CartesianProduct" not in plan, (
         f"{name}: CartesianProduct in plan — an unkeyed join lost its "
         f"broadcast side"

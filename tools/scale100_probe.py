@@ -86,13 +86,21 @@ def main() -> None:
         # a bare count() would let Catalyst prune projection-only work)
         # fn() inside the timer: streaming queries drain eagerly during
         # construction (see scale_probe.measure)
+        # Observation-riding row count: one execution per side (a
+        # trailing df.count() re-ran the whole plan just to report n)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         times = {}
         for label, d in (("x1", BASE), ("x100", SCALE100_DIR)):
             t0 = time.perf_counter()
             df = fn(spark, d)
-            df.write.format("noop").mode("overwrite").save()
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
             secs = time.perf_counter() - t0
-            times[label] = (secs, df.count())
+            times[label] = (secs, obs.get["n"])
         return times
 
     rows = []

@@ -438,13 +438,24 @@ def main() -> None:
         # fn() must sit INSIDE the timed region: streaming queries
         # drain eagerly during construction (run_available_now), so
         # timing only the write would miss their real work entirely
+        # row count via Observation: CollectMetrics rides the SAME noop
+        # write pass, so the plan executes exactly once per side — a
+        # trailing df.count() used to re-run the whole plan (and
+        # re-drain streaming twins) purely to report a row count,
+        # roughly doubling wall time for heavy probes.
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         times = {}
         for label, d in (("x1", BASE), ("x10", SCALE_DIR)):
             t0 = time.perf_counter()
             df = fn(spark, d)
-            df.write.format("noop").mode("overwrite").save()
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
             secs = time.perf_counter() - t0
-            times[label] = (secs, df.count())
+            times[label] = (secs, obs.get["n"])
         return times
 
     rows = []
