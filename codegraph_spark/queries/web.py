@@ -19,9 +19,13 @@ All five steps are regexp/array column programs (regexp_replace,
 split, transform/filter/aggregate) — JVM-side, shuffle-free, one
 projection per document: the 100 TB shape is a single map-side pass
 over the crawl partition, no UDF, no parse tree. A real crawl's
-adversarial HTML would route the SAME rules through a tolerant
-tokenizer; the rules (and their thresholds) are the operator, the
-tokenizer is an input adapter.
+adversarial HTML routes the SAME rules through the tolerant
+STATE-MACHINE tokenizer (operators/html_tok.py — script bodies with
+'<', attribute values with '>', comments, CDATA, unclosed tags,
+numeric entities), exercised by :func:`text_html_extract_dirty`; the
+rules (and their thresholds) are the operator, the tokenizer is an
+input adapter, and tests/test_html_tok.py pins that the two tokenizers
+agree block-for-block on well-formed pages.
 
 The corpus: the documents table HTML-WRAPPED by a deterministic rule
 both engines replay exactly (title + nav + 12-word ``<p>`` chunks with
@@ -452,14 +456,210 @@ FROM per_doc
 """
 
 
+# --- text_html_extract_dirty: the tolerant tokenizer over adversarial HTML ----
+#: the adversarial page's fixed decorations. Every construct is one the
+#: REGEX tokenizer mis-handles (documented at web.py:20-24 / r10 VERDICT
+#: "What's missing" 1) and the state machine must survive:
+#:   - script body containing '<', '>' AND markup inside a JS string
+#:     (the '[^<]*' regex would leak "sponsored junk" into a block),
+#:   - a comment and a CDATA section wrapping plausible prose,
+#:   - a style body containing '>',
+#:   - an attribute value containing '>' (the '<[^>]+>' regex would cut
+#:     the tag early and leak '3">' into the block text),
+#:   - numeric character references (&#NN; / &#xHH;),
+#:   - an UNCLOSED last <p> (block recovered at the next block-level
+#:     opening tag).
+_DIRTY_HEAD = (
+    '<script type="text/javascript">if(a<b&&c>d){document.write('
+    '"<p>sponsored junk that must never surface</p>");}</script>'
+    "<style>p{margin:0}/*a>b*/</style></head><body>"
+    "<!-- <p>commented prose that must never surface in the extract</p> -->"
+    "<![CDATA[<p>cdata payload that must never surface either</p>]]>"
+    '<div id="nav"><a href="/">Home</a><a href="/tags">Tags</a></div>'
+    '<p class="lead" data-q="5>3">'
+    "&#72;&#101;&#x6C;&#x6C;&#111; from the state machine gate</p>"
+)
+#: the entity paragraph above, as the tokenizer must recover it
+_DIRTY_ENTITY_TXT = "Hello from the state machine gate"
+_DIRTY_TAIL = (
+    '<p><a href="/r?x=1&amp;y">Related reading for you</a> '
+    '<a href="/more">More similar pages listed here</a></p>'
+    '<div id="footer"><a href="/terms">Terms</a> of service</div>'
+    "</body></html>"
+)
+
+
+def dirty_html_wrap(text: Column, doc_id: Column, source: Column) -> Column:
+    """documents.text → a single-line ADVERSARIAL HTML page (the dirty
+    twin of :func:`html_wrap`): same title/nav/footer skeleton and the
+    same 12-word paragraph chunking, but decorated with the constructs
+    the regex tokenizer mis-handles (see ``_DIRTY_HEAD``) and with the
+    LAST paragraph left unclosed. Deterministic pure string algebra, so
+    the oracle can construct the expected extraction from ``text``."""
+    words = F.split(text, " ")
+    nch = F.ceil(F.size(words) / F.lit(_WRAP_WORDS)).cast("int")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.concat(
+                F.lit("<p>"),
+                F.array_join(
+                    F.slice(words, i * _WRAP_WORDS + 1, _WRAP_WORDS), " "
+                ),
+                # the LAST paragraph is UNCLOSED — recovered at the
+                # link-farm <p> that follows (opening-tag block flush)
+                F.when(i < nch - 1, F.lit("</p>")).otherwise(F.lit("")),
+            ),
+        ),
+        "",
+    )
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit(" "),
+        source,
+        F.lit("</title>"),
+        F.lit(_DIRTY_HEAD),
+        paras,
+        F.lit(_DIRTY_TAIL),
+    )
+
+
+def text_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over ADVERSARIAL HTML through the
+    tolerant state-machine tokenizer (operators/html_tok.py) — the
+    driver gate for r10 VERDICT "Next round" 1. Same five rules and
+    thresholds as :func:`text_html_extract` (the ``_keep`` word floor +
+    link-density ceiling, shared constants), same output shape, but the
+    page plants script-with-markup, attr-with-'>', comment, CDATA,
+    numeric entities and an unclosed <p> — every one of which the regex
+    path mis-tokenizes (leaking script text or attribute tails into
+    blocks) and the state machine must drop or recover exactly.
+
+    Verified to the byte: the oracle CONSTRUCTS the expected extraction
+    from ``text`` (the wrap is deterministic — entity paragraph + the
+    word floor over 12-word chunks) and compares md5; a tokenizer that
+    leaks one script character or loses the unclosed paragraph changes
+    the hash.
+
+    Scale shape: one Arrow-batched map pass per document (the codec
+    precedent), narrow stats out, zero shuffles before the bounded
+    output ordering."""
+    import hashlib
+
+    import pandas as pd
+
+    from codegraph_spark.operators.html_tok import tokenize_blocks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        dirty_html_wrap(
+            F.col("text"), F.col("doc_id"), F.col("source")
+        ).alias("page"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    min_words, dens_num, dens_den = _MIN_WORDS, _LINK_DENS_NUM, _LINK_DENS_DEN
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, page in zip(pdf["doc_id"], pdf["page"]):
+                blocks = tokenize_blocks(page)
+                kept = [
+                    txt
+                    for (txt, wc, link_len) in blocks
+                    if wc >= min_words
+                    and link_len * dens_den <= len(txt) * dens_num
+                ]
+                x = "\n".join(kept)
+                nb = len(blocks)
+                out.append(
+                    (
+                        int(doc_id),
+                        nb,
+                        len(kept),
+                        len(kept) * 1000 // nb if nb else 0,
+                        len(x),
+                        hashlib.md5(x.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_blocks", "n_kept", "kept_pm",
+                    "extracted_len", "extract_md5",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, n_blocks int, n_kept int, kept_pm long, "
+        "extracted_len bigint, extract_md5 string",
+    ).orderBy("doc_id")
+
+
+#: constructive oracle: the expected tokenizer output, derived from
+#: ``text`` alone. Block census of the dirty page — title (1) + nav (1)
+#: + entity paragraph (1) + non-empty word chunks + link farm (1) +
+#: footer (1) = 5 + len(chunks); kept = entity paragraph + chunks
+#: passing the word floor (chunks carry no anchors, so the density
+#: rule is vacuous for them; farm fails density, title/nav/footer fail
+#: the floor). extracted = entity text + kept chunks, newline-joined.
+_HTML_DIRTY_SQL = f"""
+WITH chunks AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(
+                   range(0, CAST(ceil(len(string_split(text, ' '))
+                                      / {_WRAP_WORDS}.0) AS INT)),
+                   i -> {{
+                       'txt': trim(array_to_string(
+                           string_split(text, ' ')
+                               [(i * {_WRAP_WORDS} + 1):(i * {_WRAP_WORDS} + {_WRAP_WORDS})],
+                           ' ')),
+                       'wc': len(list_filter(
+                           string_split(text, ' ')
+                               [(i * {_WRAP_WORDS} + 1):(i * {_WRAP_WORDS} + {_WRAP_WORDS})],
+                           w -> w <> ''))
+                   }}),
+               c -> c.txt <> '') AS cs
+    FROM documents
+),
+agg AS (
+    SELECT doc_id,
+           5 + len(cs) AS n_blocks,
+           1 + len(list_filter(cs, c -> c.wc >= {_MIN_WORDS})) AS n_kept,
+           '{_DIRTY_ENTITY_TXT}'
+           || CASE WHEN len(list_filter(cs, c -> c.wc >= {_MIN_WORDS})) > 0
+                   THEN chr(10) || array_to_string(
+                       list_transform(
+                           list_filter(cs, c -> c.wc >= {_MIN_WORDS}),
+                           c -> c.txt),
+                       chr(10))
+                   ELSE '' END AS x
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(n_blocks AS INT) AS n_blocks,
+       CAST(n_kept AS INT) AS n_kept,
+       CAST(n_kept * 1000 // n_blocks AS BIGINT) AS kept_pm,
+       CAST(length(x) AS BIGINT) AS extracted_len,
+       md5(x) AS extract_md5
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
     "web_extract_yield": web_extract_yield,
+    "text_html_extract_dirty": text_html_extract_dirty,
 }
 
 ORACLES = {
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_html_boilerplate_audit": _HTML_AUDIT_SQL,
     "web_extract_yield": _YIELD_SQL,
+    "text_html_extract_dirty": _HTML_DIRTY_SQL,
 }

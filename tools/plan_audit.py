@@ -124,6 +124,7 @@ AUDIT = [
     "text_html_boilerplate_audit",
     "mm_stored_mjpeg_scene_cut",
     "web_extract_yield",
+    "text_html_extract_dirty",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

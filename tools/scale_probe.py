@@ -104,6 +104,7 @@ PROBES = [
     "mm_stored_mjpeg_scene_cut",
     "web_extract_yield",
     "stream_html_extract",
+    "text_html_extract_dirty",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
@@ -167,6 +168,12 @@ PROBE_NOTES = {
     "text_html_boilerplate_audit": (
         "same 4/3 input growth as text_html_extract (shared block "
         "pass) plus one bounded source-keyed aggregation"
+    ),
+    "text_html_extract_dirty": (
+        "same 4/3 input growth as text_html_extract (the dirty wrap "
+        "chunks the same words); the state-machine tokenizer is one "
+        "Python pass per page inside an Arrow kernel — linear in page "
+        "bytes, zero shuffles"
     ),
     "mm_stored_wav_meta": (
         "10.4 vs the 10x file-count ratio — the stored fixture holds "
