@@ -650,11 +650,205 @@ ORDER BY doc_id
 """
 
 
+# --- web_warc_extract: the stored-bytes crawl gate -----------------------------
+#: every Nth document gets WARC records in the fixture (the stored-media
+#: subset rule — bounds the one-time build, keeps every page shape
+#: covered at every sf)
+_WARC_SUBSET_MOD = 5
+#: WARC files per fixture — enough for file-granular parallelism to be
+#: real in the scan, small enough that the build stays a blink
+_WARC_FILES = 8
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once on-disk WARC corpus for :func:`web_warc_extract`:
+    real ``.warc.gz`` files (member-gzip, warcinfo + request + response
+    records, HTTP envelopes — sources/warc.py), response bodies being
+    the deterministic :func:`html_wrap` pages, so the gate exercises
+    the full crawl path: ``binaryFile`` scan → member decompression →
+    record walk → HTTP split → the SAME extraction column program as
+    text_html_extract. Cached per (sf_dir, documents fingerprint)
+    under /tmp with a _DONE sentinel; files written executor-side and
+    atomically renamed (the stored-media fixture rules)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from codegraph_spark.sources.warc import warc_record_bytes, write_warc
+    from codegraph_spark.streaming.incremental import _table_fingerprint
+
+    fp = _table_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|warc-v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join("/tmp", "spark_graft_warc", tag)
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _WARC_SUBSET_MOD == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            html_wrap(
+                F.col("text"), F.col("doc_id"), F.col("source")
+            ).alias("page"),
+            (F.col("doc_id") % _WARC_FILES).alias("fidx"),
+        )
+        .repartition(_WARC_FILES, "fidx")
+    )
+
+    def write_files(batches):
+        # accumulate across Arrow batches: hash partitioning puts ALL
+        # rows of an fidx in one partition, but a partition's rows may
+        # arrive split across batches — each file must be written once
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for doc_id, url, page, fidx in zip(
+                pdf["doc_id"], pdf["url"], pdf["page"], pdf["fidx"]
+            ):
+                acc.setdefault(int(fidx), []).append(
+                    (int(doc_id), str(url), str(page))
+                )
+        import os as _os
+
+        n = 0
+        for fidx, rows in acc.items():
+            rows.sort()
+            recs = [
+                warc_record_bytes(
+                    "warcinfo", None, b"software: codegraph-spark\r\n",
+                    f"info-{fidx}",
+                    content_type="application/warc-fields",
+                )
+            ]
+            for doc_id, url, page in rows:
+                host = url.split("/")[2]
+                recs.append(
+                    warc_record_bytes(
+                        "request", url,
+                        (
+                            f"GET /doc/{doc_id} HTTP/1.1\r\n"
+                            f"Host: {host}\r\n\r\n"
+                        ).encode("utf-8"),
+                        f"req-{doc_id}",
+                        content_type="application/http;msgtype=request",
+                    )
+                )
+                body = page.encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    + f"Content-Length: {len(body)}\r\n\r\n".encode("utf-8")
+                    + body
+                )
+                recs.append(
+                    warc_record_bytes(
+                        "response", url, http, f"resp-{doc_id}",
+                        content_type="application/http;msgtype=response",
+                    )
+                )
+            write_warc(
+                _os.path.join(root, f"part-{fidx:05d}.warc.gz"), recs
+            )
+            n += len(rows)
+        yield pd.DataFrame({"n": [n]})
+
+    docs.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door END-TO-END FROM FILES ON DISK (r10 VERDICT
+    "Next round" 2 — the web twin of the stored-media gates): real
+    ``.warc.gz`` files → distributed ``binaryFile`` scan → member-gzip
+    record walk (sources/warc.py) → response filter + HTTP envelope
+    split → the SAME five-rule extraction column program as
+    :func:`text_html_extract`, verified to the byte against the oracle
+    replaying the wrap + extraction over the stored subset. A wrong
+    record framing, a mis-split HTTP envelope, a dropped request
+    record, or any extraction-rule drift all hash-mismatch.
+
+    Scale shape: file-granular parallel scan (how CommonCrawl shards —
+    ~1 GiB WARC files), one sequential member walk per file (the
+    format's contract), then the zero-shuffle per-page extraction;
+    output bounded by the subset."""
+    from codegraph_spark.sources.warc import read_warc_responses
+
+    root = _warc_fixture_dir(spark, sf_dir)
+    pages = read_warc_responses(spark, root).filter(
+        F.col("http_status") == 200
+    )
+    page = F.col("page")
+    blocked = pages.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "url",
+        html_block_stats(page).alias("b"),
+    ).select(
+        "doc_id", "url", "b",
+        F.array_join(
+            F.transform(F.filter("b", _keep), lambda s: s["txt"]), "\n"
+        ).alias("x"),
+    )
+    return (
+        blocked.select(
+            "doc_id",
+            "url",
+            F.size("b").alias("n_blocks"),
+            F.size(F.filter("b", _keep)).alias("n_kept"),
+            F.length("x").cast("bigint").alias("extracted_len"),
+            F.md5(F.col("x").cast("binary")).alias("extract_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WARC_EXTRACT_SQL = f"""
+WITH paged AS (
+    SELECT doc_id,
+           'https://' || source || '.example.org/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           {_WRAP_SQL} AS page
+    FROM documents
+    WHERE doc_id % {_WARC_SUBSET_MOD} = 0
+),
+blocked AS (
+    SELECT doc_id, url, {_BLOCKS_SQL} AS b FROM paged
+),
+scored AS (
+    SELECT doc_id, url, b,
+           list_filter(b, s -> {_KEEP_SQL}) AS kept
+    FROM blocked
+)
+SELECT doc_id,
+       url,
+       CAST(len(b) AS INT) AS n_blocks,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(length(array_to_string(list_transform(kept, s -> s.txt),
+                                   chr(10))) AS BIGINT) AS extracted_len,
+       md5(array_to_string(list_transform(kept, s -> s.txt), chr(10)))
+           AS extract_md5
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
     "web_extract_yield": web_extract_yield,
     "text_html_extract_dirty": text_html_extract_dirty,
+    "web_warc_extract": web_warc_extract,
 }
 
 ORACLES = {
@@ -662,4 +856,5 @@ ORACLES = {
     "text_html_boilerplate_audit": _HTML_AUDIT_SQL,
     "web_extract_yield": _YIELD_SQL,
     "text_html_extract_dirty": _HTML_DIRTY_SQL,
+    "web_warc_extract": _WARC_EXTRACT_SQL,
 }

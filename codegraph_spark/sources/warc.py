@@ -1,0 +1,179 @@
+"""WARC intake source — the crawl-shaped front end for the raw-web
+family (r10 VERDICT "Next round" 2).
+
+A real crawl does not start from a table column: it starts from WARC
+files (ISO 28500 — the CommonCrawl container), each a concatenation of
+per-record GZIP MEMBERS, each member one record of
+``WARC/1.0`` + CRLF headers + blank line + Content-Length payload +
+CRLF CRLF. Response records carry a full HTTP response (status line +
+headers + HTML body) as their payload. This module provides:
+
+- :func:`warc_record_bytes` / :func:`write_warc` — a from-scratch
+  record writer (used by the build-once fixture; also the shape an
+  archiving sink would use);
+- :func:`read_warc_records` — the distributed reader: ``binaryFile``
+  scan → per-file member-gzip decompression + sequential record walk
+  inside an Arrow kernel → one row per record (type, url, payload);
+- :func:`read_warc_responses` — the crawl front door: response records
+  only, HTTP headers split off, body decoded → (url, status, page).
+
+Scale stance: the fixture-scale reader maps ONE FILE per kernel row
+(binaryFile's contract), which is exactly how warcio-over-S3 pipelines
+shard CommonCrawl — WARC files are written ~1 GiB precisely so that
+file-granular parallelism saturates a cluster; within a file the
+member-gzip framing forces sequential decompression (that is WHY the
+format is member-gzip: records are independently seekable only with an
+external index). With a cdx-style offset index the same kernel body
+works over (offset, length) ranged reads; the per-record walk is
+unchanged. Payload bytes never leave the executor: the kernel emits
+parsed rows, the page column feeds the same extraction programs the
+table-backed gates use.
+
+Reference scope note: the reference engine has no web/crawl intake —
+prompt-mandated LLM-pipeline extension surface, like queries/web.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: fixed WARC-Date for deterministic fixtures (any ISO-8601 instant)
+_FIXTURE_DATE = "2026-01-01T00:00:00Z"
+
+
+def warc_record_bytes(
+    rec_type: str,
+    url: str | None,
+    payload: bytes,
+    rec_id: str,
+    date: str = _FIXTURE_DATE,
+    content_type: str | None = None,
+) -> bytes:
+    """One WARC/1.0 record, uncompressed (caller gzips per member)."""
+    headers = [
+        ("WARC-Type", rec_type),
+        ("WARC-Record-ID", f"<urn:uuid:{rec_id}>"),
+        ("WARC-Date", date),
+    ]
+    if url is not None:
+        headers.append(("WARC-Target-URI", url))
+    if content_type is not None:
+        headers.append(("Content-Type", content_type))
+    headers.append(("Content-Length", str(len(payload))))
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("utf-8") for k, v in headers
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def write_warc(path: str, records: list[bytes]) -> None:
+    """Write records as concatenated gzip members (one per record —
+    the CommonCrawl framing), atomically (dot-temp + rename, the
+    stored-media fixture rule)."""
+    import os
+
+    tmp = os.path.join(
+        os.path.dirname(path), "." + os.path.basename(path) + ".tmp"
+    )
+    with open(tmp, "wb") as fh:
+        for rec in records:
+            fh.write(gzip.compress(rec, compresslevel=6, mtime=0))
+    os.replace(tmp, path)
+
+
+def parse_warc_stream(data: bytes) -> list[tuple[str, str, bytes]]:
+    """Sequential record walk over a DECOMPRESSED WARC stream →
+    [(rec_type, target_uri, payload)]. Tolerant: leading CRLF noise
+    between records is skipped; a record truncated by EOF is dropped
+    rather than raised (a crawl tail-truncated by a transfer abort
+    should not poison the file's other records)."""
+    out: list[tuple[str, str, bytes]] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            break  # stream out of sync — stop rather than misparse
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end == -1:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            break  # truncated record
+        out.append(
+            (
+                headers.get("warc-type", ""),
+                headers.get("warc-target-uri", ""),
+                data[body_start : body_start + length],
+            )
+        )
+        pos = body_start + length
+    return out
+
+
+def read_warc_records(spark: SparkSession, root: str) -> DataFrame:
+    """Distributed WARC scan: ``binaryFile`` over ``root`` (one row
+    per ``.warc.gz`` file) → Arrow kernel (member-gzip decompression +
+    record walk) → one row per record:
+    (warc_file, rec_type, url, payload)."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path", "content")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                # gzip.decompress consumes ALL concatenated members
+                stream = gzip.decompress(bytes(content))
+                for rec_type, url, payload in parse_warc_stream(stream):
+                    rows.append((str(path), rec_type, url, payload))
+            yield pd.DataFrame(
+                rows, columns=["warc_file", "rec_type", "url", "payload"]
+            )
+
+    return files.mapInPandas(
+        kernel, "warc_file string, rec_type string, url string, payload binary"
+    )
+
+
+def read_warc_responses(spark: SparkSession, root: str) -> DataFrame:
+    """Response records only, HTTP envelope split off:
+    (url, http_status, page). The page is the HTTP body decoded as
+    UTF-8 (replacement on invalid bytes — charset hygiene is its own
+    gate, web_charset_audit)."""
+    recs = read_warc_records(spark, root).filter(
+        F.col("rec_type") == "response"
+    )
+    # JVM-side envelope split: status from the first line, body after
+    # the first CRLFCRLF (decode then split — the fixture bodies are
+    # UTF-8; a charset-sniffing variant would split bytes first)
+    http = F.col("payload").cast("string")
+    return recs.select(
+        "url",
+        F.regexp_extract(http, r"^HTTP/[0-9.]+ (\d{3})", 1)
+        .cast("int")
+        .alias("http_status"),
+        F.element_at(F.split(http, r"\r\n\r\n", 2), 2).alias("page"),
+    )

@@ -47,6 +47,7 @@ SKEW_SET = [
     "dedup_semantic_adaptive",
     "text_html_extract",
     "text_html_extract_dirty",
+    "web_warc_extract",
     "text_html_boilerplate_audit",
     "web_extract_yield",
     "stream_html_extract",

@@ -125,6 +125,7 @@ AUDIT = [
     "mm_stored_mjpeg_scene_cut",
     "web_extract_yield",
     "text_html_extract_dirty",
+    "web_warc_extract",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -105,6 +105,7 @@ PROBES = [
     "web_extract_yield",
     "stream_html_extract",
     "text_html_extract_dirty",
+    "web_warc_extract",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
@@ -174,6 +175,13 @@ PROBE_NOTES = {
         "chunks the same words); the state-machine tokenizer is one "
         "Python pass per page inside an Arrow kernel — linear in page "
         "bytes, zero shuffles"
+    ),
+    "web_warc_extract": (
+        "file-granular scan + per-file sequential member walk + the "
+        "shared extraction program; the 10x fixture holds 10x the "
+        "records across the same file count (bigger files, the "
+        "CommonCrawl shape) plus the 4/3 word growth of the replica "
+        "documents"
     ),
     "mm_stored_wav_meta": (
         "10.4 vs the 10x file-count ratio — the stored fixture holds "
@@ -431,9 +439,11 @@ def main() -> None:
     # OUTSIDE the measured window so mm_stored_media_meta's ratio
     # measures the scan+decode path, not a one-time file-write fixture
     from codegraph_spark.queries.multimodal import _stored_media_dir
+    from codegraph_spark.queries.web import _warc_fixture_dir
 
     for d in (BASE, SCALE_DIR):
         _stored_media_dir(spark, d)
+        _warc_fixture_dir(spark, d)
 
     def measure(fn) -> dict:
         # FORCE full evaluation with a noop write: a bare .count() lets
