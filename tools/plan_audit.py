@@ -126,6 +126,8 @@ AUDIT = [
     "web_extract_yield",
     "text_html_extract_dirty",
     "web_warc_extract",
+    "web_url_canonical",
+    "web_url_dedup",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

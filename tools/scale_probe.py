@@ -106,6 +106,8 @@ PROBES = [
     "stream_html_extract",
     "text_html_extract_dirty",
     "web_warc_extract",
+    "web_url_canonical",
+    "web_url_dedup",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
