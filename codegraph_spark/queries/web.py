@@ -1134,6 +1134,182 @@ ORDER BY domain
 """
 
 
+# --- web_charset_audit: encoding hygiene at the crawl intake -------------------
+#
+# The other half of real crawl hygiene (r10 VERDICT "Next round" 8):
+# before extraction, a pipeline must know each page's encoding and
+# whether its text is already GARBLED by a wrong upstream decode
+# (mojibake — UTF-8 bytes read as Latin-1: é→Ã©, ö→Ã¶, ’→â€™). The
+# operator is two pure column rules over the page string:
+#   1. charset sniff: a BOM prefix wins, else the first <meta ...
+#      charset=...> declaration (case-insensitive, quoted or bare),
+#      else 'unknown';
+#   2. mojibake rate: occurrences of classic double-decode digraphs
+#      per 1000 page chars (split-count — no regex needed).
+# Corpus rule (deterministic, both engines replay it): doc_id % 4
+# picks the page's encoding story — meta utf-8 / meta ISO-8859-1 via
+# http-equiv / BOM + SHOUTED meta / NO declaration with the text
+# mojibake'd (every e→Ã©, o→Ã¶ — the exact artifact a latin-1
+# mis-decode of UTF-8 produces).
+
+_BOM = "\ufeff"
+#: classic UTF-8-read-as-Latin-1 digraphs the detector counts
+_MOJI_MARKS = ["Ã©", "Ã¶"]
+_CHARSET_RE = r'(?i)charset=["\']?([A-Za-z0-9_\-]+)'
+
+
+def _charset_page(text: Column, doc_id: Column) -> Column:
+    moji = F.replace(
+        F.replace(text, F.lit("e"), F.lit("Ã©")),
+        F.lit("o"), F.lit("Ã¶"),
+    )
+    v = doc_id % 4
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit('<html><head><meta charset="utf-8"><title>t</title>'
+                      "</head><body><p>"),
+                text, F.lit("</p></body></html>"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit('<html><head><meta http-equiv="Content-Type" '
+                      'content="text/html; charset=ISO-8859-1"></head>'
+                      "<body><p>"),
+                text, F.lit("</p></body></html>"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit(_BOM),
+                F.lit('<html><head><meta charset="UTF-8"></head><body><p>'),
+                text, F.lit("</p></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><head></head><body><p>"),
+                moji, F.lit("</p></body></html>"),
+            )
+        )
+    )
+
+
+_CHARSET_PAGE_SQL = """
+    CASE doc_id % 4
+        WHEN 0 THEN '<html><head><meta charset="utf-8"><title>t</title>'
+                    || '</head><body><p>' || text || '</p></body></html>'
+        WHEN 1 THEN '<html><head><meta http-equiv="Content-Type" '
+                    || 'content="text/html; charset=ISO-8859-1"></head>'
+                    || '<body><p>' || text || '</p></body></html>'
+        WHEN 2 THEN chr(65279)
+                    || '<html><head><meta charset="UTF-8"></head><body><p>'
+                    || text || '</p></body></html>'
+        ELSE '<html><head></head><body><p>'
+             || replace(replace(text, 'e', 'Ã©'), 'o', 'Ã¶')
+             || '</p></body></html>'
+    END
+"""
+
+
+def web_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding audit: how each source declares its
+    encoding (BOM / meta utf-8 / meta latin-1 / nothing) and how much
+    of its text is mojibake — the dashboard that catches a
+    mis-decoding upstream fetcher before its garbage hits the corpus.
+
+    Scale shape: one projection per doc (sniff + split-count), one
+    bounded source-keyed aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = _charset_page(F.col("text"), F.col("doc_id"))
+    meta = F.lower(F.regexp_extract(F.col("page"), _CHARSET_RE, 1))
+    enc = (
+        F.when(F.col("page").startswith(_BOM), F.lit("utf-8-bom"))
+        .when(meta != "", meta)
+        .otherwise(F.lit("unknown"))
+    )
+    nmoji = sum(
+        (F.size(F.split(F.col("page"), m)) - 1) for m in _MOJI_MARKS
+    )
+    per_doc = docs.select("source", page.alias("page")).select(
+        "source",
+        enc.alias("enc"),
+        nmoji.alias("nmoji"),
+        # integer div (not double /) so the per-mille is exact on both
+        # engines — the cross-engine exactness house rule
+        (nmoji * 1000).alias("_nm1000"),
+        F.length("page").alias("_plen"),
+    ).select(
+        "source", "enc", "nmoji",
+        F.expr("CAST(_nm1000 div _plen AS BIGINT)").alias("moji_pm"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("enc") == "utf-8-bom", 1).otherwise(0))
+            .cast("bigint").alias("n_bom"),
+            F.sum(F.when(F.col("enc") == "utf-8", 1).otherwise(0))
+            .cast("bigint").alias("n_utf8"),
+            F.sum(F.when(F.col("enc") == "iso-8859-1", 1).otherwise(0))
+            .cast("bigint").alias("n_latin1"),
+            F.sum(F.when(F.col("enc") == "unknown", 1).otherwise(0))
+            .cast("bigint").alias("n_unknown"),
+            F.sum(F.when(F.col("nmoji") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_moji_docs"),
+            F.sum("moji_pm").alias("_pmsum"),
+        )
+        .select(
+            "source", "n_docs", "n_bom", "n_utf8", "n_latin1", "n_unknown",
+            "n_moji_docs",
+            F.expr("CAST(_pmsum div n_docs AS BIGINT)").alias("moji_pm_mean"),
+        )
+        .orderBy("source")
+    )
+
+
+_CHARSET_SQL = f"""
+WITH paged AS (
+    SELECT source, {_CHARSET_PAGE_SQL} AS page FROM documents
+),
+per_doc AS (
+    SELECT source,
+           CASE WHEN starts_with(page, chr(65279)) THEN 'utf-8-bom'
+                WHEN regexp_extract(page,
+                    '(?i)charset=["'']?([A-Za-z0-9_\\-]+)', 1) <> ''
+                THEN lower(regexp_extract(page,
+                    '(?i)charset=["'']?([A-Za-z0-9_\\-]+)', 1))
+                ELSE 'unknown' END AS enc,
+           (len(string_split(page, 'Ã©')) - 1
+            + len(string_split(page, 'Ã¶')) - 1) AS nmoji,
+           CAST((len(string_split(page, 'Ã©')) - 1
+                 + len(string_split(page, 'Ã¶')) - 1) * 1000
+                // length(page) AS BIGINT) AS moji_pm
+    FROM paged
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN enc = 'utf-8-bom' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bom,
+       CAST(sum(CASE WHEN enc = 'utf-8' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_utf8,
+       CAST(sum(CASE WHEN enc = 'iso-8859-1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_latin1,
+       CAST(sum(CASE WHEN enc = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unknown,
+       CAST(sum(CASE WHEN nmoji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moji_docs,
+       CAST(sum(moji_pm) // count(*) AS BIGINT) AS moji_pm_mean
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
@@ -1142,6 +1318,7 @@ QUERIES = {
     "web_warc_extract": web_warc_extract,
     "web_url_canonical": web_url_canonical,
     "web_url_dedup": web_url_dedup,
+    "web_charset_audit": web_charset_audit,
 }
 
 ORACLES = {
@@ -1152,4 +1329,5 @@ ORACLES = {
     "web_warc_extract": _WARC_EXTRACT_SQL,
     "web_url_canonical": _URL_CANON_SQL,
     "web_url_dedup": _URL_DEDUP_SQL,
+    "web_charset_audit": _CHARSET_SQL,
 }

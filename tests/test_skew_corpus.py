@@ -50,6 +50,7 @@ SKEW_SET = [
     "web_warc_extract",
     "web_url_canonical",
     "web_url_dedup",
+    "web_charset_audit",
     "text_html_boilerplate_audit",
     "web_extract_yield",
     "stream_html_extract",

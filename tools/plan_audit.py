@@ -128,6 +128,7 @@ AUDIT = [
     "web_warc_extract",
     "web_url_canonical",
     "web_url_dedup",
+    "web_charset_audit",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -108,6 +108,7 @@ PROBES = [
     "web_warc_extract",
     "web_url_canonical",
     "web_url_dedup",
+    "web_charset_audit",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
