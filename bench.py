@@ -64,6 +64,13 @@ HEADLINE = [
     "text_html_extract",
     "mm_stored_mjpeg_scene_cut",
     "dedup_semantic_adaptive",
+    # round-11: the crawl-intake wave — tolerant-tokenizer extraction
+    # over adversarial pages (Arrow kernel), the stored-bytes WARC
+    # front door, and URL-level dedup (the pipeline's first shuffle).
+    # All scan-class ≤ 2 s (BASELINE.md round-11 note).
+    "text_html_extract_dirty",
+    "web_warc_extract",
+    "web_url_dedup",
 ]
 
 
@@ -102,6 +109,8 @@ PY_KERNEL_QUERIES = {
     "mm_stored_mjpeg_scene_cut",
     "stream_dedup_minhash",
     "dedup_semantic_adaptive",
+    "text_html_extract_dirty",
+    "web_warc_extract",
 }
 
 

@@ -789,8 +789,34 @@ def stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(proj, output_mode="append").orderBy("doc_id")
 
 
+def stream_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOLERANT tokenizer at the ingest door — the
+    stream_html_extract shape with the adversarial wrap routed through
+    the state-machine Arrow kernel (queries/web.tokenize_extract):
+    mapInPandas is stateless, so the exact batch plan runs per arriving
+    micro-batch in append mode with no state store at all. This is the
+    realistic 100 TB intake: per WARC batch, adversarial real-crawl
+    HTML in, ~60 bytes of stats + a content hash per page out. Shares
+    text_html_extract_dirty's constructive oracle: a hash match proves
+    the streaming drain equals the batch kernel however the input
+    splits into micro-batches."""
+    from codegraph_spark.queries.web import dirty_html_wrap, tokenize_extract
+    from codegraph_spark.streaming.incremental import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir).select(
+        "doc_id",
+        dirty_html_wrap(
+            F.col("text"), F.col("doc_id"), F.col("source")
+        ).alias("page"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return run_available_now(
+        tokenize_extract(docs), output_mode="append"
+    ).orderBy("doc_id")
+
+
 from codegraph_spark.queries.multimodal import _MM_META_SQL as _STREAM_MM_META_SQL  # noqa: E402
 from codegraph_spark.queries.web import _HTML_EXTRACT_SQL as _STREAM_HTML_EXTRACT_SQL  # noqa: E402
+from codegraph_spark.queries.web import _HTML_DIRTY_SQL as _STREAM_HTML_DIRTY_SQL  # noqa: E402
 from codegraph_spark.queries.events import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
 from codegraph_spark.queries.events import _KMV_SQL as _STREAM_KMV_SQL  # noqa: E402
 from codegraph_spark.queries.events import _TRANSITION_SQL as _STREAM_TRANSITION_SQL  # noqa: E402
@@ -799,6 +825,7 @@ from codegraph_spark.queries.events import _CUSUM_SQL as _STREAM_CUSUM_SQL  # no
 QUERIES = {
     "stream_image_meta": stream_image_meta,
     "stream_html_extract": stream_html_extract,
+    "stream_html_extract_dirty": stream_html_extract_dirty,
     "stream_dedup_minhash": stream_dedup_minhash,
     "stream_dedup_minhash_ooo": stream_dedup_minhash_ooo,
     "stream_transition_matrix": stream_transition_matrix,
@@ -824,6 +851,7 @@ from codegraph_spark.queries.events import (  # noqa: E402
 ORACLES = {
     "stream_image_meta": _STREAM_MM_META_SQL,
     "stream_html_extract": _STREAM_HTML_EXTRACT_SQL,
+    "stream_html_extract_dirty": _STREAM_HTML_DIRTY_SQL,
     "stream_dedup_minhash": _stream_minhash_dedup_sql(),
     "stream_quantiles_sketch": _STREAM_QSK_SQL,
     "stream_dedup_minhash_ooo": _stream_minhash_dedup_sql(),

@@ -545,18 +545,25 @@ def text_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one Arrow-batched map pass per document (the codec
     precedent), narrow stats out, zero shuffles before the bounded
     output ordering."""
-    import hashlib
-
-    import pandas as pd
-
-    from codegraph_spark.operators.html_tok import tokenize_blocks
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         dirty_html_wrap(
             F.col("text"), F.col("doc_id"), F.col("source")
         ).alias("page"),
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return tokenize_extract(docs).orderBy("doc_id")
+
+
+def tokenize_extract(docs: DataFrame) -> DataFrame:
+    """(doc_id, page) → per-doc extraction stats through the tolerant
+    tokenizer + the shared ``_keep`` thresholds, as an Arrow kernel.
+    STATELESS — the same plan runs unchanged under Structured
+    Streaming (the stream_html_extract_dirty ingest-door twin)."""
+    import hashlib
+
+    import pandas as pd
+
+    from codegraph_spark.operators.html_tok import tokenize_blocks
 
     min_words, dens_num, dens_den = _MIN_WORDS, _LINK_DENS_NUM, _LINK_DENS_DEN
 
@@ -595,7 +602,7 @@ def text_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id long, n_blocks int, n_kept int, kept_pm long, "
         "extracted_len bigint, extract_md5 string",
-    ).orderBy("doc_id")
+    )
 
 
 #: constructive oracle: the expected tokenizer output, derived from
@@ -1310,6 +1317,109 @@ ORDER BY source
 """
 
 
+def web_warc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cdx-index access pattern over the stored WARC corpus: build
+    each file's record index WITH compressed (offset, length) extents
+    (sources/warc.iter_gzip_members — what a cdx sidecar persists),
+    pick one target per file (the lowest-doc_id response record), then
+    fetch THAT RECORD ALONE by seek + ranged read + single-member
+    gunzip (fetch_record_range) — never re-reading the file. The page
+    md5 of the ranged-fetched record must equal the oracle's replay of
+    the wrap over the same documents, so a wrong offset, a mis-sized
+    extent, or a member walker that drifts out of sync all
+    hash-mismatch.
+
+    Scale shape: this is how 100 TB archives serve record lookups —
+    an index shard maps url → (file, offset, length), the fetch is one
+    object-store ranged GET; here the index build doubles as the scan
+    (one pass per file) and the fetch proves the extent contract."""
+    import hashlib
+
+    import pandas as pd
+
+    from codegraph_spark.sources.warc import (
+        fetch_record_range,
+        iter_gzip_members,
+        parse_warc_stream,
+    )
+
+    root = _warc_fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(root)
+        .select("path", "content")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                path = str(path)
+                fidx = int(path.rsplit("part-", 1)[1].split(".")[0])
+                # index build: one member walk, extents recorded
+                best = None  # (doc_id, url, offset, length)
+                for off, clen, plain in iter_gzip_members(bytes(content)):
+                    for rec_type, url, _payload in parse_warc_stream(plain):
+                        if rec_type != "response":
+                            continue
+                        doc_id = int(url.rsplit("/", 1)[1])
+                        if best is None or doc_id < best[0]:
+                            best = (doc_id, url, off, clen)
+                if best is None:
+                    continue
+                doc_id, url, off, clen = best
+                # the point lookup: ranged fetch of ONE record
+                local = path[len("file:"):] if path.startswith("file:") else path
+                rec = parse_warc_stream(fetch_record_range(local, off, clen))
+                (rtype, rurl, payload), = rec
+                assert rtype == "response" and rurl == url, "extent drift"
+                page = payload.split(b"\r\n\r\n", 1)[1].decode("utf-8")
+                out.append(
+                    (
+                        fidx,
+                        doc_id,
+                        url,
+                        hashlib.md5(page.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["fidx", "doc_id", "url", "page_md5"]
+            )
+
+    return files.mapInPandas(
+        kernel, "fidx int, doc_id long, url string, page_md5 string"
+    ).orderBy("fidx")
+
+
+_WARC_LOOKUP_SQL = f"""
+WITH sub AS (
+    SELECT doc_id, source, text FROM documents
+    WHERE doc_id % {_WARC_SUBSET_MOD} = 0
+),
+keep AS (
+    SELECT CAST(doc_id % {_WARC_FILES} AS INT) AS fidx,
+           min(doc_id) AS doc_id
+    FROM sub GROUP BY doc_id % {_WARC_FILES}
+),
+j AS (
+    SELECT k.fidx, d.doc_id, d.source, d.text
+    FROM keep k JOIN sub d ON d.doc_id = k.doc_id
+),
+paged AS (
+    SELECT fidx, doc_id,
+           'https://' || source || '.example.org/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           {_WRAP_SQL} AS page
+    FROM j
+)
+SELECT fidx, doc_id, url, md5(page) AS page_md5
+FROM paged
+ORDER BY fidx
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
@@ -1319,6 +1429,7 @@ QUERIES = {
     "web_url_canonical": web_url_canonical,
     "web_url_dedup": web_url_dedup,
     "web_charset_audit": web_charset_audit,
+    "web_warc_point_lookup": web_warc_point_lookup,
 }
 
 ORACLES = {
@@ -1330,4 +1441,5 @@ ORACLES = {
     "web_url_canonical": _URL_CANON_SQL,
     "web_url_dedup": _URL_DEDUP_SQL,
     "web_charset_audit": _CHARSET_SQL,
+    "web_warc_point_lookup": _WARC_LOOKUP_SQL,
 }

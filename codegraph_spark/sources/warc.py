@@ -125,6 +125,42 @@ def parse_warc_stream(data: bytes) -> list[tuple[str, str, bytes]]:
     return out
 
 
+def iter_gzip_members(data: bytes) -> list[tuple[int, int, bytes]]:
+    """Split a member-gzip stream into its members WITH their
+    compressed (offset, length) extents — the information a cdx-style
+    index records so records can later be fetched with one ranged read
+    (the 100 TB access pattern: object-store ranged GET of one record,
+    never the whole file). Returns [(offset, comp_length, plain_bytes)];
+    a trailing partial member is dropped (transfer-truncation
+    tolerance, same stance as parse_warc_stream)."""
+    import zlib
+
+    out: list[tuple[int, int, bytes]] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # one gzip member
+        try:
+            plain = d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated tail member
+        consumed = (n - pos) - len(d.unused_data)
+        out.append((pos, consumed, plain))
+        pos += consumed
+    return out
+
+
+def fetch_record_range(path: str, offset: int, length: int) -> bytes:
+    """Ranged fetch of ONE record by its index extent: seek + read +
+    single-member gunzip. Locally this is open/seek; on an object
+    store it is the same byte range as a ranged GET."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        comp = fh.read(length)
+    return gzip.decompress(comp)
+
+
 def read_warc_records(spark: SparkSession, root: str) -> DataFrame:
     """Distributed WARC scan: ``binaryFile`` over ``root`` (one row
     per ``.warc.gz`` file) → Arrow kernel (member-gzip decompression +

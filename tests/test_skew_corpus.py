@@ -51,6 +51,8 @@ SKEW_SET = [
     "web_url_canonical",
     "web_url_dedup",
     "web_charset_audit",
+    "stream_html_extract_dirty",
+    "web_warc_point_lookup",
     "text_html_boilerplate_audit",
     "web_extract_yield",
     "stream_html_extract",

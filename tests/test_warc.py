@@ -151,3 +151,35 @@ def test_warc_fixture_end_to_end(spark, sf_dir):
     assert want_rows and len(got) == len(want_rows)
     for r in want_rows:
         assert got[r["url"]] == r["page"]
+
+
+def test_member_extents_and_ranged_fetch(tmp_path):
+    """iter_gzip_members returns exact compressed extents: a ranged
+    seek+read of any (offset, length) re-decompresses to that member
+    alone — the cdx-index contract web_warc_point_lookup rides."""
+    from codegraph_spark.sources.warc import (
+        fetch_record_range,
+        iter_gzip_members,
+    )
+
+    path = os.path.join(tmp_path, "x.warc.gz")
+    recs = [
+        _resp("https://h/a", b"<p>first record body</p>", "a"),
+        _resp("https://h/b", b"<p>second record body</p>", "b"),
+        _resp("https://h/c", b"<p>third record body</p>", "c"),
+    ]
+    write_warc(path, recs)
+    data = open(path, "rb").read()
+    members = iter_gzip_members(data)
+    assert len(members) == 3
+    # extents tile the file exactly
+    assert members[0][0] == 0
+    for (o1, l1, _), (o2, _, _) in zip(members, members[1:]):
+        assert o1 + l1 == o2
+    assert members[-1][0] + members[-1][1] == len(data)
+    # ranged fetch of the MIDDLE member only
+    off, length, plain = members[1]
+    fetched = fetch_record_range(path, off, length)
+    assert fetched == plain == recs[1]
+    # truncated tail member dropped, earlier extents unaffected
+    assert len(iter_gzip_members(data[: len(data) - 5])) == 2

@@ -129,6 +129,8 @@ AUDIT = [
     "web_url_canonical",
     "web_url_dedup",
     "web_charset_audit",
+    "stream_html_extract_dirty",
+    "web_warc_point_lookup",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -109,6 +109,8 @@ PROBES = [
     "web_url_canonical",
     "web_url_dedup",
     "web_charset_audit",
+    "stream_html_extract_dirty",
+    "web_warc_point_lookup",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
@@ -185,6 +187,11 @@ PROBE_NOTES = {
         "records across the same file count (bigger files, the "
         "CommonCrawl shape) plus the 4/3 word growth of the replica "
         "documents"
+    ),
+    "web_warc_point_lookup": (
+        "index build is one member walk per file (10x records/file at "
+        "x10); the lookup itself stays EIGHT ranged reads at any scale "
+        "- the access pattern the extents exist for"
     ),
     "mm_stored_wav_meta": (
         "10.4 vs the 10x file-count ratio — the stored fixture holds "
