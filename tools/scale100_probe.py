@@ -52,6 +52,10 @@ PROBES = [
                                  # two-level threshold)
     "text_html_extract",         # r10: raw-web front door (pure column
                                  # program — linear control family)
+    "text_html_extract_dirty",   # r11: tolerant tokenizer (Arrow
+                                 # kernel — one Python pass per page)
+    "web_warc_extract",          # r11: stored-bytes crawl intake
+                                 # (member walk is per-record linear)
 ]
 
 FLAG_FACTOR = 2.5  # same accusation line as SCALE.md, at 100x
@@ -78,8 +82,11 @@ def main() -> None:
 
     from codegraph_spark.queries.multimodal import _stored_media_dir
 
+    from codegraph_spark.queries.web import _warc_fixture_dir
+
     for d in (BASE, SCALE100_DIR):
         _stored_media_dir(spark, d)  # fixture prewarm (outside timing)
+        _warc_fixture_dir(spark, d)
 
     def measure(fn):
         # noop write forces full evaluation (see scale_probe.measure —
