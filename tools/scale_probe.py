@@ -490,19 +490,22 @@ def main() -> None:
         fn = qs[name]
         times = measure(fn)
         ratio = times["x10"][0] / max(times["x1"][0], 1e-9)
-        if ratio > REPLICAS * FLAG_FACTOR:
-            # a flag is an accusation of a hidden quadratic — re-measure
-            # before making it: this shared host shows transient >2x
-            # interference (observed: an identical jaccard x10 run at
-            # 112s and 21s minutes apart), and best-of-2 per side keeps
-            # a real quadratic flagged while clearing noise flags
+        if ratio > REPLICAS:
+            # any above-data-ratio reading is an accusation (flag-line
+            # = hidden quadratic; between-line = needs a named cause) —
+            # re-measure before making it: this shared host shows
+            # transient >2x interference (observed: an identical
+            # jaccard x10 run at 112s and 21s minutes apart; r11:
+            # text_html_extract read 18.1x in the sweep vs 7.6x solo),
+            # and best-of-2 per side keeps a real superlinearity
+            # measured while clearing noise readings
             retry = measure(fn)
             times = {
                 k: min(times[k], retry[k], key=lambda t: t[0])
                 for k in times
             }
             ratio = times["x10"][0] / max(times["x1"][0], 1e-9)
-            print(f"{name}: flagged on first pass, re-measured")
+            print(f"{name}: above data ratio on first pass, re-measured")
         rows.append((name, times["x1"][0], times["x10"][0], ratio,
                      times["x1"][1], times["x10"][1]))
         print(f"{name}: x1={times['x1'][0]:.2f}s x10={times['x10'][0]:.2f}s "
