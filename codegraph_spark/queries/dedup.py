@@ -1721,7 +1721,196 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expand_rep_pairs(rep_pairs, intra, cl)
 
 
+# --- dedup_exact_substr: duplicated-span detection (Lee et al. 2021) ----------
+#
+# The substring-granular exact dedup of "Deduplicating Training Data
+# Makes Language Models Better" (Lee et al., 2021 — ExactSubstr): any
+# token span that occurs more than once ACROSS THE CORPUS (including a
+# second time inside the same document) is duplicated text, even when
+# the documents containing it are not near-duplicates as wholes. The
+# paper builds a suffix array; the distributed shape is the standard
+# window-fingerprint reduction: every W-token sliding window is hashed,
+# a window is duplicated iff its hash occurs >= 2 times corpus-wide,
+# and a doc's duplicated SPANS are the maximal merges of its duplicated
+# windows (span resolution W — spans shorter than W are invisible,
+# exactly the paper's min-match-length knob).
+#
+# Scale shape (the reason this family matters at 100 TB): unlike every
+# pairwise near-dup detector, there is NO candidate pair join anywhere
+# — one hash-partitioned groupBy over window fingerprints (the same
+# shuffle MinHash banding pays), one semi-join back, then per-DOC
+# window functions (bounded by document length, never corpus-sized).
+# Linear in corpus tokens end to end.
+
+#: sliding-window width in tokens — the minimum duplicated-span length
+#: the detector can see (Lee et al. use 50 BPE tokens at web scale; 5
+#: words keeps the gate non-vacuous on the synthetic corpus, where the
+#: planted exact clones plus natural small-vocabulary repeats yield a
+#: measured ~2-19% per-source duplicated-token rate at sf0.01).
+_SUBSTR_W = 5
+
+
+def _substr_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): every 1-based token position with the md5 of
+    its W-token window. Built with the zip_with/slice chain (see
+    :func:`_shingle_array` for why index-lambda forms are O(n²))."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    shifted = [words]
+    for k in range(1, _SUBSTR_W):
+        shifted.append(F.slice(words, k + 1, F.greatest(n - k, F.lit(0))))
+    grams = reduce(
+        lambda acc, nxt: F.zip_with(
+            acc, nxt, lambda a, b: F.concat_ws(" ", a, b)
+        ),
+        shifted[1:],
+        shifted[0],
+    )
+    # zip_with NULL-pads the short side and concat_ws skips NULLs, so
+    # the tail entries are partial windows — slice to the n-W+1 full
+    # ones (empty array when the doc has fewer than W tokens).
+    full = F.slice(
+        grams, 1, F.greatest(n - (_SUBSTR_W - 1), F.lit(0))
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.posexplode(full).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("gram").alias("h"),
+        )
+    )
+
+
+def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-span audit at window resolution W=5:
+    ``dup_tokens`` counts tokens covered by at least one duplicated
+    window, ``n_spans`` the maximal merged spans, ``span_checksum``
+    (sum of start*1000+len over all spans) pins the exact span
+    boundaries — a wrong merge rule or off-by-one window end changes
+    the checksum even when the token totals survive.
+
+    Span merge is gaps-and-islands per doc: a duplicated window starts
+    a new span iff it begins after (running max end) + 1; both window
+    functions are partitioned by doc_id (bounded by doc length)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    posts = _substr_windows(docs)
+    dup_h = (
+        posts.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h")
+    )
+    marks = (
+        posts.join(dup_h, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + _SUBSTR_W - 1).alias("e"),
+        )
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy("doc_id").orderBy("s")
+    prev_e = F.max("e").over(prev)
+    isl = marks.withColumn(
+        "ng",
+        F.when(prev_e.isNull() | (F.col("s") > prev_e + 1), 1).otherwise(0),
+    ).withColumn("g", F.sum("ng").over(run))
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    span_len = F.col("en") - F.col("st") + 1
+    perdoc = spans.groupBy("doc_id").agg(
+        F.sum(span_len).alias("dupt"),
+        F.count(F.lit(1)).alias("nsp"),
+        F.sum(F.col("st") * 1000 + span_len).alias("ck"),
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return (
+        toks.join(perdoc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("dupt").cast("bigint").alias("docs_with_dups"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("dupt"), F.lit(0))
+            .cast("bigint").alias("dup_tokens"),
+            F.coalesce(F.sum("nsp"), F.lit(0))
+            .cast("bigint").alias("n_spans"),
+            F.expr(
+                "CAST(coalesce(sum(dupt), 0) * 1000 div sum(n_tok)"
+                " AS BIGINT)"
+            ).alias("dup_pm"),
+            F.coalesce(F.sum("ck"), F.lit(0))
+            .cast("bigint").alias("span_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_EXACT_SUBSTR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS words,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(words[i:i+{_SUBSTR_W - 1}], ' ')) AS h
+    FROM toks, UNNEST(range(1, n_tok - {_SUBSTR_W - 2})) AS t(i)
+),
+duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+marks AS (
+    SELECT doc_id, pos AS s, pos + {_SUBSTR_W - 1} AS e
+    FROM grams WHERE h IN (SELECT h FROM duph)
+),
+isl AS (
+    SELECT doc_id, s, e,
+        CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        THEN 1 ELSE 0 END AS ng
+    FROM marks
+),
+grp AS (
+    SELECT doc_id, s, e,
+           sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
+    FROM isl
+),
+spans AS (SELECT doc_id, min(s) AS st, max(e) AS en FROM grp GROUP BY doc_id, g),
+perdoc AS (
+    SELECT doc_id, sum(en - st + 1) AS dupt, count(*) AS nsp,
+           sum(st * 1000 + (en - st + 1)) AS ck
+    FROM spans GROUP BY doc_id
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(p.doc_id) AS BIGINT) AS docs_with_dups,
+       CAST(sum(t.n_tok) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(p.dupt), 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(sum(p.nsp), 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sum(p.dupt), 0) * 1000 // sum(t.n_tok) AS BIGINT)
+           AS dup_pm,
+       CAST(coalesce(sum(p.ck), 0) AS BIGINT) AS span_checksum
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
 QUERIES = {
+    "dedup_exact_substr": dedup_exact_substr,
     "dedup_jaccard_ppjoin": dedup_jaccard_ppjoin,
     "text_contamination_bloom": text_contamination_bloom,
     "corpus_dedup_keep_best": corpus_dedup_keep_best,
@@ -1740,6 +1929,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_exact_substr": _EXACT_SUBSTR_SQL,
     "dedup_jaccard_ppjoin": _NGRAM_SQL,
     "text_contamination_bloom": _contamination_bloom_sql(),
     "corpus_dedup_keep_best": _keep_best_sql(),

@@ -27,6 +27,7 @@ _CONST_TEXT = (
 #: skew-sensitive queries (pair generation, per-user state, buckets)
 SKEW_SET = [
     "dedup_exact",
+    "dedup_exact_substr",
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_minhash_lsh",
