@@ -1420,6 +1420,290 @@ ORDER BY fidx
 """
 
 
+# --- web_robots_gate: robots.txt parsing + crawl-permission evaluation --------
+#
+# The missing legal/politeness gate of a crawl intake: BEFORE a fetch
+# is even attempted, the pipeline must parse each domain's robots.txt
+# and evaluate every candidate URL against the matching user-agent
+# group's Allow/Disallow rules (RFC 9309: most-specific = LONGEST
+# matching rule wins; Allow wins length ties; no matching rule means
+# allowed). The operator here is the PARSER + EVALUATOR as column
+# programs; the per-domain robots.txt TEXT is constructed by a
+# deterministic rule both engines replay (the wrap pattern — the
+# parsing and evaluation are NOT a replay, both engines run them over
+# the raw text).
+#
+# Robots corpus rule, per domain with numeric suffix d (d=0 when none):
+#   User-agent: badbot        <- decoy group: a parser that ignores
+#   Disallow: /                  group attribution blocks EVERYTHING
+#   (blank line)
+#   User-agent: *
+#   Crawl-delay: 1 + d%3
+#   Disallow: /a/<d%37>       <- blocks one path bucket (PREFIX match:
+#   Allow: /a/<d%37>?            /a/1 also blocks /a/10../a/19)
+#   Disallow: /private        <- never matches (dead rule)
+#   [d%4==0] Disallow: /      <- these domains block all but the Allow
+#
+# Simplifications vs RFC 9309, documented: single UA line per group
+# (consecutive UA lines forming one group are not merged), no * / $
+# wildcards inside rule paths (plain prefix match), evaluation happens
+# on the CANONICAL path?query (post URL normalization).
+
+#: the user-agent whose group the gate evaluates
+_ROBOTS_UA = "*"
+
+
+def _robots_txt(domain: Column) -> Column:
+    """Deterministic per-domain robots.txt text (see module comment)."""
+    dig = F.regexp_extract(domain, "([0-9]+)", 1)
+    d = F.when(dig == "", 0).otherwise(dig.cast("int"))
+    m = (d % _URL_PATH_MOD).cast("string")
+    nl = F.lit("\n")
+    base = F.concat_ws(
+        "\n",
+        F.lit("User-agent: badbot"),
+        F.lit("Disallow: /"),
+        F.lit(""),
+        F.lit("User-agent: *"),
+        F.concat(F.lit("Crawl-delay: "), (1 + d % 3).cast("string")),
+        F.concat(F.lit("Disallow: /a/"), m),
+        F.concat(F.lit("Allow: /a/"), m, F.lit("?")),
+        F.lit("Disallow: /private"),
+    )
+    return F.when(
+        d % 4 == 0, F.concat(base, nl, F.lit("Disallow: /"))
+    ).otherwise(base)
+
+
+def parse_robots(robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Parse (domain, txt) robots files into the evaluated user-agent
+    group's ``rules`` (domain, allow, pat) and ``delays`` (domain,
+    crawl_delay_s). Group attribution is a running last-User-agent
+    window per domain — partitioned by domain and bounded by the
+    robots file's line count, never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    lines = robots.select(
+        "domain", F.posexplode(F.split("txt", "\n")).alias("idx", "line")
+    )
+    ua = F.when(
+        F.col("line").startswith("User-agent: "),
+        F.expr("substring(line, 13)"),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    star = lines.withColumn(
+        "grp", F.last(ua, ignorenulls=True).over(w)
+    ).filter(F.col("grp") == _ROBOTS_UA)
+    line = F.col("line")
+    rules = star.select(
+        "domain",
+        F.when(line.startswith("Allow: "), 1)
+        .when(line.startswith("Disallow: "), 0)
+        .alias("allow"),
+        F.when(line.startswith("Allow: "), F.expr("substring(line, 8)"))
+        .when(line.startswith("Disallow: "), F.expr("substring(line, 11)"))
+        .alias("pat"),
+    ).filter(F.col("allow").isNotNull() & (F.col("pat") != ""))
+    delays = (
+        star.filter(line.startswith("Crawl-delay: "))
+        .groupBy("domain")
+        .agg(
+            F.max(F.expr("CAST(substring(line, 14) AS BIGINT)"))
+            .alias("crawl_delay_s")
+        )
+    )
+    return rules, delays
+
+
+def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-permission audit: every canonical URL evaluated
+    against its domain's parsed robots rules (longest match, Allow wins
+    ties, default allow). ``blocked_idsum`` pins each individual
+    decision; ``rule_lensum`` (sum of the DECIDING rule's length over
+    matched URLs) pins the longest-match choice itself — a gate that
+    picks the right verdict via the wrong rule still mismatches.
+
+    Scale shape: the robots side is one row per domain (a dimension
+    ~1e-5 of the corpus at web scale) parsed with domain-partitioned
+    windows; the evaluation is one domain-keyed join (AQE broadcasts
+    the rule dimension) and a per-URL window bounded by that domain's
+    matching rules. Linear in URLs, no corpus-sized window anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+    )
+    c = canonicalize_url(F.col("u"))
+    urls = base.select(
+        "doc_id", c["host"].alias("domain"), c["canon"].alias("cu")
+    ).select(
+        "doc_id",
+        "domain",
+        F.regexp_extract(
+            "cu", r"^[a-z0-9+.\-]+://[^/]*(/.*)$", 1
+        ).alias("path_query"),
+    )
+    robots = (
+        urls.select("domain").distinct()
+        .select("domain", _robots_txt(F.col("domain")).alias("txt"))
+    )
+    rules, delays = parse_robots(robots)
+    matched = urls.join(rules, "domain").filter(
+        F.col("path_query").startswith(F.col("pat"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.length("pat").desc(), F.col("allow").desc(), F.col("pat")
+    )
+    best = (
+        matched.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("allow").alias("ba"),
+            F.length("pat").alias("bplen"),
+        )
+    )
+    dec = urls.join(best, "doc_id", "left").select(
+        "doc_id",
+        "domain",
+        F.coalesce("ba", F.lit(1)).alias("a"),
+        F.coalesce("bplen", F.lit(0)).alias("plen"),
+        F.when(F.col("ba").isNull(), 1).otherwise(0).alias("isdef"),
+    )
+    return (
+        dec.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.sum("a").cast("bigint").alias("n_allowed"),
+            (F.count(F.lit(1)) - F.sum("a")).cast("bigint").alias("n_blocked"),
+            F.coalesce(
+                F.sum(F.when(F.col("a") == 0, F.col("doc_id"))), F.lit(0)
+            ).cast("bigint").alias("blocked_idsum"),
+            F.sum("isdef").cast("bigint").alias("n_default"),
+            F.sum("plen").cast("bigint").alias("rule_lensum"),
+        )
+        .join(delays, "domain")
+        .select(
+            "domain", "crawl_delay_s", "n_urls", "n_allowed", "n_blocked",
+            "blocked_idsum", "n_default", "rule_lensum",
+        )
+        .orderBy("domain")
+    )
+
+
+_ROBOTS_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_RAW_URL_SQL} AS u FROM documents
+),
+parts AS (
+    SELECT doc_id, u,
+           {_CANON_PARTS_SQL['scheme']} AS sch,
+           {_CANON_PARTS_SQL['host']} AS hst,
+           {_CANON_PARTS_SQL['port']} AS prt,
+           {_CANON_PARTS_SQL['path']} AS pth,
+           {_CANON_PARTS_SQL['query']} AS qry
+    FROM raw
+),
+filtered AS (
+    SELECT doc_id, hst,
+           array_to_string(list_filter(string_split(qry, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')),
+               '&') AS q2,
+           sch, prt, pth
+    FROM parts
+),
+canon AS (
+    SELECT doc_id, hst AS domain, {_CANON_SQL} AS cu FROM filtered
+),
+urls AS (
+    SELECT doc_id, domain,
+           regexp_extract(cu, '^[a-z0-9+.\\-]+://[^/]*(/.*)$', 1)
+               AS path_query
+    FROM canon
+),
+dn AS (
+    SELECT domain,
+           CASE WHEN regexp_extract(domain, '([0-9]+)', 1) = '' THEN 0
+                ELSE CAST(regexp_extract(domain, '([0-9]+)', 1) AS INT)
+           END AS d
+    FROM (SELECT DISTINCT domain FROM urls)
+),
+rob AS (
+    SELECT domain,
+           'User-agent: badbot' || chr(10) || 'Disallow: /' || chr(10)
+           || chr(10) || 'User-agent: *' || chr(10)
+           || 'Crawl-delay: ' || CAST(1 + d % 3 AS VARCHAR) || chr(10)
+           || 'Disallow: /a/' || CAST(d % {_URL_PATH_MOD} AS VARCHAR)
+           || chr(10)
+           || 'Allow: /a/' || CAST(d % {_URL_PATH_MOD} AS VARCHAR) || '?'
+           || chr(10) || 'Disallow: /private'
+           || CASE WHEN d % 4 = 0 THEN chr(10) || 'Disallow: /'
+                   ELSE '' END AS txt
+    FROM dn
+),
+ls AS (SELECT domain, string_split(txt, chr(10)) AS lns FROM rob),
+lines AS (
+    SELECT domain, i AS idx, lns[i] AS l
+    FROM ls, UNNEST(range(1, len(lns) + 1)) AS t(i)
+),
+attr AS (
+    SELECT domain, idx, l,
+           last_value(CASE WHEN starts_with(l, 'User-agent: ')
+                           THEN substr(l, 13) END IGNORE NULLS)
+             OVER (PARTITION BY domain ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+    FROM lines
+),
+star AS (SELECT * FROM attr WHERE grp = '{_ROBOTS_UA}'),
+rules AS (
+    SELECT domain,
+           CASE WHEN starts_with(l, 'Allow: ') THEN 1 ELSE 0 END AS allow,
+           CASE WHEN starts_with(l, 'Allow: ') THEN substr(l, 8)
+                ELSE substr(l, 11) END AS pat
+    FROM star
+    WHERE starts_with(l, 'Allow: ') OR starts_with(l, 'Disallow: ')
+),
+rules2 AS (SELECT * FROM rules WHERE pat <> ''),
+delays AS (
+    SELECT domain, max(CAST(substr(l, 14) AS BIGINT)) AS crawl_delay_s
+    FROM star WHERE starts_with(l, 'Crawl-delay: ') GROUP BY domain
+),
+m AS (
+    SELECT u.doc_id, r.allow, length(r.pat) AS plen,
+           row_number() OVER (PARTITION BY u.doc_id
+               ORDER BY length(r.pat) DESC, r.allow DESC, r.pat) AS rn
+    FROM urls u
+    JOIN rules2 r
+      ON u.domain = r.domain AND starts_with(u.path_query, r.pat)
+),
+best AS (SELECT doc_id, allow, plen FROM m WHERE rn = 1),
+dec AS (
+    SELECT u.doc_id, u.domain,
+           coalesce(b.allow, 1) AS a,
+           coalesce(b.plen, 0) AS plen,
+           CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS isdef
+    FROM urls u LEFT JOIN best b ON u.doc_id = b.doc_id
+)
+SELECT d.domain, dl.crawl_delay_s,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(a) AS BIGINT) AS n_allowed,
+       CAST(count(*) - sum(a) AS BIGINT) AS n_blocked,
+       CAST(coalesce(sum(CASE WHEN a = 0 THEN doc_id END), 0) AS BIGINT)
+           AS blocked_idsum,
+       CAST(sum(isdef) AS BIGINT) AS n_default,
+       CAST(sum(plen) AS BIGINT) AS rule_lensum
+FROM dec d JOIN delays dl ON d.domain = dl.domain
+GROUP BY d.domain, dl.crawl_delay_s
+ORDER BY d.domain
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
@@ -1430,9 +1714,11 @@ QUERIES = {
     "web_url_dedup": web_url_dedup,
     "web_charset_audit": web_charset_audit,
     "web_warc_point_lookup": web_warc_point_lookup,
+    "web_robots_gate": web_robots_gate,
 }
 
 ORACLES = {
+    "web_robots_gate": _ROBOTS_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_html_boilerplate_audit": _HTML_AUDIT_SQL,
     "web_extract_yield": _YIELD_SQL,

@@ -1,0 +1,91 @@
+"""robots.txt gate semantics pins: group attribution (the badbot decoy
+group must NOT leak into '*' rules), prefix matching ('/a/1' blocks
+'/a/10'), longest-match with Allow winning ties, default-allow when no
+rule matches, and Crawl-delay extraction."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+
+def test_parse_robots_group_attribution(spark):
+    from codegraph_spark.queries.web import parse_robots
+
+    robots = spark.createDataFrame(
+        [(
+            "d.example.org",
+            "User-agent: badbot\nDisallow: /\n\n"
+            "User-agent: *\nCrawl-delay: 7\nDisallow: /x\nAllow: /x/ok\n"
+            "Disallow: \n",  # empty pattern = allow-all no-op, dropped
+        )],
+        "domain string, txt string",
+    )
+    rules, delays = parse_robots(robots)
+    got = sorted((r["allow"], r["pat"]) for r in rules.collect())
+    # the badbot group's 'Disallow: /' must be absent
+    assert got == [(0, "/x"), (1, "/x/ok")]
+    assert delays.collect()[0]["crawl_delay_s"] == 7
+
+
+@pytest.fixture(scope="module")
+def robots_dir(spark):
+    # src0 (d=0): Disallow /a/0, Allow /a/0?, Disallow /private,
+    #             Disallow /   (d%4==0 -> default-deny domain)
+    # src1 (d=1): Disallow /a/1, Allow /a/1?, Disallow /private
+    # doc_id picks the URL variant (doc_id%5) and path bucket
+    # (doc_id%37) per the corpus URL rule:
+    #   5   src0 v0 pid 5  -> /a/5        blocked by '/' (len 1)
+    #   222 src0 v2 pid 0  -> /a/0?id=0   Allow '/a/0?' (5) beats
+    #                                      Disallow '/a/0' (4) and '/'
+    #   10  src1 v0 pid 10 -> /a/10       blocked: '/a/1' PREFIX match
+    #   38  src1 v3 pid 1  -> /a/1#sec    fragment stripped -> blocked
+    #   77  src1 v2 pid 3  -> /a/3?id=3   no rule matches -> default
+    #   112 src1 v2 pid 1  -> /a/1?id=1   Allow '/a/1?' wins by length
+    docs = spark.createDataFrame(
+        [
+            (5, "t", "src0"),
+            (222, "t", "src0"),
+            (10, "t", "src1"),
+            (38, "t", "src1"),
+            (77, "t", "src1"),
+            (112, "t", "src1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    d = tempfile.mkdtemp(prefix="robots_")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def test_gate_decisions(spark, robots_dir):
+    from codegraph_spark.queries.web import web_robots_gate
+
+    rows = {
+        r["domain"]: r.asDict()
+        for r in web_robots_gate(spark, robots_dir).collect()
+    }
+    assert rows["src0.example.org"] == {
+        "domain": "src0.example.org",
+        "crawl_delay_s": 1,
+        "n_urls": 2,
+        "n_allowed": 1,
+        "n_blocked": 1,
+        "blocked_idsum": 5,
+        "n_default": 0,
+        "rule_lensum": 1 + 5,
+    }
+    assert rows["src1.example.org"] == {
+        "domain": "src1.example.org",
+        "crawl_delay_s": 2,
+        "n_urls": 4,
+        "n_allowed": 2,
+        "n_blocked": 2,
+        "blocked_idsum": 10 + 38,
+        "n_default": 1,
+        "rule_lensum": 4 + 4 + 5,
+    }
