@@ -822,7 +822,73 @@ from codegraph_spark.queries.events import _KMV_SQL as _STREAM_KMV_SQL  # noqa: 
 from codegraph_spark.queries.events import _TRANSITION_SQL as _STREAM_TRANSITION_SQL  # noqa: E402
 from codegraph_spark.queries.events import _CUSUM_SQL as _STREAM_CUSUM_SQL  # noqa: E402
 
+def stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup AT THE INGEST DOOR (§2.8 custom stateful op —
+    the streaming twin of web_url_dedup): each arriving fetch record is
+    canonicalized (a stateless projection — the same rules as the batch
+    query), then a stateful streaming aggregation per (domain,
+    canonical URL) maintains the crawl's SEEN-SET: first-seen keeper
+    (min doc_id) and fetch count, update mode. The drained updates are
+    monotone per key — keeper only decreases, count only grows — so
+    the batch-side finalize (min keeper / max count per key) recovers
+    the exact final state however the input splits into micro-batches,
+    and the per-domain rollup must equal web_url_dedup's oracle
+    byte-for-byte.
+
+    State = one row per canonical URL, sharded by the canonical-key
+    shuffle — the layout a 1000-executor frontier dedup runs with; at
+    100 TB the horizon-bounded variant swaps the agg for
+    ``dropDuplicatesWithinWatermark`` and re-crawl policy owns eviction."""
+    from codegraph_spark.streaming.incremental import read_documents_stream
+
+    return _url_dedup_drain(read_documents_stream(spark, sf_dir))
+
+
+def _url_dedup_drain(docs: DataFrame) -> DataFrame:
+    """Canonicalize → stateful seen-set agg → drain → finalize →
+    per-domain rollup (see :func:`stream_url_dedup`; split out so the
+    out-of-order test can route the SHUFFLED multi-batch source
+    through the identical pipeline)."""
+    from codegraph_spark.queries.web import _raw_url, canonicalize_url
+    from codegraph_spark.streaming.incremental import run_available_now
+
+    base = docs.select(
+        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+    )
+    c = canonicalize_url(F.col("u"))
+    canon = base.select(
+        "doc_id", c["canon"].alias("url_canon"), c["host"].alias("domain")
+    )
+    agg = canon.groupBy("domain", "url_canon").agg(
+        F.min("doc_id").alias("mk"), F.count(F.lit(1)).alias("cnt")
+    )
+    drained = run_available_now(
+        agg, output_mode="update", state_partitions=8
+    )
+    groups = drained.groupBy("domain", "url_canon").agg(
+        F.min("mk").alias("keeper_id"), F.max("cnt").alias("n")
+    )
+    return (
+        groups.groupBy("domain")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_urls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_canonical"),
+            (F.sum("n") - F.count(F.lit(1)))
+            .cast("bigint").alias("n_dup_urls"),
+            F.sum("keeper_id").cast("bigint").alias("keeper_idsum"),
+        )
+        .select(
+            "domain", "n_urls", "n_canonical", "n_dup_urls",
+            F.expr("CAST(n_dup_urls * 1000 div n_urls AS BIGINT)")
+            .alias("dup_pm"),
+            "keeper_idsum",
+        )
+        .orderBy("domain")
+    )
+
+
 QUERIES = {
+    "stream_url_dedup": stream_url_dedup,
     "stream_image_meta": stream_image_meta,
     "stream_html_extract": stream_html_extract,
     "stream_html_extract_dirty": stream_html_extract_dirty,
@@ -848,7 +914,12 @@ from codegraph_spark.queries.events import (  # noqa: E402
     _QUANTILE_SKETCH_SQL as _STREAM_QSK_SQL,
 )
 
+from codegraph_spark.queries.web import (  # noqa: E402
+    _URL_DEDUP_SQL as _STREAM_URL_DEDUP_SQL,
+)
+
 ORACLES = {
+    "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
     "stream_image_meta": _STREAM_MM_META_SQL,
     "stream_html_extract": _STREAM_HTML_EXTRACT_SQL,
     "stream_html_extract_dirty": _STREAM_HTML_DIRTY_SQL,

@@ -53,6 +53,7 @@ SKEW_SET = [
     "web_url_dedup",
     "web_charset_audit",
     "web_robots_gate",
+    "stream_url_dedup",
     "stream_html_extract_dirty",
     "web_warc_point_lookup",
     "text_html_boilerplate_audit",
