@@ -1800,7 +1800,236 @@ ORDER BY source
 """
 
 
+# --- text_quality_classifier: trained bag-of-words quality model --------------
+#
+# The model-based quality filter of the big LLM corpora (GPT-3's
+# WebText-vs-crawl logistic filter, CCNet's wiki-vs-crawl fastText,
+# Gopher/Llama reproductions): TRAIN a linear bag-of-words classifier
+# on labeled seed documents, score everything else, keep the
+# high-quality side. Here the full loop runs inside the engine:
+# multinomial Naive Bayes token weights learned on a doc_id%5<4 train
+# split, evaluated on the held-out %5==4 split, confusion matrix out.
+#
+# Ground truth is a PLANTED label rule (the wrap pattern — both
+# engines replay it, the classifier does NOT see it): a doc is 'lo'
+# quality iff it contains more 'slow' tokens than 'fast' tokens. The
+# classifier must recover that rule from bag-of-words evidence alone —
+# training assigns heavy class-odds weights to exactly those tokens
+# (plus their co-occurrence noise), so held-out accuracy measurably
+# beats the class prior (pinned in tests/test_quality_classifier.py).
+#
+# Cross-engine exactness: NB log-probabilities are QUANTIZED to a
+# 1/16-bit piecewise-linear integer log2 — for smoothed inverse
+# probability r = ((tot_c + V) * 256) div (c_tc + 1):
+#     logq(r) = 16*(msb(r)-1) + (r*16 div 2^msb(r)-1) - 16
+#             ≈ 16 * log2(r)            (monotone, exact integers)
+#     w(t,c)  = 1152 - logq(r)          (1152 = 16*72 keeps w > 0)
+# where msb(r) = length(bin(r)). A plain floor(log2) bucket (the
+# obvious quantization) floors AWAY the planted signal — measured
+# held-out accuracy 0.57 vs 0.55 prior; the mantissa interpolation
+# term recovers it (see tests/test_quality_classifier.py's margin
+# pin). All arithmetic is BIGINT-exact on both engines with no float
+# log anywhere; the *256 headroom bounds the formulation to corpora
+# with tot_c + V <= 2^55 tokens (~50 PB of text — comfortably past
+# the 100 TB target; past that, drop the scale to *16). Unseen-at-
+# train tokens are skipped (the standard multinomial NB inference
+# choice); the class prior rides as a sentinel pseudo-token so the
+# score is one inner join + one sum, no scalar plumbing. Ties break
+# to 'hi' (sh >= sl), replayed by the oracle.
+#
+# Scale shape: one token-count shuffle over the TRAIN split (vocab
+# build), one vocab-keyed join from test tokens to the weight table
+# (vocab is a dimension — AQE broadcasts it), one per-doc score agg,
+# one bounded confusion rollup. Linear in corpus tokens; training a
+# real logistic head would add only iterated versions of the same
+# aggregations.
+
+#: sentinel pseudo-token carrying the class-prior weight (space-split
+#: corpus tokens can never equal it)
+_NBQ_PRIOR = "⟨prior⟩"
+
+
+def _nbq_w_spark(rs: str) -> "F.Column":
+    """1152 - logq(rs) as a Spark expression over BIGINT column ``rs``
+    (see the quantization comment above)."""
+    return F.expr(
+        f"CAST(1152 - (16 * (length(bin({rs})) - 1)"
+        f" + ({rs} * 16) div shiftleft(CAST(1 AS BIGINT),"
+        f" length(bin({rs})) - 1) - 16) AS BIGINT)"
+    )
+
+
+def _nbq_w_sql(rs: str) -> str:
+    """The identical weight formula over DuckDB column ``rs``."""
+    return (
+        f"CAST(1152 - (16 * (length(bin({rs})) - 1)"
+        f" + ({rs} * 16) // (CAST(1 AS BIGINT)"
+        f" << (length(bin({rs})) - 1)) - 16) AS BIGINT)"
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix (actual × predicted, with idsum
+    pinning every individual decision) of the trained NB quality
+    model. See the module comment above for the design."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_slow = F.size(F.filter(words, lambda w: w == F.lit("slow")))
+    n_fast = F.size(F.filter(words, lambda w: w == F.lit("fast")))
+    labeled = docs.select(
+        "doc_id",
+        F.when(n_slow > n_fast, "lo").otherwise("hi").alias("actual"),
+        words.alias("ws"),
+    )
+    train = labeled.filter(F.col("doc_id") % 5 < 4)
+    test = labeled.filter(F.col("doc_id") % 5 == 4)
+    ttoks = train.select("actual", F.explode("ws").alias("token"))
+    vocab = ttoks.groupBy("token").agg(
+        F.sum(F.when(F.col("actual") == "hi", 1).otherwise(0)).alias("c_hi"),
+        F.sum(F.when(F.col("actual") == "lo", 1).otherwise(0)).alias("c_lo"),
+    )
+    gv = vocab.agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.coalesce(F.sum("c_hi"), F.lit(0)).alias("tot_hi"),
+        F.coalesce(F.sum("c_lo"), F.lit(0)).alias("tot_lo"),
+    )
+    gd = train.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.coalesce(
+            F.sum(F.when(F.col("actual") == "hi", 1).otherwise(0)), F.lit(0)
+        ).alias("n_hi"),
+    )
+    weights = (
+        vocab.crossJoin(F.broadcast(gv))
+        .select(
+            "token",
+            F.expr("((tot_hi + nv) * 256) div (c_hi + 1)").alias("rs_hi"),
+            F.expr("((tot_lo + nv) * 256) div (c_lo + 1)").alias("rs_lo"),
+        )
+        .select(
+            "token",
+            _nbq_w_spark("rs_hi").alias("w_hi"),
+            _nbq_w_spark("rs_lo").alias("w_lo"),
+        )
+    )
+    prior = gd.select(
+        F.lit(_NBQ_PRIOR).alias("token"),
+        F.expr("((n_train + 2) * 256) div (n_hi + 1)").alias("rs_hi"),
+        F.expr("((n_train + 2) * 256) div (n_train - n_hi + 1)").alias("rs_lo"),
+    ).select(
+        "token",
+        _nbq_w_spark("rs_hi").alias("w_hi"),
+        _nbq_w_spark("rs_lo").alias("w_lo"),
+    )
+    wtab = weights.unionByName(prior)
+    xt = test.select(
+        "doc_id",
+        "actual",
+        F.explode(
+            F.concat(F.array(F.lit(_NBQ_PRIOR)), F.col("ws"))
+        ).alias("token"),
+    )
+    sc = xt.join(wtab, "token").groupBy("doc_id", "actual").agg(
+        F.sum("w_hi").alias("sh"), F.sum("w_lo").alias("sl")
+    )
+    dec = sc.select(
+        "doc_id",
+        "actual",
+        F.when(F.col("sh") >= F.col("sl"), "hi").otherwise("lo")
+        .alias("predicted"),
+    )
+    return (
+        dec.groupBy("actual", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("idsum"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+_NBQ_SQL = f"""
+WITH lab AS (
+    SELECT doc_id,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     w -> w = 'slow'))
+                   > len(list_filter(string_split(text, ' '),
+                                     w -> w = 'fast'))
+                THEN 'lo' ELSE 'hi' END AS actual,
+           string_split(text, ' ') AS ws
+    FROM documents
+),
+train AS (SELECT * FROM lab WHERE doc_id % 5 < 4),
+test AS (SELECT * FROM lab WHERE doc_id % 5 = 4),
+ttoks AS (SELECT actual, unnest(ws) AS token FROM train),
+vocab AS (
+    SELECT token,
+           sum(CASE WHEN actual = 'hi' THEN 1 ELSE 0 END) AS c_hi,
+           sum(CASE WHEN actual = 'lo' THEN 1 ELSE 0 END) AS c_lo
+    FROM ttoks GROUP BY token
+),
+gv AS (
+    SELECT count(*) AS nv,
+           coalesce(sum(c_hi), 0) AS tot_hi,
+           coalesce(sum(c_lo), 0) AS tot_lo
+    FROM vocab
+),
+gd AS (
+    SELECT count(*) AS n_train,
+           coalesce(sum(CASE WHEN actual = 'hi' THEN 1 ELSE 0 END), 0)
+               AS n_hi
+    FROM train
+),
+wrs AS (
+    SELECT token,
+           ((tot_hi + nv) * 256) // (c_hi + 1) AS rs_hi,
+           ((tot_lo + nv) * 256) // (c_lo + 1) AS rs_lo
+    FROM vocab, gv
+),
+weights AS (
+    SELECT token,
+           {_nbq_w_sql('rs_hi')} AS w_hi,
+           {_nbq_w_sql('rs_lo')} AS w_lo
+    FROM wrs
+),
+prs AS (
+    SELECT ((n_train + 2) * 256) // (n_hi + 1) AS rs_hi,
+           ((n_train + 2) * 256) // (n_train - n_hi + 1) AS rs_lo
+    FROM gd
+),
+prior AS (
+    SELECT '{_NBQ_PRIOR}' AS token,
+           {_nbq_w_sql('rs_hi')} AS w_hi,
+           {_nbq_w_sql('rs_lo')} AS w_lo
+    FROM prs
+),
+wtab AS (SELECT * FROM weights UNION ALL SELECT * FROM prior),
+xt AS (
+    SELECT doc_id, actual,
+           unnest(list_prepend('{_NBQ_PRIOR}', ws)) AS token
+    FROM test
+),
+sc AS (
+    SELECT doc_id, actual, sum(w.w_hi) AS sh, sum(w.w_lo) AS sl
+    FROM xt JOIN wtab w USING (token)
+    GROUP BY doc_id, actual
+),
+dec AS (
+    SELECT doc_id, actual,
+           CASE WHEN sh >= sl THEN 'hi' ELSE 'lo' END AS predicted
+    FROM sc
+)
+SELECT actual, predicted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS idsum
+FROM dec
+GROUP BY actual, predicted
+ORDER BY actual, predicted
+"""
+
+
 QUERIES = {
+    "text_quality_classifier": text_quality_classifier,
     "corpus_token_budget_plan": corpus_token_budget_plan,
     "corpus_quality_calibration": corpus_quality_calibration,
     "corpus_padding_waste": corpus_padding_waste,
@@ -1829,6 +2058,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_quality_classifier": _NBQ_SQL,
     "corpus_token_budget_plan": _BUDGET_PLAN_SQL,
     "corpus_quality_calibration": _QUALITY_CAL_SQL,
     "corpus_padding_waste": _PADDING_WASTE_SQL,

@@ -54,6 +54,7 @@ SKEW_SET = [
     "web_charset_audit",
     "web_robots_gate",
     "stream_url_dedup",
+    "text_quality_classifier",
     "stream_html_extract_dirty",
     "web_warc_point_lookup",
     "text_html_boilerplate_audit",
