@@ -1909,8 +1909,157 @@ ORDER BY t.source
 """
 
 
+# --- dedup_paragraph: CCNet-style paragraph-hash dedup ------------------------
+#
+# CCNet (Wenzek et al. 2020) dedups Common Crawl at PARAGRAPH
+# granularity before anything else: hash every paragraph, keep only
+# the first occurrence of each hash corpus-wide, write documents back
+# with their duplicated paragraphs REMOVED (this is also where
+# boilerplate dies — cookie banners repeat on every page of a site).
+# Doc-level dedup (dedup_exact) can't see this; span-level
+# (dedup_exact_substr) reports it but doesn't produce cleaned text.
+#
+# Paragraph rule: fixed 12-word chunks (the corpus has no paragraph
+# breaks; both engines replay the chunking). First-occurrence order is
+# total and engine-independent: occurrence key = doc_id * 1e6 + pidx,
+# keeper = min key per hash — one map-side-combinable groupBy, no
+# window over the hash groups (a boilerplate paragraph with 1e9 copies
+# at 100 TB would make a per-hash row_number window one hot partition;
+# min() folds it in the combiner).
+#
+# The output pins the CLEANED CORPUS itself, not just counts:
+# per-doc reassembly (kept paragraphs re-joined in order) is hashed
+# and per-source hash-sums must match — a wrong keeper, a lost
+# paragraph, or an out-of-order reassembly all change clean_hashsum.
+
+#: paragraph chunk width (words) — the replayed corpus rule
+_PARA_W = 12
+#: occurrence-key stride: pidx < 1e6 for any real document, so
+#: doc_id * 1e6 + pidx is unique and BIGINT-safe to ~9e12 doc ids
+_PARA_STRIDE = 1_000_000
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source paragraph-dedup audit + cleaned-corpus hash pin.
+    See the module comment above; scale shape is one paragraph-hash
+    groupBy (combiner-folded min), one hash-keyed semi-equality join,
+    and one per-doc ordered reassembly (collect_list bounded by doc
+    length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(words) / F.lit(_PARA_W)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * _PARA_W + 1, _PARA_W), " "
+        ),
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    pp = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", "source", F.posexplode(paras).alias("pidx", "para"))
+        .withColumn("h", F.md5("para"))
+        .withColumn(
+            "k", F.col("doc_id") * _PARA_STRIDE + F.col("pidx")
+        )
+    )
+    firsts = pp.groupBy("h").agg(F.min("k").alias("mk"))
+    kept = pp.join(firsts, "h").filter(F.col("k") == F.col("mk"))
+    reasm = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pidx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept_doc"),
+    )
+    stats = pp.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_paras_doc")
+    )
+    perdoc = stats.join(reasm, "doc_id", "left").select(
+        "doc_id", "source", "n_paras_doc",
+        F.coalesce("n_kept_doc", F.lit(0)).alias("n_kept_doc"),
+        # mod P keeps the per-source SUM inside BIGINT at any doc count
+        (
+            F.conv(
+                F.substring(F.md5(F.coalesce("cleaned", F.lit(""))), 1, 15),
+                16, 10,
+            ).cast("bigint") % _P
+        ).alias("hnum"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_paras_doc").cast("bigint").alias("n_paras"),
+            F.sum("n_kept_doc").cast("bigint").alias("n_kept"),
+            F.expr(
+                "CAST(sum(n_kept_doc) * 1000 div sum(n_paras_doc)"
+                " AS BIGINT)"
+            ).alias("kept_pm"),
+            F.sum("hnum").cast("bigint").alias("clean_hashsum"),
+        )
+        .orderBy("source")
+    )
+
+
+_PARA_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+),
+ch AS (
+    SELECT doc_id, source, i AS pidx,
+           array_to_string(
+               words[(i * {_PARA_W} + 1):(i * {_PARA_W} + {_PARA_W})],
+               ' ') AS para
+    FROM base,
+         UNNEST(range(0, CAST(ceil(len(words) / {_PARA_W}.0) AS INT)))
+             AS t(i)
+),
+pp AS (
+    SELECT doc_id, source, pidx, para, md5(para) AS h,
+           doc_id * {_PARA_STRIDE} + pidx AS k
+    FROM ch
+),
+firsts AS (SELECT h, min(k) AS mk FROM pp GROUP BY h),
+kept AS (
+    SELECT pp.* FROM pp JOIN firsts USING (h) WHERE pp.k = firsts.mk
+),
+reasm AS (
+    SELECT doc_id,
+           string_agg(para, ' ' ORDER BY pidx) AS cleaned,
+           count(*) AS n_kept_doc
+    FROM kept GROUP BY doc_id
+),
+stats AS (
+    SELECT doc_id, source, count(*) AS n_paras_doc
+    FROM pp GROUP BY doc_id, source
+),
+perdoc AS (
+    SELECT s.doc_id, s.source, s.n_paras_doc,
+           coalesce(r.n_kept_doc, 0) AS n_kept_doc,
+           CAST(('0x' || substr(md5(coalesce(r.cleaned, '')), 1, 15))
+                AS BIGINT) % {_P} AS hnum
+    FROM stats s LEFT JOIN reasm r USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_paras_doc) AS BIGINT) AS n_paras,
+       CAST(sum(n_kept_doc) AS BIGINT) AS n_kept,
+       CAST(sum(n_kept_doc) * 1000 // sum(n_paras_doc) AS BIGINT)
+           AS kept_pm,
+       CAST(sum(hnum) AS BIGINT) AS clean_hashsum
+FROM perdoc
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact_substr": dedup_exact_substr,
+    "dedup_paragraph": dedup_paragraph,
     "dedup_jaccard_ppjoin": dedup_jaccard_ppjoin,
     "text_contamination_bloom": text_contamination_bloom,
     "corpus_dedup_keep_best": corpus_dedup_keep_best,
@@ -1930,6 +2079,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_substr": _EXACT_SUBSTR_SQL,
+    "dedup_paragraph": _PARA_SQL,
     "dedup_jaccard_ppjoin": _NGRAM_SQL,
     "text_contamination_bloom": _contamination_bloom_sql(),
     "corpus_dedup_keep_best": _keep_best_sql(),

@@ -28,6 +28,7 @@ _CONST_TEXT = (
 SKEW_SET = [
     "dedup_exact",
     "dedup_exact_substr",
+    "dedup_paragraph",
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_minhash_lsh",
