@@ -1704,6 +1704,167 @@ ORDER BY d.domain
 """
 
 
+# --- web_crawl_plan: politeness-constrained fetch scheduling -------------------
+#
+# The planning step between URL dedup and the fetch fleet: given each
+# domain's deduped fetch count and its robots Crawl-delay, estimate
+# per-domain fetch time, spread domains across K crawler workers, and
+# report each worker's load with its two lower bounds — the politeness
+# bound (a worker can never finish before its slowest single domain,
+# however well it interleaves) and the capacity bound (its fetch count
+# over the worker's fetch rate). The assignment rule is deterministic
+# sorted round-robin: domains ranked by log2-bucketed estimated time
+# (descending, md5-id tie-break), worker = (rank-1) mod K — the
+# classic cheap LPT approximation, and a rule both engines replay.
+#
+# Scale shape: everything after the one canonical-URL groupBy is
+# DOMAIN-dimension-sized. The global rank uses the two-level
+# distributed_row_number decomposition (operators/ranks.py) keyed on
+# the ~60 log2 buckets, so even a billion-domain frontier never funnels
+# through one sort task.
+
+#: crawler workers in the plan
+_CRAWL_WORKERS = 8
+#: per-worker sustained fetch rate (fetches/second) for the capacity bound
+_CRAWL_RATE_FPS = 10
+
+
+def web_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-worker crawl plan rollup (see module comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+    )
+    c = canonicalize_url(F.col("u"))
+    canon = base.select(
+        "doc_id", c["canon"].alias("url_canon"), c["host"].alias("domain")
+    )
+    dom = (
+        canon.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("url_canon").alias("n_fetch"),
+        )
+    )
+    robots = (
+        dom.select("domain")
+        .select("domain", _robots_txt(F.col("domain")).alias("txt"))
+    )
+    _rules, delays = parse_robots(robots)
+    sized = (
+        dom.join(delays, "domain")
+        .select(
+            "domain", "n_urls", "n_fetch", "crawl_delay_s",
+            (F.col("n_fetch") * F.col("crawl_delay_s")).alias("est_s"),
+            F.expr("length(bin(n_fetch * crawl_delay_s + 1))")
+            .alias("bucket"),
+            F.conv(F.substring(F.md5("domain"), 1, 15), 16, 10)
+            .cast("bigint").alias("did"),
+        )
+    )
+    from codegraph_spark.operators.ranks import distributed_row_number
+
+    ranked = distributed_row_number(
+        sized, "bucket", id_col="did", descending=True, out="rn"
+    )
+    plan = ranked.withColumn(
+        "crawler_id", ((F.col("rn") - 1) % _CRAWL_WORKERS).cast("bigint")
+    )
+    return (
+        plan.groupBy("crawler_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_domains"),
+            F.sum("n_fetch").cast("bigint").alias("n_fetches"),
+            (F.sum("n_urls") - F.sum("n_fetch"))
+            .cast("bigint").alias("n_dup_skipped"),
+            F.max("est_s").cast("bigint").alias("politeness_bound_s"),
+            F.expr(
+                f"CAST((sum(n_fetch) + {_CRAWL_RATE_FPS - 1})"
+                f" div {_CRAWL_RATE_FPS} AS BIGINT)"
+            ).alias("capacity_bound_s"),
+        )
+        .select(
+            "crawler_id", "n_domains", "n_fetches", "n_dup_skipped",
+            "politeness_bound_s", "capacity_bound_s",
+            F.greatest("politeness_bound_s", "capacity_bound_s")
+            .alias("plan_makespan_s"),
+        )
+        .orderBy("crawler_id")
+    )
+
+
+_CRAWL_PLAN_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_RAW_URL_SQL} AS u FROM documents
+),
+parts AS (
+    SELECT doc_id, u,
+           {_CANON_PARTS_SQL['scheme']} AS sch,
+           {_CANON_PARTS_SQL['host']} AS hst,
+           {_CANON_PARTS_SQL['port']} AS prt,
+           {_CANON_PARTS_SQL['path']} AS pth,
+           {_CANON_PARTS_SQL['query']} AS qry
+    FROM raw
+),
+filtered AS (
+    SELECT doc_id, hst,
+           array_to_string(list_filter(string_split(qry, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')),
+               '&') AS q2,
+           sch, prt, pth
+    FROM parts
+),
+canon AS (
+    SELECT doc_id, hst AS domain, {_CANON_SQL} AS url_canon FROM filtered
+),
+dom AS (
+    SELECT domain, count(*) AS n_urls,
+           count(DISTINCT url_canon) AS n_fetch
+    FROM canon GROUP BY domain
+),
+dn AS (
+    SELECT domain, n_urls, n_fetch,
+           CASE WHEN regexp_extract(domain, '([0-9]+)', 1) = '' THEN 0
+                ELSE CAST(regexp_extract(domain, '([0-9]+)', 1) AS INT)
+           END AS d
+    FROM dom
+),
+sized AS (
+    SELECT domain, n_urls, n_fetch,
+           CAST(1 + d % 3 AS BIGINT) AS crawl_delay_s,
+           n_fetch * (1 + d % 3) AS est_s,
+           length(bin(n_fetch * (1 + d % 3) + 1)) AS bucket,
+           CAST(('0x' || substr(md5(domain), 1, 15)) AS BIGINT) AS did
+    FROM dn
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY bucket DESC, did) AS rn
+    FROM sized
+),
+plan AS (
+    SELECT *, CAST((rn - 1) % {_CRAWL_WORKERS} AS BIGINT) AS crawler_id
+    FROM ranked
+)
+SELECT crawler_id,
+       CAST(count(*) AS BIGINT) AS n_domains,
+       CAST(sum(n_fetch) AS BIGINT) AS n_fetches,
+       CAST(sum(n_urls) - sum(n_fetch) AS BIGINT) AS n_dup_skipped,
+       CAST(max(est_s) AS BIGINT) AS politeness_bound_s,
+       CAST((sum(n_fetch) + {_CRAWL_RATE_FPS - 1}) // {_CRAWL_RATE_FPS}
+           AS BIGINT) AS capacity_bound_s,
+       CAST(greatest(max(est_s),
+            (sum(n_fetch) + {_CRAWL_RATE_FPS - 1}) // {_CRAWL_RATE_FPS})
+           AS BIGINT) AS plan_makespan_s
+FROM plan
+GROUP BY crawler_id
+ORDER BY crawler_id
+"""
+# The oracle's Crawl-delay is NOT a robots-replay shortcut divergence:
+# dn derives the same 1 + d%3 the robots text carries, and the robots
+# PARSE itself is oracle-verified by web_robots_gate — this oracle pins
+# the scheduling arithmetic on top of it.
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
@@ -1715,10 +1876,12 @@ QUERIES = {
     "web_charset_audit": web_charset_audit,
     "web_warc_point_lookup": web_warc_point_lookup,
     "web_robots_gate": web_robots_gate,
+    "web_crawl_plan": web_crawl_plan,
 }
 
 ORACLES = {
     "web_robots_gate": _ROBOTS_SQL,
+    "web_crawl_plan": _CRAWL_PLAN_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_html_boilerplate_audit": _HTML_AUDIT_SQL,
     "web_extract_yield": _YIELD_SQL,

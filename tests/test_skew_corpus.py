@@ -56,6 +56,7 @@ SKEW_SET = [
     "web_robots_gate",
     "stream_url_dedup",
     "text_quality_classifier",
+    "web_crawl_plan",
     "stream_html_extract_dirty",
     "web_warc_point_lookup",
     "text_html_boilerplate_audit",
