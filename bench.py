@@ -71,6 +71,14 @@ HEADLINE = [
     "text_html_extract_dirty",
     "web_warc_extract",
     "web_url_dedup",
+    # round-11 second wave: the two new dedup granularities (span-level
+    # window fingerprints, paragraph-hash first-seen with cleaned-text
+    # reassembly) and the robots.txt permission gate. All scan-class
+    # ≤ 2 s, declared with five-run solo evidence in BASELINE.md's
+    # round-11 note before first bench.
+    "dedup_exact_substr",
+    "dedup_paragraph",
+    "web_robots_gate",
 ]
 
 

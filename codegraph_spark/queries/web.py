@@ -1865,6 +1865,207 @@ ORDER BY crawler_id
 # the scheduling arithmetic on top of it.
 
 
+# --- web_sitemap_coverage: sitemap parse + crawl-coverage audit ----------------
+#
+# The discovery-side complement of the robots gate: each domain
+# publishes a sitemap.xml enumerating the URLs it WANTS crawled (with
+# lastmod hints); the audit joins that against what the crawl actually
+# fetched and reports, per domain, how much of the sitemap was covered
+# (sitemap∩crawl), what the sitemap promises but the crawl never saw
+# (recrawl candidates), and what the crawl fetched OFF-sitemap
+# (discovered via links — at web scale usually the majority). The
+# operator is the XML field extraction + the path-level full-outer
+# reconciliation; the sitemap TEXT is a deterministic per-domain rule
+# both engines replay (the wrap pattern).
+#
+# Sitemap corpus rule, domain with numeric suffix d: paths /a/0 ..
+# /a/(17 + d%7), each with <lastmod>2026-07-DD</lastmod> where
+# DD = (3i + d) % 28 + 1 — so sitemap size and staleness profile vary
+# per domain, part of the crawled path set (doc_id%37 buckets) falls
+# outside the sitemap, and part of the sitemap is never crawled.
+# Matching is by PATH (the canonical URL minus query), the grain a
+# recrawl scheduler works at.
+
+#: sitemap length rule: paths 0 .. 17 + d%7 inclusive
+_SITEMAP_BASE_N = 17
+
+
+def _sitemap_txt(domain: Column) -> Column:
+    """Deterministic per-domain sitemap.xml text."""
+    dig = F.regexp_extract(domain, "([0-9]+)", 1)
+    d = F.when(dig == "", 0).otherwise(dig.cast("int"))
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(_SITEMAP_BASE_N) + d % 7),
+        lambda i: F.concat(
+            F.lit("<url><loc>http://"), domain, F.lit("/a/"),
+            i.cast("string"),
+            F.lit("</loc><lastmod>2026-07-"),
+            F.lpad(((i * 3 + d) % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod></url>"),
+        ),
+    )
+    return F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(entries, ""),
+        F.lit("</urlset>"),
+    )
+
+
+def web_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain sitemap-vs-crawl reconciliation (see module comment).
+
+    Scale shape: the sitemap side is domain-dimension-sized (parsed
+    with one regexp_extract_all + explode, no shuffle until the join);
+    the crawl side is one distinct over (domain, path) — a prefix of
+    the canonical-key shuffle URL dedup already pays; the
+    reconciliation is one full-outer hash join on (domain, path) and a
+    bounded per-domain rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+    )
+    c = canonicalize_url(F.col("u"))
+    crawled = (
+        base.select(
+            c["host"].alias("domain"),
+            F.regexp_extract(
+                c["canon"], r"^[a-z0-9+.\-]+://[^/]*([^?#]*)", 1
+            ).alias("path"),
+        )
+        .distinct()
+        .withColumn("in_cr", F.lit(1))
+    )
+    sm_rows = (
+        crawled.select("domain").distinct()
+        .select("domain", _sitemap_txt(F.col("domain")).alias("txt"))
+        .select(
+            "domain",
+            F.explode(
+                F.expr(r"regexp_extract_all(txt, '<loc>([^<]*)</loc>', 1)")
+            ).alias("loc"),
+            F.expr(
+                r"transform(regexp_extract_all(txt,"
+                r" '<lastmod>2026-07-([0-9]{2})</lastmod>', 1),"
+                r" x -> CAST(x AS INT))"
+            ).alias("mods"),
+        )
+        .select(
+            "domain",
+            F.regexp_extract("loc", r"https?://[^/]*(/.*)$", 1).alias("path"),
+            F.array_max("mods").alias("latest_mod_day"),
+        )
+        .withColumn("in_sm", F.lit(1))
+    )
+    joined = sm_rows.join(
+        crawled, ["domain", "path"], "full_outer"
+    ).select(
+        "domain",
+        F.coalesce("in_sm", F.lit(0)).alias("sm"),
+        F.coalesce("in_cr", F.lit(0)).alias("cr"),
+        "latest_mod_day",
+    )
+    return (
+        joined.groupBy("domain")
+        .agg(
+            F.sum("sm").cast("bigint").alias("n_sitemap"),
+            F.sum("cr").cast("bigint").alias("n_crawled"),
+            F.sum(F.col("sm") * F.col("cr")).cast("bigint").alias("n_both"),
+            (F.sum("sm") - F.sum(F.col("sm") * F.col("cr")))
+            .cast("bigint").alias("n_uncrawled"),
+            (F.sum("cr") - F.sum(F.col("sm") * F.col("cr")))
+            .cast("bigint").alias("n_offsitemap"),
+            F.expr(
+                "CAST(sum(sm * cr) * 1000 div sum(sm) AS BIGINT)"
+            ).alias("coverage_pm"),
+            F.max("latest_mod_day").cast("bigint").alias("latest_mod_day"),
+        )
+        .orderBy("domain")
+    )
+
+
+_SITEMAP_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_RAW_URL_SQL} AS u FROM documents
+),
+parts AS (
+    SELECT doc_id, u,
+           {_CANON_PARTS_SQL['scheme']} AS sch,
+           {_CANON_PARTS_SQL['host']} AS hst,
+           {_CANON_PARTS_SQL['port']} AS prt,
+           {_CANON_PARTS_SQL['path']} AS pth,
+           {_CANON_PARTS_SQL['query']} AS qry
+    FROM raw
+),
+filtered AS (
+    SELECT doc_id, hst,
+           array_to_string(list_filter(string_split(qry, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')),
+               '&') AS q2,
+           sch, prt, pth
+    FROM parts
+),
+canon AS (
+    SELECT doc_id, hst AS domain, {_CANON_SQL} AS cu FROM filtered
+),
+crawled AS (
+    SELECT DISTINCT domain,
+           regexp_extract(cu, '^[a-z0-9+.\\-]+://[^/]*([^?#]*)', 1) AS path
+    FROM canon
+),
+dn AS (
+    SELECT domain,
+           CASE WHEN regexp_extract(domain, '([0-9]+)', 1) = '' THEN 0
+                ELSE CAST(regexp_extract(domain, '([0-9]+)', 1) AS INT)
+           END AS d
+    FROM (SELECT DISTINCT domain FROM crawled)
+),
+sm AS (
+    SELECT domain,
+           '<?xml version="1.0"?><urlset>'
+           || array_to_string(list_transform(
+                  range(0, {_SITEMAP_BASE_N} + 1 + d % 7),
+                  i -> '<url><loc>http://' || domain || '/a/'
+                       || CAST(i AS VARCHAR)
+                       || '</loc><lastmod>2026-07-'
+                       || lpad(CAST((i * 3 + d) % 28 + 1 AS VARCHAR),
+                               2, '0')
+                       || '</lastmod></url>'), '')
+           || '</urlset>' AS txt
+    FROM dn
+),
+sm_rows AS (
+    SELECT domain,
+           regexp_extract(loc, 'https?://[^/]*(/.*)$', 1) AS path,
+           list_max(list_transform(
+               regexp_extract_all(txt,
+                   '<lastmod>2026-07-([0-9]{{2}})</lastmod>', 1),
+               x -> CAST(x AS INT))) AS latest_mod_day
+    FROM sm, UNNEST(regexp_extract_all(txt, '<loc>([^<]*)</loc>', 1))
+             AS t(loc)
+),
+joined AS (
+    SELECT coalesce(s.domain, c.domain) AS domain,
+           CASE WHEN s.path IS NOT NULL THEN 1 ELSE 0 END AS sm,
+           CASE WHEN c.path IS NOT NULL THEN 1 ELSE 0 END AS cr,
+           s.latest_mod_day
+    FROM sm_rows s
+    FULL OUTER JOIN crawled c
+      ON s.domain = c.domain AND s.path = c.path
+)
+SELECT domain,
+       CAST(sum(sm) AS BIGINT) AS n_sitemap,
+       CAST(sum(cr) AS BIGINT) AS n_crawled,
+       CAST(sum(sm * cr) AS BIGINT) AS n_both,
+       CAST(sum(sm) - sum(sm * cr) AS BIGINT) AS n_uncrawled,
+       CAST(sum(cr) - sum(sm * cr) AS BIGINT) AS n_offsitemap,
+       CAST(sum(sm * cr) * 1000 // sum(sm) AS BIGINT) AS coverage_pm,
+       CAST(max(latest_mod_day) AS BIGINT) AS latest_mod_day
+FROM joined
+GROUP BY domain
+ORDER BY domain
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
@@ -1877,11 +2078,13 @@ QUERIES = {
     "web_warc_point_lookup": web_warc_point_lookup,
     "web_robots_gate": web_robots_gate,
     "web_crawl_plan": web_crawl_plan,
+    "web_sitemap_coverage": web_sitemap_coverage,
 }
 
 ORACLES = {
     "web_robots_gate": _ROBOTS_SQL,
     "web_crawl_plan": _CRAWL_PLAN_SQL,
+    "web_sitemap_coverage": _SITEMAP_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_html_boilerplate_audit": _HTML_AUDIT_SQL,
     "web_extract_yield": _YIELD_SQL,

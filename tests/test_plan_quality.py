@@ -50,6 +50,10 @@ _UNKEYED_JOIN_OK = {
                                 # (one 32-int64 sketch per day)
     "emb_alignment_audit",      # summary row = crossJoin chain of 1-row aggregates
     "corpus_dsir_sample",       # crossJoin(broadcast 1-row normalizer)
+    "text_quality_classifier",  # crossJoin(broadcast 1-row vocab totals)
+                                # into the vocab-dimension weight build
+    "web_crawl_plan",           # distributed_row_number offset table —
+                                # broadcast (log2 buckets × n_sub) rows
     "emb_pca_power",            # broadcast d^2-row Gram grid + 64-row
                                 # iterate/Rayleigh scalars
     "vocab_bpe_merges",         # per-round crossJoin(broadcast 1-row
@@ -139,6 +143,8 @@ _GLOBAL_WINDOW_OK = {
     "corpus_quality_calibration": "distributed_row_number key-offset "
                                   "cumsum over distinct quality cents",
     "ev_funnel": "lag over funnel STEPS (one row per step)",
+    "web_crawl_plan": "distributed_row_number key-offset cumsum over "
+                      "the ~60 log2-bucket histogram rows",
 }
 
 

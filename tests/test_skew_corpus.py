@@ -57,6 +57,7 @@ SKEW_SET = [
     "stream_url_dedup",
     "text_quality_classifier",
     "web_crawl_plan",
+    "web_sitemap_coverage",
     "stream_html_extract_dirty",
     "web_warc_point_lookup",
     "text_html_boilerplate_audit",

@@ -131,6 +131,13 @@ AUDIT = [
     "web_charset_audit",
     "stream_html_extract_dirty",
     "web_warc_point_lookup",
+    "dedup_exact_substr",
+    "dedup_paragraph",
+    "web_robots_gate",
+    "web_crawl_plan",
+    "stream_url_dedup",
+    "text_quality_classifier",
+    "web_sitemap_coverage",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

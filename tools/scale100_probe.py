@@ -56,6 +56,10 @@ PROBES = [
                                  # kernel — one Python pass per page)
     "web_warc_extract",          # r11: stored-bytes crawl intake
                                  # (member walk is per-record linear)
+    "dedup_exact_substr",        # r11: window-fingerprint span dedup
+                                 # (NO pair join — must stay linear)
+    "dedup_paragraph",           # r11: paragraph-hash first-seen
+                                 # (combiner-folded min, linear)
 ]
 
 FLAG_FACTOR = 2.5  # same accusation line as SCALE.md, at 100x
