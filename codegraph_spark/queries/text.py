@@ -1868,21 +1868,23 @@ def _nbq_w_sql(rs: str) -> str:
     )
 
 
-def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Held-out confusion matrix (actual × predicted, with idsum
-    pinning every individual decision) of the trained NB quality
-    model. See the module comment above for the design."""
-    docs = load_table(spark, sf_dir, "documents")
+def nbq_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the quantized-NB quality model: returns ``(labeled,
+    wtab)`` — every document with its planted label and token array,
+    and the learned weight table (token, w_hi, w_lo) including the
+    prior pseudo-token. Training always uses the doc_id%5<4 split;
+    callers choose what to SCORE (the held-out gate scores the %5==4
+    split, the domain-curation rollup scores everything)."""
     words = F.split(F.col("text"), " ")
     n_slow = F.size(F.filter(words, lambda w: w == F.lit("slow")))
     n_fast = F.size(F.filter(words, lambda w: w == F.lit("fast")))
     labeled = docs.select(
         "doc_id",
+        "source",
         F.when(n_slow > n_fast, "lo").otherwise("hi").alias("actual"),
         words.alias("ws"),
     )
     train = labeled.filter(F.col("doc_id") % 5 < 4)
-    test = labeled.filter(F.col("doc_id") % 5 == 4)
     ttoks = train.select("actual", F.explode("ws").alias("token"))
     vocab = ttoks.groupBy("token").agg(
         F.sum(F.when(F.col("actual") == "hi", 1).otherwise(0)).alias("c_hi"),
@@ -1921,7 +1923,16 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nbq_w_spark("rs_hi").alias("w_hi"),
         _nbq_w_spark("rs_lo").alias("w_lo"),
     )
-    wtab = weights.unionByName(prior)
+    return labeled, weights.unionByName(prior)
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix (actual × predicted, with idsum
+    pinning every individual decision) of the trained NB quality
+    model. See the module comment above for the design."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled, wtab = nbq_model(docs)
+    test = labeled.filter(F.col("doc_id") % 5 == 4)
     xt = test.select(
         "doc_id",
         "actual",
@@ -1948,9 +1959,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NBQ_SQL = f"""
-WITH lab AS (
-    SELECT doc_id,
+#: the shared model CTE chain (corpus -> labels -> trained weight
+#: table) — _NBQ_SQL scores the held-out split over it; the
+#: web_domain_curation oracle (queries/web.py) scores ALL docs over
+#: the same chain. KEEP IN LOCKSTEP with nbq_model().
+_NBQ_MODEL_CTES = f"""
+lab AS (
+    SELECT doc_id, source,
            CASE WHEN len(list_filter(string_split(text, ' '),
                                      w -> w = 'slow'))
                    > len(list_filter(string_split(text, ' '),
@@ -2003,7 +2018,11 @@ prior AS (
            {_nbq_w_sql('rs_lo')} AS w_lo
     FROM prs
 ),
-wtab AS (SELECT * FROM weights UNION ALL SELECT * FROM prior),
+wtab AS (SELECT * FROM weights UNION ALL SELECT * FROM prior)
+"""
+
+_NBQ_SQL = f"""
+WITH {_NBQ_MODEL_CTES},
 xt AS (
     SELECT doc_id, actual,
            unnest(list_prepend('{_NBQ_PRIOR}', ws)) AS token

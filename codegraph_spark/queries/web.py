@@ -2066,6 +2066,173 @@ ORDER BY domain
 """
 
 
+# --- web_domain_curation: the cross-family curation decision -------------------
+#
+# The step the whole crawl-intake family exists to feed: a per-domain
+# KEEP / REVIEW / DROP decision combining the trained quality model
+# (queries/text.nbq_model — every doc scored, per-domain mean margin)
+# with the domain's duplicate-fetch rate (the web_url_dedup rollup).
+# This is how the big corpora actually curate at source granularity
+# (CCNet buckets by per-segment LM score; RefinedWeb drops whole
+# domains on dup/quality evidence) — a domain-level decision table,
+# not another per-doc filter.
+#
+# Decision rule (deterministic, replayed by the oracle):
+#   margin_ok = avg_margin >= _CUR_MARGIN_MIN (model says net-'hi')
+#   dup_ok    = dup_pm <= _CUR_DUP_MAX        (fetch waste tolerable)
+#   keep = both; drop = neither; review = exactly one.
+# Branch coverage, stated plainly: the sf0.01 driver corpus has
+# dup_pm = 0 everywhere (25 docs/domain barely collide in the %37
+# path space), so the driver gate exercises keep-vs-review on the
+# margin axis; the skew suite's hot domain (150 docs, one source)
+# drives real dup_pm through the dup axis; at sf0.1+ both axes are
+# live (500 docs/domain saturate the path space).
+#
+# Scale shape: the model side adds one vocab-keyed join + per-doc agg
+# over the corpus (the classifier's shape, scored on all docs); the
+# dup side reuses the canonical-key shuffle; the decision join is
+# domain-dimension-sized. avg_margin uses integer division — Spark's
+# `div` and DuckDB's `//` BOTH truncate toward zero on negatives
+# (verified: -3 div 2 = -1 on each), so the mean is engine-exact.
+
+#: curation thresholds (the decision rule's knobs)
+_CUR_MARGIN_MIN = 15
+_CUR_DUP_MAX = 300
+
+
+def web_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation decision table (see module comment)."""
+    from codegraph_spark.queries.text import _NBQ_PRIOR, nbq_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled, wtab = nbq_model(docs)
+    xt = labeled.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(F.array(F.lit(_NBQ_PRIOR)), F.col("ws"))
+        ).alias("token"),
+    )
+    sc = xt.join(wtab, "token").groupBy("doc_id", "source").agg(
+        (F.sum("w_hi") - F.sum("w_lo")).alias("margin")
+    )
+    qual = sc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(margin) div count(1)").alias("avg_margin"),
+        F.sum(F.when(F.col("margin") < 0, 1).otherwise(0)).alias("n_lo"),
+    )
+    base = docs.select(
+        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+    )
+    c = canonicalize_url(F.col("u"))
+    canon = base.select(
+        c["canon"].alias("url_canon"), c["host"].alias("domain")
+    )
+    dup = canon.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("url_canon").alias("n_canonical"),
+    ).select(
+        "domain",
+        F.expr(
+            "CAST((n_urls - n_canonical) * 1000 div n_urls AS BIGINT)"
+        ).alias("dup_pm"),
+    )
+    joined = qual.select(
+        F.concat("source", F.lit(".example.org")).alias("domain"),
+        "n_docs", "avg_margin", "n_lo",
+    ).join(dup, "domain")
+    margin_ok = F.col("avg_margin") >= _CUR_MARGIN_MIN
+    dup_ok = F.col("dup_pm") <= _CUR_DUP_MAX
+    return joined.select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("avg_margin").cast("bigint").alias("avg_margin"),
+        F.col("n_lo").cast("bigint").alias("n_lo_docs"),
+        "dup_pm",
+        F.when(margin_ok & dup_ok, "keep")
+        .when(~margin_ok & ~dup_ok, "drop")
+        .otherwise("review")
+        .alias("decision"),
+    ).orderBy("domain")
+
+
+_CURATION_SQL = f"""
+WITH {{model_ctes}},
+xt AS (
+    SELECT doc_id, source,
+           unnest(list_prepend('{{prior}}', ws)) AS token
+    FROM lab
+),
+sc AS (
+    SELECT doc_id, source, sum(w.w_hi) - sum(w.w_lo) AS margin
+    FROM xt JOIN wtab w USING (token)
+    GROUP BY doc_id, source
+),
+qual AS (
+    SELECT source, count(*) AS n_docs,
+           sum(margin) // count(*) AS avg_margin,
+           sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS n_lo
+    FROM sc GROUP BY source
+),
+raw AS (
+    SELECT doc_id, {_RAW_URL_SQL} AS u FROM documents
+),
+parts AS (
+    SELECT doc_id, u,
+           {_CANON_PARTS_SQL['scheme']} AS sch,
+           {_CANON_PARTS_SQL['host']} AS hst,
+           {_CANON_PARTS_SQL['port']} AS prt,
+           {_CANON_PARTS_SQL['path']} AS pth,
+           {_CANON_PARTS_SQL['query']} AS qry
+    FROM raw
+),
+filtered AS (
+    SELECT doc_id, hst,
+           array_to_string(list_filter(string_split(qry, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')),
+               '&') AS q2,
+           sch, prt, pth
+    FROM parts
+),
+canon AS (
+    SELECT doc_id, hst AS domain, {_CANON_SQL} AS url_canon FROM filtered
+),
+dup AS (
+    SELECT domain,
+           CAST((count(*) - count(DISTINCT url_canon)) * 1000 // count(*)
+                AS BIGINT) AS dup_pm
+    FROM canon GROUP BY domain
+),
+joined AS (
+    SELECT q.source || '.example.org' AS domain,
+           q.n_docs, q.avg_margin, q.n_lo, d.dup_pm
+    FROM qual q JOIN dup d ON q.source || '.example.org' = d.domain
+)
+SELECT domain,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(avg_margin AS BIGINT) AS avg_margin,
+       CAST(n_lo AS BIGINT) AS n_lo_docs,
+       dup_pm,
+       CASE WHEN avg_margin >= {_CUR_MARGIN_MIN}
+                 AND dup_pm <= {_CUR_DUP_MAX} THEN 'keep'
+            WHEN avg_margin < {_CUR_MARGIN_MIN}
+                 AND dup_pm > {_CUR_DUP_MAX} THEN 'drop'
+            ELSE 'review' END AS decision
+FROM joined
+ORDER BY domain
+"""
+
+
+def _curation_sql() -> str:
+    from codegraph_spark.queries.text import _NBQ_MODEL_CTES, _NBQ_PRIOR
+
+    # .replace, not .format — the composed SQL is full of regex/lambda
+    # text that str.format would misread as replacement fields
+    return _CURATION_SQL.replace("{model_ctes}", _NBQ_MODEL_CTES).replace(
+        "{prior}", _NBQ_PRIOR
+    )
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
@@ -2079,12 +2246,14 @@ QUERIES = {
     "web_robots_gate": web_robots_gate,
     "web_crawl_plan": web_crawl_plan,
     "web_sitemap_coverage": web_sitemap_coverage,
+    "web_domain_curation": web_domain_curation,
 }
 
 ORACLES = {
     "web_robots_gate": _ROBOTS_SQL,
     "web_crawl_plan": _CRAWL_PLAN_SQL,
     "web_sitemap_coverage": _SITEMAP_SQL,
+    "web_domain_curation": _curation_sql(),
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_html_boilerplate_audit": _HTML_AUDIT_SQL,
     "web_extract_yield": _YIELD_SQL,

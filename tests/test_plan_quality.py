@@ -52,6 +52,8 @@ _UNKEYED_JOIN_OK = {
     "corpus_dsir_sample",       # crossJoin(broadcast 1-row normalizer)
     "text_quality_classifier",  # crossJoin(broadcast 1-row vocab totals)
                                 # into the vocab-dimension weight build
+    "web_domain_curation",      # same nbq_model weight build (1-row
+                                # totals into the vocab dimension)
     "web_crawl_plan",           # distributed_row_number offset table —
                                 # broadcast (log2 buckets × n_sub) rows
     "emb_pca_power",            # broadcast d^2-row Gram grid + 64-row

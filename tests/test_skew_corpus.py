@@ -58,6 +58,7 @@ SKEW_SET = [
     "text_quality_classifier",
     "web_crawl_plan",
     "web_sitemap_coverage",
+    "web_domain_curation",
     "stream_html_extract_dirty",
     "web_warc_point_lookup",
     "text_html_boilerplate_audit",

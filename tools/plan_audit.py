@@ -138,6 +138,7 @@ AUDIT = [
     "stream_url_dedup",
     "text_quality_classifier",
     "web_sitemap_coverage",
+    "web_domain_curation",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

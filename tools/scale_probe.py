@@ -118,6 +118,7 @@ PROBES = [
     "stream_url_dedup",
     "text_quality_classifier",
     "web_sitemap_coverage",
+    "web_domain_curation",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
