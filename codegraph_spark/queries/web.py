@@ -1878,6 +1878,15 @@ ORDER BY crawler_id
 # reconciliation; the sitemap TEXT is a deterministic per-domain rule
 # both engines replay (the wrap pattern).
 #
+# Why regex field extraction is the RIGHT tool here (unlike the HTML
+# front door, which needed the tolerant state-machine tokenizer):
+# sitemap.xml is MACHINE-GENERATED XML under the sitemaps.org protocol
+# — element content is entity-escaped by the producer, <loc>/<lastmod>
+# cannot nest, and a malformed sitemap is correctly treated as absent
+# (crawlers ignore it), not error-recovered like hand-authored HTML.
+# The failure mode the HTML tokenizer exists for does not exist in
+# this format.
+#
 # Sitemap corpus rule, domain with numeric suffix d: paths /a/0 ..
 # /a/(17 + d%7), each with <lastmod>2026-07-DD</lastmod> where
 # DD = (3i + d) % 28 + 1 — so sitemap size and staleness profile vary

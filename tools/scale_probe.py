@@ -215,6 +215,30 @@ PROBE_NOTES = {
         "small; the adaptive-k contract (k tracks n) applies here the "
         "same way and is what a 100 TB run would set"
     ),
+    "dedup_exact_substr": (
+        "same 4/3 input growth as the html rows (the replica marker "
+        "every 3rd word multiplies 5-token windows 4/3x, ceiling "
+        "~13.3x) — and the marker lands in EVERY window, so "
+        "cross-replica windows can never collide and duplicate density "
+        "per replica matches the original; the plan has no pair join "
+        "to go quadratic"
+    ),
+    "dedup_paragraph": (
+        "same 4/3 word growth (ceiling ~13.3x); replica paragraphs "
+        "carry replica-specific markers so first-seen groups stay "
+        "replica-local and the combiner-folded min never sees a "
+        "corpus-hot key beyond the original's own duplicates"
+    ),
+    "text_quality_classifier": (
+        "train-split token counting and all-doc scoring are both "
+        "token-linear (4/3 word growth ceiling ~13.3x); the vocab "
+        "dimension grows only by the 9 replica marker tokens"
+    ),
+    "web_domain_curation": (
+        "the nbq scoring pass dominates (token-linear, 4/3 growth "
+        "ceiling ~13.3x); the URL side is one canonical groupBy and "
+        "the decision join is domain-dimension-sized"
+    ),
 }
 
 
@@ -441,6 +465,88 @@ def ivf_adaptive_probe(spark) -> list[tuple]:
     return out
 
 
+def _merge_subset(new_rows, subset) -> None:
+    """Splice freshly measured probe rows into the existing SCALE.md
+    (see the subset-merge comment in main())."""
+    import re
+
+    path = "/root/repo/SCALE.md"
+    old = open(path).read()
+    row_re = re.compile(
+        r"^\| (\S+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+) \| (\d+) → (\d+) \|$",
+        re.M,
+    )
+    merged: dict[str, tuple] = {}
+    order: list[str] = []
+    for m in row_re.finditer(old):
+        merged[m.group(1)] = (
+            float(m.group(2)), float(m.group(3)), float(m.group(4)),
+            int(m.group(5)), int(m.group(6)),
+        )
+        order.append(m.group(1))
+    for name, t1, t10, ratio, n1, n10 in new_rows:
+        if name not in merged:
+            order.append(name)
+        merged[name] = (t1, t10, ratio, n1, n10)
+    rows = [(n, *merged[n]) for n in order]
+
+    head_end = old.index("| query | x1 (s) | x10 (s) | ratio |")
+    tail_start = old.index("\n## ", head_end)
+    tail = old[old.index("\n## LSH plane-ceiling probe", head_end):] \
+        if "\n## LSH plane-ceiling probe" in old else old[tail_start:]
+
+    with open(path, "w") as f:
+        f.write(old[:head_end])
+        f.write("| query | x1 (s) | x10 (s) | ratio | rows x1 → x10 |\n")
+        f.write("|---|---|---|---|---|\n")
+        for name, t1, t10, ratio, n1, n10 in rows:
+            f.write(
+                f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f} "
+                f"| {n1} → {n10} |\n"
+            )
+        flagged = [
+            (n, r) for n, _, _, r, _, _ in rows if r > REPLICAS * FLAG_FACTOR
+        ]
+        sublinear = [n for n, _, _, r, _, _ in rows if r <= REPLICAS]
+        between = [
+            n for n, _, _, r, _, _ in rows
+            if REPLICAS < r <= REPLICAS * FLAG_FACTOR
+        ]
+        f.write("\nFindings (derived from the measured ratios above):\n\n")
+        f.write(
+            f"- {len(sublinear)}/{len(rows)} probes scale at or below the\n"
+            f"  10x data ratio: {', '.join('`%s`' % n for n in sublinear)}.\n"
+        )
+        if between:
+            f.write(
+                f"- Above the data ratio but under the "
+                f"{FLAG_FACTOR:.1f}x-of-data\n"
+                f"  flag line: {', '.join('`%s`' % n for n in between)}.\n"
+            )
+            for n in between:
+                if n in PROBE_NOTES:
+                    f.write(f"  - `{n}`: {PROBE_NOTES[n]}\n")
+        if flagged:
+            f.write(
+                f"- **FLAGGED superlinear (> {REPLICAS * FLAG_FACTOR:.0f}x):** "
+                + ", ".join(f"`{n}` ({r:.1f}x)" for n, r in flagged)
+                + " — each needs a named remedy or a fix before the "
+                "next round.\n"
+            )
+        else:
+            f.write(
+                f"- No probe exceeds the {REPLICAS * FLAG_FACTOR:.0f}x flag\n"
+                "  line — no hidden quadratic in the probed set this round.\n"
+            )
+        f.write(
+            f"- Rows {', '.join('`%s`' % n for n in subset)} were measured\n"
+            "  in a follow-up subset run of the same harness (same cached\n"
+            "  x10 corpus, same forced-evaluation noop write) and merged;\n"
+            "  all other rows are from this round's full sweep.\n"
+        )
+        f.write(tail)
+
+
 def main() -> None:
     from codegraph_spark.session import get_spark
 
@@ -493,8 +599,9 @@ def main() -> None:
             times[label] = (secs, obs.get["n"])
         return times
 
+    subset = sys.argv[1:]
     rows = []
-    for name in PROBES:
+    for name in subset or PROBES:
         fn = qs[name]
         times = measure(fn)
         ratio = times["x10"][0] / max(times["x1"][0], 1e-9)
@@ -518,6 +625,18 @@ def main() -> None:
                      times["x1"][1], times["x10"][1]))
         print(f"{name}: x1={times['x1'][0]:.2f}s x10={times['x10'][0]:.2f}s "
               f"ratio={ratio:.1f} rows {times['x1'][1]}->{times['x10'][1]}")
+
+    if subset:
+        # SUBSET MERGE: re-measure only the named probes (same harness,
+        # same cached x10 corpus) and splice them into the existing
+        # SCALE.md — the table keeps its other rows, the findings
+        # paragraph is REGENERATED from the merged ratio set (a static
+        # findings block would misreport the new rows), and everything
+        # from the first probe-independent section on is preserved
+        # verbatim. Used for queries registered after a full sweep
+        # started; the merge note in the findings names them.
+        _merge_subset(rows, subset)
+        return
 
     with open("/root/repo/SCALE.md", "w") as f:
         f.write(
