@@ -1444,10 +1444,18 @@ ORDER BY fidx
 #   Disallow: /private        <- never matches (dead rule)
 #   [d%4==0] Disallow: /      <- these domains block all but the Allow
 #
-# Simplifications vs RFC 9309, documented: single UA line per group
-# (consecutive UA lines forming one group are not merged), no * / $
-# wildcards inside rule paths (plain prefix match), evaluation happens
-# on the CANONICAL path?query (post URL normalization).
+# Rule matching implements RFC 9309 §2.2.3 wildcards: '*' matches any
+# octet sequence, a TRAILING '$' anchors end-of-URL, anything else is
+# a literal prefix. Each rule compiles (in both engines) to an
+# anchored regex — escape every regex metacharacter, expand the
+# escaped '\*' to '.*', re-attach the end anchor outside the escape
+# (so a literal mid-pattern '$' stays literal) — and specificity stays
+# the RFC's octet length of the raw pattern. d%3==1 domains plant a
+# wildcard rule (Disallow: /a/*7$) so the driver corpus exercises the
+# path. Remaining simplification vs RFC 9309, documented: single UA
+# line per group (consecutive UA lines forming one group are not
+# merged); evaluation happens on the CANONICAL path?query (post URL
+# normalization).
 
 #: the user-agent whose group the gate evaluates
 _ROBOTS_UA = "*"
@@ -1470,6 +1478,9 @@ def _robots_txt(domain: Column) -> Column:
         F.concat(F.lit("Allow: /a/"), m, F.lit("?")),
         F.lit("Disallow: /private"),
     )
+    base = F.when(
+        d % 3 == 1, F.concat(base, nl, F.lit("Disallow: /a/*7$"))
+    ).otherwise(base)
     return F.when(
         d % 4 == 0, F.concat(base, nl, F.lit("Disallow: /"))
     ).otherwise(base)
@@ -1553,8 +1564,26 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("domain", _robots_txt(F.col("domain")).alias("txt"))
     )
     rules, delays = parse_robots(robots)
-    matched = urls.join(rules, "domain").filter(
-        F.col("path_query").startswith(F.col("pat"))
+    # compile each rule to its RFC 9309 matcher (see module comment):
+    # strip a trailing '$' anchor, escape regex metacharacters, expand
+    # the escaped '\*' wildcard, re-anchor. One tiny projection over
+    # the rule dimension; matching is then a per-(URL, rule) regex —
+    # bounded by the domain's rule count.
+    anchored = F.col("pat").endswith("$")
+    core = F.when(
+        anchored, F.expr("substring(pat, 1, length(pat) - 1)")
+    ).otherwise(F.col("pat"))
+    esc = F.regexp_replace(core, r"([.^$*+?()\[\]{}|\\])", r"\\$1")
+    crules = rules.withColumn(
+        "rx",
+        F.concat(
+            F.lit("^"),
+            F.replace(esc, F.lit(r"\*"), F.lit(".*")),
+            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+        ),
+    )
+    matched = urls.join(crules, "domain").filter(
+        F.expr("rlike(path_query, rx)")
     )
     wr = Window.partitionBy("doc_id").orderBy(
         F.length("pat").desc(), F.col("allow").desc(), F.col("pat")
@@ -1642,6 +1671,8 @@ rob AS (
            || chr(10)
            || 'Allow: /a/' || CAST(d % {_URL_PATH_MOD} AS VARCHAR) || '?'
            || chr(10) || 'Disallow: /private'
+           || CASE WHEN d % 3 = 1 THEN chr(10) || 'Disallow: /a/*7$'
+                   ELSE '' END
            || CASE WHEN d % 4 = 0 THEN chr(10) || 'Disallow: /'
                    ELSE '' END AS txt
     FROM dn
@@ -1670,6 +1701,17 @@ rules AS (
     WHERE starts_with(l, 'Allow: ') OR starts_with(l, 'Disallow: ')
 ),
 rules2 AS (SELECT * FROM rules WHERE pat <> ''),
+crules AS (
+    SELECT domain, allow, pat,
+           '^' || replace(regexp_replace(
+                      CASE WHEN pat LIKE '%$'
+                           THEN substr(pat, 1, length(pat) - 1)
+                           ELSE pat END,
+                      '([.^$*+?()\\[\\]{{}}|\\\\])', '\\\\\\1', 'g'),
+                  '\\*', '.*')
+           || CASE WHEN pat LIKE '%$' THEN '$' ELSE '' END AS rx
+    FROM rules2
+),
 delays AS (
     SELECT domain, max(CAST(substr(l, 14) AS BIGINT)) AS crawl_delay_s
     FROM star WHERE starts_with(l, 'Crawl-delay: ') GROUP BY domain
@@ -1679,8 +1721,8 @@ m AS (
            row_number() OVER (PARTITION BY u.doc_id
                ORDER BY length(r.pat) DESC, r.allow DESC, r.pat) AS rn
     FROM urls u
-    JOIN rules2 r
-      ON u.domain = r.domain AND starts_with(u.path_query, r.pat)
+    JOIN crules r
+      ON u.domain = r.domain AND regexp_matches(u.path_query, r.rx)
 ),
 best AS (SELECT doc_id, allow, plen FROM m WHERE rn = 1),
 dec AS (

@@ -34,7 +34,8 @@ def test_parse_robots_group_attribution(spark):
 def robots_dir(spark):
     # src0 (d=0): Disallow /a/0, Allow /a/0?, Disallow /private,
     #             Disallow /   (d%4==0 -> default-deny domain)
-    # src1 (d=1): Disallow /a/1, Allow /a/1?, Disallow /private
+    # src1 (d=1): Disallow /a/1, Allow /a/1?, Disallow /private,
+    #             Disallow /a/*7$   (d%3==1 -> wildcard rule)
     # doc_id picks the URL variant (doc_id%5) and path bucket
     # (doc_id%37) per the corpus URL rule:
     #   5   src0 v0 pid 5  -> /a/5        blocked by '/' (len 1)
@@ -44,6 +45,8 @@ def robots_dir(spark):
     #   38  src1 v3 pid 1  -> /a/1#sec    fragment stripped -> blocked
     #   77  src1 v2 pid 3  -> /a/3?id=3   no rule matches -> default
     #   112 src1 v2 pid 1  -> /a/1?id=1   Allow '/a/1?' wins by length
+    #   81  src1 v1 pid 7  -> /a/7        only '/a/*7$' matches
+    #                                     (wildcard + end anchor, len 6)
     docs = spark.createDataFrame(
         [
             (5, "t", "src0"),
@@ -52,6 +55,7 @@ def robots_dir(spark):
             (38, "t", "src1"),
             (77, "t", "src1"),
             (112, "t", "src1"),
+            (81, "t", "src1"),
         ],
         "doc_id long, text string, source string",
     )
@@ -82,10 +86,12 @@ def test_gate_decisions(spark, robots_dir):
     assert rows["src1.example.org"] == {
         "domain": "src1.example.org",
         "crawl_delay_s": 2,
-        "n_urls": 4,
+        "n_urls": 5,
         "n_allowed": 2,
-        "n_blocked": 2,
-        "blocked_idsum": 10 + 38,
+        "n_blocked": 3,
+        "blocked_idsum": 10 + 38 + 81,
         "n_default": 1,
-        "rule_lensum": 4 + 4 + 5,
+        # 10 and 38 via '/a/1' (4), 112 via '/a/1?' (5), 81 via the
+        # wildcard '/a/*7$' (6) — the lensum pins the wildcard fired
+        "rule_lensum": 4 + 4 + 5 + 6,
     }
