@@ -2047,8 +2047,93 @@ ORDER BY actual, predicted
 """
 
 
+# --- text_classifier_calibration: margin-bucket reliability audit -------------
+#
+# The ML-ops check that decides whether a trained filter's score can
+# be THRESHOLDED (the way every quality-filtered corpus uses it):
+# bucket the held-out margin (score_hi - score_lo) and report the
+# observed 'hi' rate per bucket — a calibrated model's bucket curve
+# rises monotonically, and the pipeline picks its keep-threshold off
+# this table (the reliability-diagram / ECE input, in integers).
+# Shares nbq_model; margin div 32 buckets (trunc division — Spark
+# `div` and DuckDB `//` agree on negatives), idsum pins membership.
+
+#: margin units per calibration bucket
+_CALIB_BUCKET_W = 32
+
+
+def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out reliability table of the NB quality model."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled, wtab = nbq_model(docs)
+    test = labeled.filter(F.col("doc_id") % 5 == 4)
+    xt = test.select(
+        "doc_id",
+        "actual",
+        F.explode(
+            F.concat(F.array(F.lit(_NBQ_PRIOR)), F.col("ws"))
+        ).alias("token"),
+    )
+    sc = xt.join(wtab, "token").groupBy("doc_id", "actual").agg(
+        (F.sum("w_hi") - F.sum("w_lo")).alias("margin")
+    )
+    return (
+        sc.select(
+            "doc_id", "actual",
+            F.expr(f"margin div {_CALIB_BUCKET_W}").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("actual") == "hi", 1).otherwise(0))
+            .cast("bigint").alias("n_hi"),
+            F.expr(
+                "CAST(sum(CASE WHEN actual = 'hi' THEN 1 ELSE 0 END)"
+                " * 1000 div count(1) AS BIGINT)"
+            ).alias("hi_pm"),
+            F.sum("doc_id").cast("bigint").alias("idsum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_CALIB_CLS_SQL_TMPL = """
+WITH {model_ctes},
+xt AS (
+    SELECT doc_id, actual,
+           unnest(list_prepend('{prior}', ws)) AS token
+    FROM lab WHERE doc_id % 5 = 4
+),
+sc AS (
+    SELECT doc_id, actual, sum(w.w_hi) - sum(w.w_lo) AS margin
+    FROM xt JOIN wtab w USING (token)
+    GROUP BY doc_id, actual
+)
+SELECT CAST(margin // {bw} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN actual = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hi,
+       CAST(sum(CASE WHEN actual = 'hi' THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS hi_pm,
+       CAST(sum(doc_id) AS BIGINT) AS idsum
+FROM sc
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def _calib_cls_sql() -> str:
+    return (
+        _CALIB_CLS_SQL_TMPL
+        .replace("{model_ctes}", _NBQ_MODEL_CTES)
+        .replace("{prior}", _NBQ_PRIOR)
+        .replace("{bw}", str(_CALIB_BUCKET_W))
+    )
+
+
 QUERIES = {
     "text_quality_classifier": text_quality_classifier,
+    "text_classifier_calibration": text_classifier_calibration,
     "corpus_token_budget_plan": corpus_token_budget_plan,
     "corpus_quality_calibration": corpus_quality_calibration,
     "corpus_padding_waste": corpus_padding_waste,
@@ -2078,6 +2163,7 @@ QUERIES = {
 
 ORACLES = {
     "text_quality_classifier": _NBQ_SQL,
+    "text_classifier_calibration": _calib_cls_sql(),
     "corpus_token_budget_plan": _BUDGET_PLAN_SQL,
     "corpus_quality_calibration": _QUALITY_CAL_SQL,
     "corpus_padding_waste": _PADDING_WASTE_SQL,

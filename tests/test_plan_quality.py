@@ -54,6 +54,7 @@ _UNKEYED_JOIN_OK = {
                                 # into the vocab-dimension weight build
     "web_domain_curation",      # same nbq_model weight build (1-row
                                 # totals into the vocab dimension)
+    "text_classifier_calibration",  # same nbq_model weight build
     "web_crawl_plan",           # distributed_row_number offset table —
                                 # broadcast (log2 buckets × n_sub) rows
     "emb_pca_power",            # broadcast d^2-row Gram grid + 64-row

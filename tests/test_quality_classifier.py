@@ -42,3 +42,15 @@ def test_quantized_log_resolution(spark):
         logq = 1152 - row["w"]
         expect = 16 * math.log2(row["rs"])
         assert abs(logq - expect) <= 2.5, (row["rs"], logq, expect)
+
+
+def test_calibration_curve_orders_quality(spark, sf_dir):
+    # the reliability table must actually separate the classes: the
+    # lowest margin bucket's observed hi-rate strictly below the
+    # highest bucket's, with a real spread of buckets in between
+    from codegraph_spark.queries.text import text_classifier_calibration
+
+    rows = text_classifier_calibration(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    assert rows[0]["hi_pm"] < rows[-1]["hi_pm"]
+    assert rows[-1]["hi_pm"] >= 900  # top bucket is near-pure 'hi'

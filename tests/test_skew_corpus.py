@@ -56,6 +56,7 @@ SKEW_SET = [
     "web_robots_gate",
     "stream_url_dedup",
     "text_quality_classifier",
+    "text_classifier_calibration",
     "web_crawl_plan",
     "web_sitemap_coverage",
     "web_domain_curation",
