@@ -2284,6 +2284,184 @@ def _curation_sql() -> str:
     )
 
 
+# --- web_crawl_delta: incremental recrawl diff ---------------------------------
+#
+# The incremental-crawl primitive: given the PREVIOUS crawl snapshot
+# and the CURRENT one, classify every canonical URL as unchanged /
+# modified (same URL, different content hash) / gone / new, per
+# domain — the table that drives recrawl budgeting (modified rate),
+# index invalidation (gone), and frontier growth (new). At 100 TB
+# this is one full-outer hash join between two crawl manifests on the
+# canonical key, with first-seen (min doc_id) content representing
+# each URL within a snapshot — exactly the web_url_dedup keeper rule.
+#
+# Snapshot rule (deterministic, both engines replay): snapshot A =
+# docs with doc_id % 9 != 8, snapshot B = docs with doc_id % 9 != 0
+# (so ~1/9 of URLs leave and ~1/9 arrive), and in B every doc_id % 4
+# == 1 doc's content is revised (text || ' rev2') — the modified
+# class.
+
+def _crawl_snapshot(docs: DataFrame, current: bool) -> DataFrame:
+    """(domain, url_canon, h): one content hash per canonical URL for
+    one snapshot — keeper = min doc_id (min_by, exact under unique
+    ids)."""
+    if current:
+        snap = docs.filter(F.col("doc_id") % 9 != 0).select(
+            "doc_id", "source",
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    else:
+        snap = docs.filter(F.col("doc_id") % 9 != 8).select(
+            "doc_id", "source", "text"
+        )
+    c = canonicalize_url(
+        _raw_url(F.col("doc_id"), F.col("source"))
+    )
+    rows = snap.select(
+        "doc_id",
+        c["host"].alias("domain"),
+        c["canon"].alias("url_canon"),
+        F.md5("text").alias("ch"),
+    )
+    return rows.groupBy("domain", "url_canon").agg(
+        F.min_by("ch", "doc_id").alias("h")
+    )
+
+
+def web_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain recrawl delta rollup (see module comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = _crawl_snapshot(docs, current=False).select(
+        "domain", "url_canon", F.col("h").alias("ha")
+    )
+    b = _crawl_snapshot(docs, current=True).select(
+        "domain", "url_canon", F.col("h").alias("hb")
+    )
+    j = a.join(b, ["domain", "url_canon"], "full_outer").select(
+        "domain",
+        F.when(
+            F.col("ha").isNotNull() & F.col("hb").isNotNull()
+            & (F.col("ha") == F.col("hb")), "unchanged"
+        )
+        .when(
+            F.col("ha").isNotNull() & F.col("hb").isNotNull(), "modified"
+        )
+        .when(F.col("ha").isNotNull(), "gone")
+        .otherwise("new")
+        .alias("status"),
+    )
+    agg = j.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+        .alias("n_unchanged"),
+        F.sum(F.when(F.col("status") == "modified", 1).otherwise(0))
+        .alias("n_modified"),
+        F.sum(F.when(F.col("status") == "gone", 1).otherwise(0))
+        .alias("n_gone"),
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .alias("n_new"),
+    )
+    return agg.select(
+        "domain",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_unchanged").cast("bigint").alias("n_unchanged"),
+        F.col("n_modified").cast("bigint").alias("n_modified"),
+        F.col("n_gone").cast("bigint").alias("n_gone"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.expr(
+            "CAST((n_modified + n_gone + n_new) * 1000 div n_urls"
+            " AS BIGINT)"
+        ).alias("churn_pm"),
+    ).orderBy("domain")
+
+
+_CRAWL_DELTA_SQL = f"""
+WITH snap_a AS (
+    SELECT doc_id, source, text FROM documents WHERE doc_id % 9 != 8
+),
+snap_b AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 4 = 1 THEN text || ' rev2' ELSE text END
+               AS text
+    FROM documents WHERE doc_id % 9 != 0
+),
+raw_a AS (SELECT doc_id, text, {_RAW_URL_SQL} AS u FROM snap_a),
+raw_b AS (SELECT doc_id, text, {_RAW_URL_SQL} AS u FROM snap_b),
+ca AS (
+    SELECT doc_id, text,
+           {_CANON_PARTS_SQL['scheme']} AS sch,
+           {_CANON_PARTS_SQL['host']} AS hst,
+           {_CANON_PARTS_SQL['port']} AS prt,
+           {_CANON_PARTS_SQL['path']} AS pth,
+           {_CANON_PARTS_SQL['query']} AS qry
+    FROM raw_a
+),
+cb AS (
+    SELECT doc_id, text,
+           {_CANON_PARTS_SQL['scheme']} AS sch,
+           {_CANON_PARTS_SQL['host']} AS hst,
+           {_CANON_PARTS_SQL['port']} AS prt,
+           {_CANON_PARTS_SQL['path']} AS pth,
+           {_CANON_PARTS_SQL['query']} AS qry
+    FROM raw_b
+),
+fa AS (
+    SELECT doc_id, text, hst,
+           array_to_string(list_filter(string_split(qry, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')),
+               '&') AS q2,
+           sch, prt, pth
+    FROM ca
+),
+fb AS (
+    SELECT doc_id, text, hst,
+           array_to_string(list_filter(string_split(qry, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')),
+               '&') AS q2,
+           sch, prt, pth
+    FROM cb
+),
+ka AS (
+    SELECT hst AS domain, {_CANON_SQL} AS url_canon,
+           arg_min(md5(text), doc_id) AS ha
+    FROM fa GROUP BY domain, url_canon
+),
+kb AS (
+    SELECT hst AS domain, {_CANON_SQL} AS url_canon,
+           arg_min(md5(text), doc_id) AS hb
+    FROM fb GROUP BY domain, url_canon
+),
+j AS (
+    SELECT coalesce(ka.domain, kb.domain) AS domain,
+           CASE WHEN ha IS NOT NULL AND hb IS NOT NULL AND ha = hb
+                     THEN 'unchanged'
+                WHEN ha IS NOT NULL AND hb IS NOT NULL THEN 'modified'
+                WHEN ha IS NOT NULL THEN 'gone'
+                ELSE 'new' END AS status
+    FROM ka FULL OUTER JOIN kb
+      ON ka.domain = kb.domain AND ka.url_canon = kb.url_canon
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged,
+       CAST(sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_modified,
+       CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gone,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST((sum(CASE WHEN status = 'unchanged' THEN 0 ELSE 1 END))
+            * 1000 // count(*) AS BIGINT) AS churn_pm
+FROM j
+GROUP BY domain
+ORDER BY domain
+"""
+
+
 QUERIES = {
     "text_html_extract": text_html_extract,
     "text_html_boilerplate_audit": text_html_boilerplate_audit,
@@ -2298,6 +2476,7 @@ QUERIES = {
     "web_crawl_plan": web_crawl_plan,
     "web_sitemap_coverage": web_sitemap_coverage,
     "web_domain_curation": web_domain_curation,
+    "web_crawl_delta": web_crawl_delta,
 }
 
 ORACLES = {
@@ -2305,6 +2484,7 @@ ORACLES = {
     "web_crawl_plan": _CRAWL_PLAN_SQL,
     "web_sitemap_coverage": _SITEMAP_SQL,
     "web_domain_curation": _curation_sql(),
+    "web_crawl_delta": _CRAWL_DELTA_SQL,
     "text_html_extract": _HTML_EXTRACT_SQL,
     "text_html_boilerplate_audit": _HTML_AUDIT_SQL,
     "web_extract_yield": _YIELD_SQL,

@@ -60,6 +60,7 @@ SKEW_SET = [
     "web_crawl_plan",
     "web_sitemap_coverage",
     "web_domain_curation",
+    "web_crawl_delta",
     "stream_html_extract_dirty",
     "web_warc_point_lookup",
     "text_html_boilerplate_audit",

@@ -139,6 +139,8 @@ AUDIT = [
     "text_quality_classifier",
     "web_sitemap_coverage",
     "web_domain_curation",
+    "text_classifier_calibration",
+    "web_crawl_delta",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

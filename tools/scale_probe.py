@@ -119,6 +119,8 @@ PROBES = [
     "text_quality_classifier",
     "web_sitemap_coverage",
     "web_domain_curation",
+    "text_classifier_calibration",
+    "web_crawl_delta",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
