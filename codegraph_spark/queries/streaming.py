@@ -887,8 +887,97 @@ def _url_dedup_drain(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots enforcement AT THE INGEST DOOR — the stream-static join
+    shape: the crawler's robots cache (per-domain parsed + compiled
+    rule ARRAYS, a static dimension built once from the batch table)
+    broadcasts against the arriving URL stream, and each micro-batch
+    row decides its own verdict STATELESSLY via an array-expression
+    argmax over its matching rules (F.filter + array_max over
+    (plen, allow) structs — no per-URL window, no state store at
+    all). This is how a fetch fleet actually consults robots: a
+    broadcast rule cache and a per-URL O(rules) check.
+
+    The drained per-URL decisions roll up batch-side to EXACTLY the
+    web_robots_gate table (shared oracle): same longest-match /
+    Allow-wins-ties /default-allow semantics, proven equal however
+    the input splits into micro-batches."""
+    from codegraph_spark.queries.web import (
+        _raw_url,
+        _robots_txt,
+        canonicalize_url,
+        compile_rules,
+        parse_robots,
+    )
+    from codegraph_spark.sources.tables import load_table
+    from codegraph_spark.streaming.incremental import (
+        read_documents_stream,
+        run_available_now,
+    )
+
+    bdocs = load_table(spark, sf_dir, "documents")
+    bc = canonicalize_url(_raw_url(F.col("doc_id"), F.col("source")))
+    domains = bdocs.select(bc["host"].alias("domain")).distinct()
+    rules, delays = parse_robots(
+        domains.select("domain", _robots_txt(F.col("domain")).alias("txt"))
+    )
+    rules_arr = compile_rules(rules).groupBy("domain").agg(
+        F.collect_list(F.struct("pat", "allow", "rx")).alias("rules")
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    c = canonicalize_url(_raw_url(F.col("doc_id"), F.col("source")))
+    urls = docs.select(
+        "doc_id",
+        c["host"].alias("domain"),
+        F.regexp_extract(
+            c["canon"], r"^[a-z0-9+.\-]+://[^/]*(/.*)$", 1
+        ).alias("path_query"),
+    )
+    matched = F.filter(
+        F.col("rules"),
+        lambda r: F.regexp_like(F.col("path_query"), r["rx"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["pat"]).alias("plen"), r["allow"].alias("allow")
+            ),
+        )
+    )
+    dec = urls.join(F.broadcast(rules_arr), "domain", "left").select(
+        "doc_id",
+        "domain",
+        F.coalesce(best["allow"], F.lit(1)).alias("a"),
+        F.coalesce(best["plen"], F.lit(0)).alias("plen"),
+        F.when(best.isNull(), 1).otherwise(0).alias("isdef"),
+    )
+    drained = run_available_now(dec, output_mode="append")
+    return (
+        drained.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.sum("a").cast("bigint").alias("n_allowed"),
+            (F.count(F.lit(1)) - F.sum("a")).cast("bigint").alias("n_blocked"),
+            F.coalesce(
+                F.sum(F.when(F.col("a") == 0, F.col("doc_id"))), F.lit(0)
+            ).cast("bigint").alias("blocked_idsum"),
+            F.sum("isdef").cast("bigint").alias("n_default"),
+            F.sum("plen").cast("bigint").alias("rule_lensum"),
+        )
+        .join(delays, "domain")
+        .select(
+            "domain", "crawl_delay_s", "n_urls", "n_allowed", "n_blocked",
+            "blocked_idsum", "n_default", "rule_lensum",
+        )
+        .orderBy("domain")
+    )
+
+
 QUERIES = {
     "stream_url_dedup": stream_url_dedup,
+    "stream_robots_gate": stream_robots_gate,
     "stream_image_meta": stream_image_meta,
     "stream_html_extract": stream_html_extract,
     "stream_html_extract_dirty": stream_html_extract_dirty,
@@ -918,8 +1007,13 @@ from codegraph_spark.queries.web import (  # noqa: E402
     _URL_DEDUP_SQL as _STREAM_URL_DEDUP_SQL,
 )
 
+from codegraph_spark.queries.web import (  # noqa: E402
+    _ROBOTS_SQL as _STREAM_ROBOTS_SQL,
+)
+
 ORACLES = {
     "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
+    "stream_robots_gate": _STREAM_ROBOTS_SQL,
     "stream_image_meta": _STREAM_MM_META_SQL,
     "stream_html_extract": _STREAM_HTML_EXTRACT_SQL,
     "stream_html_extract_dirty": _STREAM_HTML_DIRTY_SQL,

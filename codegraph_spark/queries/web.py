@@ -1530,6 +1530,28 @@ def parse_robots(robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     return rules, delays
 
 
+def compile_rules(rules: DataFrame) -> DataFrame:
+    """Compile each parsed rule to its RFC 9309 matcher regex ``rx``
+    (see module comment): strip a trailing '$' anchor, escape regex
+    metacharacters, expand the escaped '\\*' wildcard, re-anchor. One
+    tiny projection over the rule dimension; matching is then a
+    per-(URL, rule) regex — bounded by the domain's rule count. Shared
+    by the batch gate and the ingest-door streaming twin."""
+    anchored = F.col("pat").endswith("$")
+    core = F.when(
+        anchored, F.expr("substring(pat, 1, length(pat) - 1)")
+    ).otherwise(F.col("pat"))
+    esc = F.regexp_replace(core, r"([.^$*+?()\[\]{}|\\])", r"\\$1")
+    return rules.withColumn(
+        "rx",
+        F.concat(
+            F.lit("^"),
+            F.replace(esc, F.lit(r"\*"), F.lit(".*")),
+            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+        ),
+    )
+
+
 def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain crawl-permission audit: every canonical URL evaluated
     against its domain's parsed robots rules (longest match, Allow wins
@@ -1564,25 +1586,7 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("domain", _robots_txt(F.col("domain")).alias("txt"))
     )
     rules, delays = parse_robots(robots)
-    # compile each rule to its RFC 9309 matcher (see module comment):
-    # strip a trailing '$' anchor, escape regex metacharacters, expand
-    # the escaped '\*' wildcard, re-anchor. One tiny projection over
-    # the rule dimension; matching is then a per-(URL, rule) regex —
-    # bounded by the domain's rule count.
-    anchored = F.col("pat").endswith("$")
-    core = F.when(
-        anchored, F.expr("substring(pat, 1, length(pat) - 1)")
-    ).otherwise(F.col("pat"))
-    esc = F.regexp_replace(core, r"([.^$*+?()\[\]{}|\\])", r"\\$1")
-    crules = rules.withColumn(
-        "rx",
-        F.concat(
-            F.lit("^"),
-            F.replace(esc, F.lit(r"\*"), F.lit(".*")),
-            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
-        ),
-    )
-    matched = urls.join(crules, "domain").filter(
+    matched = urls.join(compile_rules(rules), "domain").filter(
         F.expr("rlike(path_query, rx)")
     )
     wr = Window.partitionBy("doc_id").orderBy(

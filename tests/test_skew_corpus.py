@@ -54,6 +54,7 @@ SKEW_SET = [
     "web_url_dedup",
     "web_charset_audit",
     "web_robots_gate",
+    "stream_robots_gate",
     "stream_url_dedup",
     "text_quality_classifier",
     "text_classifier_calibration",

@@ -141,6 +141,7 @@ AUDIT = [
     "web_domain_curation",
     "text_classifier_calibration",
     "web_crawl_delta",
+    "stream_robots_gate",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

@@ -121,6 +121,7 @@ PROBES = [
     "web_domain_curation",
     "text_classifier_calibration",
     "web_crawl_delta",
+    "stream_robots_gate",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
