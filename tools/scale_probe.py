@@ -536,6 +536,9 @@ def _merge_subset(new_rows, subset) -> None:
                 + " — each needs a named remedy or a fix before the "
                 "next round.\n"
             )
+            for n, _r in flagged:
+                if n in PROBE_NOTES:
+                    f.write(f"  - `{n}` (named remedy): {PROBE_NOTES[n]}\n")
         else:
             f.write(
                 f"- No probe exceeds the {REPLICAS * FLAG_FACTOR:.0f}x flag\n"
@@ -571,6 +574,12 @@ def main() -> None:
     for d in (BASE, SCALE_DIR):
         _stored_media_dir(spark, d)
         _warc_fixture_dir(spark, d)
+        # session warmup OUTSIDE every measured window: the first
+        # action of a fresh session pays JVM/codegen/FS-cache warmup
+        # (observed: a 1.4 s query reading 36.8 s as the first probe of
+        # a subset run, poisoning its ratio); a throwaway scan of each
+        # corpus absorbs it. Runs no code under test.
+        spark.read.parquet(os.path.join(d, "documents.parquet")).count()
 
     def measure(fn) -> dict:
         # FORCE full evaluation with a noop write: a bare .count() lets
@@ -603,6 +612,18 @@ def main() -> None:
         return times
 
     subset = sys.argv[1:]
+    if subset:
+        # plan-compile warmup, subset runs only: in a fresh session the
+        # FIRST execution of a query bills its one-time whole-stage
+        # codegen compile to the x1 window (measured: dedup_semantic x1
+        # 19.6 s cold vs 9.6 s warm), DEFLATING the ratio — the
+        # flattering direction. The full sweep amortizes compile across
+        # ~90 probes; a subset run pre-executes each probe once at x1,
+        # untimed, so both measured sides run warm.
+        for name in subset:
+            qs[name](spark, BASE).write.format("noop").mode(
+                "overwrite"
+            ).save()
     rows = []
     for name in subset or PROBES:
         fn = qs[name]
@@ -687,8 +708,12 @@ def main() -> None:
             f.write(
                 f"- **FLAGGED superlinear (> {REPLICAS * FLAG_FACTOR:.0f}x):** "
                 + ", ".join(f"`{n}` ({r:.1f}x)" for n, r in flagged)
-                + " — each needs a named remedy or a fix before the next round.\n"
+                + " — each needs a named remedy or a fix before the "
+                "next round.\n"
             )
+            for n, _r in flagged:
+                if n in PROBE_NOTES:
+                    f.write(f"  - `{n}` (named remedy): {PROBE_NOTES[n]}\n")
         else:
             f.write(
                 f"- No probe exceeds the {REPLICAS * FLAG_FACTOR:.0f}x flag\n"
