@@ -79,6 +79,12 @@ HEADLINE = [
     "dedup_exact_substr",
     "dedup_paragraph",
     "web_robots_gate",
+    # round-11 third wave: the end-to-end composition rows — the URL
+    # seen-set at the ingest door (streaming-drain class ≤ 5 s) and
+    # the domain curation decision table (scan-class ≤ 2 s), declared
+    # with five-run solo evidence in BASELINE.md before first bench.
+    "stream_url_dedup",
+    "web_domain_curation",
 ]
 
 
