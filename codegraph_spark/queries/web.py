@@ -1452,9 +1452,13 @@ ORDER BY fidx
 # (so a literal mid-pattern '$' stays literal) — and specificity stays
 # the RFC's octet length of the raw pattern. d%3==1 domains plant a
 # wildcard rule (Disallow: /a/*7$) so the driver corpus exercises the
-# path. Remaining simplification vs RFC 9309, documented: single UA
-# line per group (consecutive UA lines forming one group are not
-# merged); evaluation happens on the CANONICAL path?query (post URL
+# path. Group attribution implements RFC 9309 §2.2.1 group merging:
+# CONSECUTIVE User-agent lines form ONE group that owns the rules
+# after them, so a group headed "User-agent: *" THEN "User-agent:
+# otherbot" still applies to '*' — a last-UA-wins parser would drop
+# those rules entirely. d%5==2 domains plant exactly that layout ('*'
+# first, then a second UA line) so the driver corpus exercises the
+# merge. Evaluation happens on the CANONICAL path?query (post URL
 # normalization).
 
 #: the user-agent whose group the gate evaluates
@@ -1472,7 +1476,12 @@ def _robots_txt(domain: Column) -> Column:
         F.lit("User-agent: badbot"),
         F.lit("Disallow: /"),
         F.lit(""),
-        F.lit("User-agent: *"),
+        # d%5==2: a merged two-UA group with '*' FIRST — the layout a
+        # last-UA-wins parser mis-attributes (see module comment)
+        F.when(
+            d % 5 == 2,
+            F.lit("User-agent: *\nUser-agent: otherbot"),
+        ).otherwise(F.lit("User-agent: *")),
         F.concat(F.lit("Crawl-delay: "), (1 + d % 3).cast("string")),
         F.concat(F.lit("Disallow: /a/"), m),
         F.concat(F.lit("Allow: /a/"), m, F.lit("?")),
@@ -1489,26 +1498,44 @@ def _robots_txt(domain: Column) -> Column:
 def parse_robots(robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Parse (domain, txt) robots files into the evaluated user-agent
     group's ``rules`` (domain, allow, pat) and ``delays`` (domain,
-    crawl_delay_s). Group attribution is a running last-User-agent
-    window per domain — partitioned by domain and bounded by the
-    robots file's line count, never corpus-sized."""
+    crawl_delay_s). Group attribution implements RFC 9309 §2.2.1: a
+    RUN of consecutive User-agent lines starts one group that owns
+    every rule line until the next run — a group's rules apply to the
+    evaluated agent if ANY of its UA lines names it. All windows are
+    partitioned by domain and bounded by the robots file's line count,
+    never corpus-sized."""
     from pyspark.sql.window import Window
 
     lines = robots.select(
         "domain", F.posexplode(F.split("txt", "\n")).alias("idx", "line")
     )
-    ua = F.when(
-        F.col("line").startswith("User-agent: "),
-        F.expr("substring(line, 13)"),
+    isua = F.col("line").startswith("User-agent: ").cast("int")
+    wp = Window.partitionBy("domain").orderBy("idx")
+    run = wp.rowsBetween(Window.unboundedPreceding, 0)
+    marked = (
+        lines.withColumn("isua", isua)
+        .withColumn(
+            "prev", F.coalesce(F.lag("isua").over(wp), F.lit(0))
+        )
+        .withColumn(
+            "gid",
+            F.sum(
+                F.when((F.col("isua") == 1) & (F.col("prev") == 0), 1)
+                .otherwise(0)
+            ).over(run),
+        )
     )
-    w = (
-        Window.partitionBy("domain")
-        .orderBy("idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    star_groups = (
+        marked.filter(
+            (F.col("isua") == 1)
+            & (F.expr("substring(line, 13)") == _ROBOTS_UA)
+        )
+        .select("domain", "gid")
+        .distinct()
     )
-    star = lines.withColumn(
-        "grp", F.last(ua, ignorenulls=True).over(w)
-    ).filter(F.col("grp") == _ROBOTS_UA)
+    star = marked.join(star_groups, ["domain", "gid"]).filter(
+        F.col("isua") == 0
+    )
     line = F.col("line")
     rules = star.select(
         "domain",
@@ -1669,7 +1696,11 @@ dn AS (
 rob AS (
     SELECT domain,
            'User-agent: badbot' || chr(10) || 'Disallow: /' || chr(10)
-           || chr(10) || 'User-agent: *' || chr(10)
+           || chr(10)
+           || CASE WHEN d % 5 = 2
+                   THEN 'User-agent: *' || chr(10) || 'User-agent: otherbot'
+                   ELSE 'User-agent: *' END
+           || chr(10)
            || 'Crawl-delay: ' || CAST(1 + d % 3 AS VARCHAR) || chr(10)
            || 'Disallow: /a/' || CAST(d % {_URL_PATH_MOD} AS VARCHAR)
            || chr(10)
@@ -1686,16 +1717,32 @@ lines AS (
     SELECT domain, i AS idx, lns[i] AS l
     FROM ls, UNNEST(range(1, len(lns) + 1)) AS t(i)
 ),
-attr AS (
+marked AS (
     SELECT domain, idx, l,
-           last_value(CASE WHEN starts_with(l, 'User-agent: ')
-                           THEN substr(l, 13) END IGNORE NULLS)
-             OVER (PARTITION BY domain ORDER BY idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS grp
+           CASE WHEN starts_with(l, 'User-agent: ') THEN 1 ELSE 0 END
+               AS isua
     FROM lines
 ),
-star AS (SELECT * FROM attr WHERE grp = '{_ROBOTS_UA}'),
+lagd AS (
+    SELECT domain, idx, l, isua,
+           coalesce(lag(isua) OVER (PARTITION BY domain ORDER BY idx), 0)
+               AS prev
+    FROM marked
+),
+gidt AS (
+    SELECT domain, idx, l, isua,
+           sum(CASE WHEN isua = 1 AND prev = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY domain ORDER BY idx) AS gid
+    FROM lagd
+),
+star_groups AS (
+    SELECT DISTINCT domain, gid FROM gidt
+    WHERE isua = 1 AND substr(l, 13) = '{_ROBOTS_UA}'
+),
+star AS (
+    SELECT g.* FROM gidt g JOIN star_groups USING (domain, gid)
+    WHERE g.isua = 0
+),
 rules AS (
     SELECT domain,
            CASE WHEN starts_with(l, 'Allow: ') THEN 1 ELSE 0 END AS allow,

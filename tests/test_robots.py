@@ -30,6 +30,28 @@ def test_parse_robots_group_attribution(spark):
     assert delays.collect()[0]["crawl_delay_s"] == 7
 
 
+def test_parse_robots_merged_ua_group(spark):
+    # RFC 9309 §2.2.1: consecutive User-agent lines form ONE group.
+    # '*' is FIRST here, so a last-UA-wins parser would hand these
+    # rules to otherbot and return nothing for '*'.
+    from codegraph_spark.queries.web import parse_robots
+
+    robots = spark.createDataFrame(
+        [(
+            "d.example.org",
+            "User-agent: *\nUser-agent: otherbot\n"
+            "Crawl-delay: 3\nDisallow: /y\n\n"
+            "User-agent: otherbot\nDisallow: /only-other\n",
+        )],
+        "domain string, txt string",
+    )
+    rules, delays = parse_robots(robots)
+    got = sorted((r["allow"], r["pat"]) for r in rules.collect())
+    # the merged group's rule is kept; the otherbot-only group's is not
+    assert got == [(0, "/y")]
+    assert delays.collect()[0]["crawl_delay_s"] == 3
+
+
 @pytest.fixture(scope="module")
 def robots_dir(spark):
     # src0 (d=0): Disallow /a/0, Allow /a/0?, Disallow /private,
@@ -47,6 +69,9 @@ def robots_dir(spark):
     #   112 src1 v2 pid 1  -> /a/1?id=1   Allow '/a/1?' wins by length
     #   81  src1 v1 pid 7  -> /a/7        only '/a/*7$' matches
     #                                     (wildcard + end anchor, len 6)
+    # src2 (d=2): MERGED UA group ('*' then otherbot) owns the rules —
+    #             a last-UA-wins parser loses them all:
+    #   76  src2 v1 pid 2  -> /a/2        blocked by '/a/2' (len 4)
     docs = spark.createDataFrame(
         [
             (5, "t", "src0"),
@@ -56,6 +81,7 @@ def robots_dir(spark):
             (77, "t", "src1"),
             (112, "t", "src1"),
             (81, "t", "src1"),
+            (76, "t", "src2"),
         ],
         "doc_id long, text string, source string",
     )
@@ -94,4 +120,14 @@ def test_gate_decisions(spark, robots_dir):
         # 10 and 38 via '/a/1' (4), 112 via '/a/1?' (5), 81 via the
         # wildcard '/a/*7$' (6) — the lensum pins the wildcard fired
         "rule_lensum": 4 + 4 + 5 + 6,
+    }
+    assert rows["src2.example.org"] == {
+        "domain": "src2.example.org",
+        "crawl_delay_s": 3,  # 1 + 2%3 — proves the merged group parsed
+        "n_urls": 1,
+        "n_allowed": 0,
+        "n_blocked": 1,
+        "blocked_idsum": 76,
+        "n_default": 0,
+        "rule_lensum": 4,
     }
