@@ -662,9 +662,23 @@ ORDER BY doc_id
 #: subset rule — bounds the one-time build, keeps every page shape
 #: covered at every sf)
 _WARC_SUBSET_MOD = 5
-#: WARC files per fixture — enough for file-granular parallelism to be
-#: real in the scan, small enough that the build stays a blink
+#: floor on WARC files per fixture — enough for file-granular
+#: parallelism to be real in the scan, small enough that the build
+#: stays a blink at driver scale
 _WARC_FILES = 8
+#: target records-per-file above the floor: real crawls write
+#: bounded-size WARC files (~1 GiB) so FILE COUNT grows with the
+#: crawl, which is what makes file-granular parallelism scale; a
+#: fixed file count turns the per-file sequential member walk into a
+#: parallelism cap (the 100x probe sat 8-wide on 16 cores until this)
+_WARC_DOCS_PER_FILE = 2500
+
+
+def _warc_nfiles(n_sub: int) -> int:
+    """File count for a subset of n_sub docs — max(floor, ceil(n/per)).
+    Pure arithmetic shared by the fixture builder and (as SQL) the
+    point-lookup oracle, so both engines derive the same layout."""
+    return max(_WARC_FILES, -(-n_sub // _WARC_DOCS_PER_FILE))
 
 
 def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -687,7 +701,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
 
     fp = _table_fingerprint(sf_dir, "documents")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|warc-v1".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|warc-v2".encode()
     ).hexdigest()[:12]
     root = os.path.join("/tmp", "spark_graft_warc", tag)
     done = os.path.join(root, "_DONE")
@@ -695,10 +709,14 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         return root
     os.makedirs(root, exist_ok=True)
 
+    sub = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _WARC_SUBSET_MOD == 0
+    )
+    # bounded-size files: count once (build-once cost) so file count
+    # grows with the corpus — see _WARC_DOCS_PER_FILE
+    nfiles = _warc_nfiles(sub.count())
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % _WARC_SUBSET_MOD == 0)
-        .select(
+        sub.select(
             "doc_id",
             F.concat(
                 F.lit("https://"), F.col("source"),
@@ -707,9 +725,9 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             html_wrap(
                 F.col("text"), F.col("doc_id"), F.col("source")
             ).alias("page"),
-            (F.col("doc_id") % _WARC_FILES).alias("fidx"),
+            (F.col("doc_id") % nfiles).alias("fidx"),
         )
-        .repartition(_WARC_FILES, "fidx")
+        .repartition(nfiles, "fidx")
     )
 
     def write_files(batches):
@@ -1398,10 +1416,16 @@ WITH sub AS (
     SELECT doc_id, source, text FROM documents
     WHERE doc_id % {_WARC_SUBSET_MOD} = 0
 ),
+nf AS (
+    SELECT GREATEST({_WARC_FILES},
+                    CAST(CEIL(COUNT(*) / {_WARC_DOCS_PER_FILE}.0) AS INT))
+               AS nfiles
+    FROM sub
+),
 keep AS (
-    SELECT CAST(doc_id % {_WARC_FILES} AS INT) AS fidx,
+    SELECT CAST(doc_id % nf.nfiles AS INT) AS fidx,
            min(doc_id) AS doc_id
-    FROM sub GROUP BY doc_id % {_WARC_FILES}
+    FROM sub, nf GROUP BY doc_id % nf.nfiles
 ),
 j AS (
     SELECT k.fidx, d.doc_id, d.source, d.text

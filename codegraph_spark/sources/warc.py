@@ -132,22 +132,47 @@ def iter_gzip_members(data: bytes) -> list[tuple[int, int, bytes]]:
     (the 100 TB access pattern: object-store ranged GET of one record,
     never the whole file). Returns [(offset, comp_length, plain_bytes)];
     a trailing partial member is dropped (transfer-truncation
-    tolerance, same stance as parse_warc_stream)."""
+    tolerance, same stance as parse_warc_stream).
+
+    The walk feeds each member BOUNDED chunks off a memoryview with
+    GEOMETRIC growth (8 KiB doubling to 1 MiB, reset per member). The
+    obvious formulation — ``d.decompress(data[pos:])`` per member —
+    copies the entire remaining buffer into the call AND back out via
+    ``unused_data``, an O(members × file_size) memcpy quadratic that
+    the 100x probe exposed (12.5k records/file ≈ 211 s of pure
+    memcpy). CPython's own ``gzip.decompress`` has the SAME per-member
+    re-slice loop, which is why :func:`read_warc_records` routes
+    through this walk instead. A fixed large chunk is not enough: a
+    ~400 B member fed a 1 MiB chunk pays ~1 MiB of ``unused_data``
+    copy-back, which across 25k members/file is tens of GB again.
+    Geometric growth bounds total copying at ~2x the stream: tiny
+    members pay one 8 KiB feed, large members amortize the doubling."""
     import zlib
 
     out: list[tuple[int, int, bytes]] = []
+    mv = memoryview(data)
     pos, n = 0, len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # one gzip member
+        parts: list[bytes] = []
+        p = pos
+        step = 1 << 13
         try:
-            plain = d.decompress(data[pos:])
+            while p < n and not d.eof:
+                chunk = mv[p : min(p + step, n)]
+                parts.append(d.decompress(chunk))
+                p += len(chunk)
+                if step < (1 << 20):
+                    step <<= 1
         except zlib.error:
             break
         if not d.eof:
             break  # truncated tail member
-        consumed = (n - pos) - len(d.unused_data)
-        out.append((pos, consumed, plain))
-        pos += consumed
+        # eof landed mid-chunk: the remainder of that chunk is the
+        # next member's prefix
+        p -= len(d.unused_data)
+        out.append((pos, p - pos, b"".join(parts)))
+        pos = p
     return out
 
 
@@ -181,8 +206,15 @@ def read_warc_records(spark: SparkSession, root: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                # gzip.decompress consumes ALL concatenated members
-                stream = gzip.decompress(bytes(content))
+                # member-wise walk, NOT gzip.decompress: the stdlib's
+                # multi-member loop re-slices the remaining buffer per
+                # member (O(members x size) memcpy — 25k records/file
+                # made that ~200 s at the 100x probe); the chunked walk
+                # is linear and also tolerates a truncated tail member
+                # instead of raising (parse_warc_stream's stance)
+                stream = b"".join(
+                    plain for _, _, plain in iter_gzip_members(bytes(content))
+                )
                 for rec_type, url, payload in parse_warc_stream(stream):
                     rows.append((str(path), rec_type, url, payload))
             yield pd.DataFrame(
