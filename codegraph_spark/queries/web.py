@@ -868,6 +868,177 @@ ORDER BY doc_id
 """
 
 
+# --- web_wet_roundtrip: the WET conversion sink, re-read and byte-pinned -------
+#
+# CommonCrawl's extraction PRODUCT is the WET file: for every WARC
+# file, a sibling ``*.warc.wet.gz`` holding one WARC "conversion"
+# record per page — the extracted plain text, same member-gzip
+# framing, same 1:1 file sharding as the source so downstream readers
+# inherit the crawl's file-granular parallelism. This gate closes the
+# engine's crawl loop END-TO-END THROUGH DISK ON BOTH SIDES:
+#
+#   stored .warc.gz → binaryFile scan → member walk → HTTP split →
+#   five-rule extraction → WET WRITER (one .warc.wet.gz per source
+#   WARC, conversion records in doc order) → re-scan of the WET files
+#   through the SAME reader → per-doc byte pin.
+#
+# The oracle replays wrap + extraction in DuckDB and md5s the text, so
+# a wrong Content-Length on the conversion record, a mis-framed
+# member, an encoding drift in the writer, or a reader that loses
+# bytes all hash-mismatch. Scale shape: the writer adds ONE
+# repartition on warc_file (the sink's 1:1 sharding contract — at
+# 100 TB this is the shuffle that co-locates each output file's
+# records, bounded by extracted-text volume); everything else is the
+# already-probed scan + extraction, and the re-read is the same
+# file-granular member walk as web_warc_extract.
+
+
+def _wet_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once WET corpus: run the front-door extraction over the
+    stored WARC fixture and write ``part-NNNNN.warc.wet.gz`` files,
+    1:1 with their WARC sources (warcinfo + one conversion record per
+    page, doc_id order). Cached with a _DONE sentinel keyed on the
+    documents fingerprint; files written executor-side, atomically
+    (the stored-media fixture rules)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from codegraph_spark.sources.warc import (
+        read_warc_responses,
+        warc_record_bytes,
+        write_warc,
+    )
+    from codegraph_spark.streaming.incremental import _table_fingerprint
+
+    warc_root = _warc_fixture_dir(spark, sf_dir)
+    fp = _table_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|wet-v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join("/tmp", "spark_graft_wet", tag)
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+
+    pages = read_warc_responses(spark, warc_root).filter(
+        F.col("http_status") == 200
+    )
+    page = F.col("page")
+    extracted = pages.select(
+        "warc_file",
+        "url",
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.filter(html_block_stats(page), _keep),
+                lambda s: s["txt"],
+            ),
+            "\n",
+        ).alias("x"),
+    ).repartition("warc_file")
+
+    def write_files(batches):
+        # accumulate per source file across Arrow batches (the WARC
+        # fixture-builder pattern): hash partitioning co-locates a
+        # file's records but may split them across batches
+        acc: dict[str, list] = {}
+        for pdf in batches:
+            for wf, url, doc_id, x in zip(
+                pdf["warc_file"], pdf["url"], pdf["doc_id"], pdf["x"]
+            ):
+                acc.setdefault(str(wf), []).append(
+                    (int(doc_id), str(url), str(x))
+                )
+        import os as _os
+
+        n = 0
+        for wf, rows in acc.items():
+            rows.sort()
+            base = _os.path.basename(wf)
+            if base.endswith(".warc.gz"):
+                base = base[: -len(".warc.gz")]
+            recs = [
+                warc_record_bytes(
+                    "warcinfo", None,
+                    b"software: codegraph-spark (WET writer)\r\n",
+                    f"wetinfo-{base}",
+                    content_type="application/warc-fields",
+                )
+            ]
+            for doc_id, url, x in rows:
+                recs.append(
+                    warc_record_bytes(
+                        "conversion", url, x.encode("utf-8"),
+                        f"wet-{doc_id}", content_type="text/plain",
+                    )
+                )
+            write_warc(_os.path.join(root, base + ".warc.wet.gz"), recs)
+            n += len(rows)
+        yield pd.DataFrame({"n": [n]})
+
+    extracted.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+def web_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-scan the WET files the sink wrote and pin every conversion
+    record's bytes against the oracle's replay of wrap + extraction —
+    see the module comment above. Returns one row per page:
+    (doc_id, url, wet_len, wet_md5)."""
+    from codegraph_spark.sources.warc import read_warc_records
+
+    root = _wet_fixture_dir(spark, sf_dir)
+    recs = read_warc_records(spark, root, glob="*.warc.wet.gz").filter(
+        F.col("rec_type") == "conversion"
+    )
+    return (
+        recs.select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            "url",
+            # chars, not bytes (matches DuckDB length() over VARCHAR)
+            F.length(F.col("payload").cast("string")).cast("bigint")
+            .alias("wet_len"),
+            F.md5("payload").alias("wet_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WET_SQL = f"""
+WITH paged AS (
+    SELECT doc_id,
+           'https://' || source || '.example.org/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           {_WRAP_SQL} AS page
+    FROM documents
+    WHERE doc_id % {_WARC_SUBSET_MOD} = 0
+),
+blocked AS (
+    SELECT doc_id, url, {_BLOCKS_SQL} AS b FROM paged
+),
+x AS (
+    SELECT doc_id, url,
+           array_to_string(
+               list_transform(list_filter(b, s -> {_KEEP_SQL}),
+                              s -> s.txt),
+               chr(10)) AS txt
+    FROM blocked
+)
+SELECT doc_id, url,
+       CAST(length(txt) AS BIGINT) AS wet_len,
+       md5(txt) AS wet_md5
+FROM x
+ORDER BY doc_id
+"""
+
+
 # --- URL canonicalization + URL-level dedup (r10 VERDICT "Next round" 3) -------
 #
 # The cheapest first pass every crawl pipeline runs BEFORE any content
@@ -2543,6 +2714,7 @@ QUERIES = {
     "web_extract_yield": web_extract_yield,
     "text_html_extract_dirty": text_html_extract_dirty,
     "web_warc_extract": web_warc_extract,
+    "web_wet_roundtrip": web_wet_roundtrip,
     "web_url_canonical": web_url_canonical,
     "web_url_dedup": web_url_dedup,
     "web_charset_audit": web_charset_audit,
@@ -2565,6 +2737,7 @@ ORACLES = {
     "web_extract_yield": _YIELD_SQL,
     "text_html_extract_dirty": _HTML_DIRTY_SQL,
     "web_warc_extract": _WARC_EXTRACT_SQL,
+    "web_wet_roundtrip": _WET_SQL,
     "web_url_canonical": _URL_CANON_SQL,
     "web_url_dedup": _URL_DEDUP_SQL,
     "web_charset_audit": _CHARSET_SQL,

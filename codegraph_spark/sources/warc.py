@@ -186,16 +186,20 @@ def fetch_record_range(path: str, offset: int, length: int) -> bytes:
     return gzip.decompress(comp)
 
 
-def read_warc_records(spark: SparkSession, root: str) -> DataFrame:
+def read_warc_records(
+    spark: SparkSession, root: str, glob: str = "*.warc.gz"
+) -> DataFrame:
     """Distributed WARC scan: ``binaryFile`` over ``root`` (one row
     per ``.warc.gz`` file) → Arrow kernel (member-gzip decompression +
     record walk) → one row per record:
-    (warc_file, rec_type, url, payload)."""
+    (warc_file, rec_type, url, payload). ``glob`` narrows the scan to
+    one product family (``*.warc.gz`` crawls, ``*.warc.wet.gz`` WET
+    conversions — same framing, same reader)."""
     import pandas as pd
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.gz")
+        .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(root)
         .select("path", "content")
@@ -228,9 +232,11 @@ def read_warc_records(spark: SparkSession, root: str) -> DataFrame:
 
 def read_warc_responses(spark: SparkSession, root: str) -> DataFrame:
     """Response records only, HTTP envelope split off:
-    (url, http_status, page). The page is the HTTP body decoded as
-    UTF-8 (replacement on invalid bytes — charset hygiene is its own
-    gate, web_charset_audit)."""
+    (warc_file, url, http_status, page). The page is the HTTP body
+    decoded as UTF-8 (replacement on invalid bytes — charset hygiene
+    is its own gate, web_charset_audit). warc_file is kept so sinks
+    that mirror the input sharding (WET conversion files are 1:1 with
+    their WARC sources) can group on it."""
     recs = read_warc_records(spark, root).filter(
         F.col("rec_type") == "response"
     )
@@ -239,6 +245,7 @@ def read_warc_responses(spark: SparkSession, root: str) -> DataFrame:
     # UTF-8; a charset-sniffing variant would split bytes first)
     http = F.col("payload").cast("string")
     return recs.select(
+        "warc_file",
         "url",
         F.regexp_extract(http, r"^HTTP/[0-9.]+ (\d{3})", 1)
         .cast("int")

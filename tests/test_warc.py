@@ -183,3 +183,59 @@ def test_member_extents_and_ranged_fetch(tmp_path):
     assert fetched == plain == recs[1]
     # truncated tail member dropped, earlier extents unaffected
     assert len(iter_gzip_members(data[: len(data) - 5])) == 2
+
+
+def test_wet_sink_roundtrip(spark, sf_dir):
+    """WET writer → reader round trip: conversion files are 1:1 with
+    their WARC sources, every conversion record's bytes equal the
+    direct (in-memory) extraction of its page, and file sharding is
+    preserved (the CommonCrawl WET contract)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from codegraph_spark.queries.web import (
+        _keep,
+        _warc_fixture_dir,
+        _wet_fixture_dir,
+        html_block_stats,
+    )
+    from codegraph_spark.sources.warc import read_warc_responses
+
+    warc_root = _warc_fixture_dir(spark, sf_dir)
+    wet_root = _wet_fixture_dir(spark, sf_dir)
+    warc_files = sorted(
+        os.path.basename(p)[: -len(".warc.gz")]
+        for p in _glob.glob(os.path.join(warc_root, "*.warc.gz"))
+    )
+    wet_files = sorted(
+        os.path.basename(p)[: -len(".warc.wet.gz")]
+        for p in _glob.glob(os.path.join(wet_root, "*.warc.wet.gz"))
+    )
+    assert wet_files == warc_files  # 1:1 sharding
+
+    direct = {
+        r["url"]: r["x"]
+        for r in read_warc_responses(spark, warc_root)
+        .filter(F.col("http_status") == 200)
+        .select(
+            "url",
+            F.array_join(
+                F.transform(
+                    F.filter(html_block_stats(F.col("page")), _keep),
+                    lambda s: s["txt"],
+                ),
+                "\n",
+            ).alias("x"),
+        )
+        .collect()
+    }
+    got = {
+        r["url"]: bytes(r["payload"]).decode("utf-8")
+        for r in read_warc_records(spark, wet_root, glob="*.warc.wet.gz")
+        .filter(F.col("rec_type") == "conversion")
+        .collect()
+    }
+    assert set(got) == set(direct) and direct
+    for url, x in direct.items():
+        assert got[url] == x
