@@ -518,6 +518,29 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_df(spark, (sf_dir, "dedup_minhash_sig"), build)
 
 
+def _bands_of_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) from a (doc_id, mh0..mh15) signature table —
+    THE band-key definition (md5 over ':'-joined row components),
+    shared by the corpus-wide LSH index and the incremental-snapshot
+    store so the two can never drift."""
+    rows_per_band = len(_AB) // _BANDS
+    band_cols = []
+    for bidx in range(_BANDS):
+        members = [
+            F.col(f"mh{i}").cast("string")
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.md5(F.concat_ws(":", *members)).alias("key"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, key): the banded LSH index over
     :func:`_minhash_sig` — serving-cached (the salted self-join
@@ -525,26 +548,10 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table a dedup service refreshes with the corpus)."""
     from codegraph_spark.serving import shared_df
 
-    def build() -> DataFrame:
-        sig = _minhash_sig(spark, sf_dir)
-        rows_per_band = len(_AB) // _BANDS
-        band_cols = []
-        for bidx in range(_BANDS):
-            members = [
-                F.col(f"mh{i}").cast("string")
-                for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
-            ]
-            band_cols.append(
-                F.struct(
-                    F.lit(bidx).alias("band"),
-                    F.md5(F.concat_ws(":", *members)).alias("key"),
-                )
-            )
-        return sig.select(
-            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    return shared_df(spark, (sf_dir, "dedup_minhash_bands"), build)
+    return shared_df(
+        spark, (sf_dir, "dedup_minhash_bands"),
+        lambda: _bands_of_sig(_minhash_sig(spark, sf_dir)),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2057,7 +2064,267 @@ ORDER BY source
 """
 
 
+# --- dedup_incremental: new-crawl dedup against a prior snapshot's stores -----
+#
+# The OPERATIONAL dedup shape at 100 TB: crawls arrive monthly, and
+# nobody re-deduplicates 20 prior snapshots against each other every
+# time — the pipeline keeps two persisted fingerprint stores (distinct
+# content hashes; distinct MinHash band keys) and each incoming batch
+# is classified with two JOINS against them, never a recompute of the
+# prior corpus. This gate builds the stores from the "prior" slice
+# (doc_id % 3 != 0) and classifies the "incoming" slice per document:
+#
+#   exact_prior — content hash already in the snapshot store;
+#   near_prior  — no exact hit, but ≥1 LSH band key collides with a
+#                 DIFFERENT prior clique (same 16-minhash/4-band
+#                 machinery as dedup_minhash_lsh, _bands_of_sig — one
+#                 definition, no drift);
+#   batch_dup   — clean vs the snapshot, but an exact copy of an
+#                 earlier doc in the SAME batch (first-seen-wins);
+#   new         — admitted; the per-source hashsum pins exactly which.
+#
+# Crawl-overlap rule (replayed by both engines — the corpus has no
+# natural exact dups at sf0.01, and a gate whose exact branches never
+# fire verifies nothing): the incoming batch is the fresh slice PLUS
+# (a) REFETCHES — every prior doc with doc_id % 7 == 0 reappears
+# unchanged under doc_id + 1e12 (the dominant real-world case: most
+# pages don't change between monthly crawls), and (b) MIRRORED
+# IN-BATCH COPIES — every fresh doc with doc_id % 11 == 0 appears
+# again under doc_id + 2e12 (the same page reached via two URLs in
+# one crawl). All four classes are exercised at every sf.
+#
+# Exact-dedup-first discipline: signatures are computed per DISTINCT
+# text (clique reps), so a mass-duplicated incoming doc signs once,
+# and a same-hash group shares one classification by construction
+# (same text -> same hash -> same bands). Scale shape: one hash
+# groupBy, one rep shingle/sign pass, a (band,key) semi-join and an
+# h-join — all linear, no pairwise stage anywhere.
+
+#: replayed-overlap doc_id offsets (far above any real doc_id; BIGINT)
+_INC_REFETCH_OFF = 1_000_000_000_000
+_INC_MIRROR_OFF = 2_000_000_000_000
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source incremental-dedup audit of the incoming slice
+    against the prior snapshot's hash + band stores (see the comment
+    above): (source, n_incoming, n_exact_prior, n_near_prior,
+    n_batch_dup, n_new, admitted_hashsum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select("doc_id", "source", "text")
+    refetch = base.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0)
+    ).select(
+        (F.col("doc_id") + _INC_REFETCH_OFF).alias("doc_id"),
+        "source", "text",
+        F.lit(True).alias("incoming"),
+    )
+    mirror = base.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 11 == 0)
+    ).select(
+        (F.col("doc_id") + _INC_MIRROR_OFF).alias("doc_id"),
+        "source", "text",
+        F.lit(True).alias("incoming"),
+    )
+    d = (
+        base.withColumn("incoming", F.col("doc_id") % 3 == 0)
+        .unionByName(refetch)
+        .unionByName(mirror)
+        .withColumn("h", F.md5("text"))
+    )
+    # one row per distinct text: rep + prior membership + first
+    # incoming occurrence (the h groupBy is the only corpus-wide
+    # shuffle; everything signature-side runs at rep cardinality)
+    gh = d.groupBy("h").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.sum(F.when(~F.col("incoming"), 1).otherwise(0)).alias("n_prior"),
+        F.min(F.when(F.col("incoming"), F.col("doc_id"))).alias("min_in"),
+    )
+    reps = d.select("doc_id", "text").join(
+        gh.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    sig = (
+        _shingles_of(reps)
+        .withColumn("hs", _shingle_hash_spark())
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("hs") + F.lit(b)) % _P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(_AB)
+            ]
+        )
+    )
+    banded = _bands_of_sig(sig)
+    prior_reps = gh.filter(F.col("n_prior") > 0).select(
+        F.col("rep_id").alias("doc_id")
+    )
+    # the persisted band store: distinct (band, key) of prior cliques.
+    # A clique with no prior member can only collide with OTHER
+    # cliques' keys here, so a plain semi-join is exactly "near a
+    # different prior text" (its own keys are absent by construction).
+    prior_bands = (
+        banded.join(prior_reps, "doc_id", "left_semi")
+        .select("band", "key")
+        .distinct()
+    )
+    near_reps = (
+        banded.join(
+            gh.filter(F.col("n_prior") == 0).select(
+                F.col("rep_id").alias("doc_id")
+            ),
+            "doc_id", "left_semi",
+        )
+        .join(prior_bands, ["band", "key"], "left_semi")
+        .select(F.col("doc_id").alias("rep_id"))
+        .distinct()
+        .withColumn("nearf", F.lit(True))
+    )
+    inc = (
+        d.filter("incoming")
+        .join(gh, "h")
+        .join(near_reps, "rep_id", "left")
+        .select(
+            "source", "doc_id", "h", "n_prior", "min_in",
+            F.coalesce("nearf", F.lit(False)).alias("nearf"),
+        )
+    )
+    cls = inc.select(
+        "source",
+        F.when(F.col("n_prior") > 0, "exact_prior")
+        .when(F.col("nearf"), "near_prior")
+        .when(F.col("doc_id") > F.col("min_in"), "batch_dup")
+        .otherwise("new")
+        .alias("cls"),
+        (
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") % _P
+        ).alias("hnum"),
+    )
+    return (
+        cls.repartition(par, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+            F.sum(F.when(F.col("cls") == "exact_prior", 1).otherwise(0))
+            .cast("bigint").alias("n_exact_prior"),
+            F.sum(F.when(F.col("cls") == "near_prior", 1).otherwise(0))
+            .cast("bigint").alias("n_near_prior"),
+            F.sum(F.when(F.col("cls") == "batch_dup", 1).otherwise(0))
+            .cast("bigint").alias("n_batch_dup"),
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+            .cast("bigint").alias("n_new"),
+            F.sum(F.when(F.col("cls") == "new", F.col("hnum")).otherwise(0))
+            .cast("bigint").alias("admitted_hashsum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _incremental_sql() -> str:
+    mh = ",\n           ".join(
+        f"min(({a} * hs + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_AB)
+    )
+    rows_per_band = len(_AB) // _BANDS
+    band_selects = []
+    for bidx in range(_BANDS):
+        concat = " || ':' || ".join(
+            f"CAST(mh{i} AS VARCHAR)"
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band, md5({concat}) AS key FROM sig"
+        )
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH d AS (
+    SELECT doc_id, source, text, md5(text) AS h,
+           doc_id % 3 = 0 AS incoming
+    FROM documents
+    UNION ALL
+    SELECT doc_id + {_INC_REFETCH_OFF} AS doc_id, source, text,
+           md5(text) AS h, TRUE AS incoming
+    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + {_INC_MIRROR_OFF} AS doc_id, source, text,
+           md5(text) AS h, TRUE AS incoming
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 = 0
+),
+gh AS (
+    SELECT h, min(doc_id) AS rep_id,
+           sum(CASE WHEN NOT incoming THEN 1 ELSE 0 END) AS n_prior,
+           min(CASE WHEN incoming THEN doc_id END) AS min_in
+    FROM d GROUP BY h
+),
+reps AS (
+    SELECT d.doc_id, d.text FROM d
+    WHERE d.doc_id IN (SELECT rep_id FROM gh)
+),
+shingles AS (
+    SELECT DISTINCT doc_id, w || ' ' || w2 || ' ' || w3 AS shingle
+    FROM (
+        SELECT doc_id, w,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM reps
+        )
+    ) WHERE w3 IS NOT NULL
+),
+hashed AS (
+    SELECT doc_id, {_SHINGLE_HASH_SQL} AS hs FROM shingles
+),
+sig AS (
+    SELECT doc_id,
+           {mh}
+    FROM hashed GROUP BY doc_id
+),
+banded AS (
+    {bands}
+),
+prior_bands AS (
+    SELECT DISTINCT band, key FROM banded
+    WHERE doc_id IN (SELECT rep_id FROM gh WHERE n_prior > 0)
+),
+near AS (
+    SELECT DISTINCT b.doc_id AS rep_id
+    FROM banded b JOIN prior_bands p USING (band, key)
+    WHERE b.doc_id IN (SELECT rep_id FROM gh WHERE n_prior = 0)
+),
+cls AS (
+    SELECT d.source,
+           CASE WHEN g.n_prior > 0 THEN 'exact_prior'
+                WHEN n.rep_id IS NOT NULL THEN 'near_prior'
+                WHEN d.doc_id > g.min_in THEN 'batch_dup'
+                ELSE 'new' END AS cls,
+           CAST(('0x' || substr(d.h, 1, 15)) AS BIGINT) % {_P} AS hnum
+    FROM d
+    JOIN gh g USING (h)
+    LEFT JOIN near n ON n.rep_id = g.rep_id
+    WHERE d.incoming
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(sum(CASE WHEN cls = 'exact_prior' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_prior,
+       CAST(sum(CASE WHEN cls = 'near_prior' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_prior,
+       CAST(sum(CASE WHEN cls = 'batch_dup' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_batch_dup,
+       CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN cls = 'new' THEN hnum ELSE 0 END) AS BIGINT)
+           AS admitted_hashsum
+FROM cls
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "dedup_incremental": dedup_incremental,
     "dedup_exact_substr": dedup_exact_substr,
     "dedup_paragraph": dedup_paragraph,
     "dedup_jaccard_ppjoin": dedup_jaccard_ppjoin,
@@ -2078,6 +2345,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_incremental": _incremental_sql(),
     "dedup_exact_substr": _EXACT_SUBSTR_SQL,
     "dedup_paragraph": _PARA_SQL,
     "dedup_jaccard_ppjoin": _NGRAM_SQL,
