@@ -1039,6 +1039,142 @@ ORDER BY doc_id
 """
 
 
+# --- web_boilerplate_freq: frequency-based boilerplate vs the rule-based keep --
+#
+# The OTHER standard boilerplate killer: a block whose exact text
+# repeats across many pages of the same site is chrome (nav, footer,
+# cookie banner) no matter what its word count or link density says —
+# CCNet dedups paragraphs corpus-wide for exactly this reason, and
+# RefinedWeb/Dolma run a per-site frequent-line pass. This gate runs
+# BOTH detectors over the same block set and emits their agreement
+# matrix per source: blocks caught by both, by the rule only (short /
+# link-dense one-offs frequency can't see), by frequency only
+# (repeated full-prose blocks the link-density rule keeps), by
+# neither. freq_recall_pm says how much of the rule-based drop set
+# the cheap frequency pass recovers — the number that decides
+# whether a site needs the expensive extractor at all.
+#
+# Branch coverage stated plainly (the web_domain_curation precedent):
+# at sf0.01 the corpus's body text has no ≥3-repeated blocks, so
+# n_freq_only is 0 there and the both/rule-only/neither cells carry
+# the gate; the skew suite's 150-copy hot domain drives n_freq_only
+# (mass-duplicated prose is frequency-boilerplate but rule-kept).
+#
+# Scale shape: one block explode (linear), one map-side-combinable
+# (source, block-hash) count, one join back on the same key, one
+# per-source rollup — no pairwise anything; the frequency store at
+# 100 TB is the per-site (hash, n) table a curation service persists.
+
+#: per-site occurrence floor above which a block is chrome
+_FREQ_BP_MIN = 3
+
+
+def web_boilerplate_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source agreement matrix between frequency-based and
+    rule-based boilerplate detection over the wrapped corpus — see
+    the comment above."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    paged = docs.repartition(par, "doc_id").select(
+        "doc_id", "source",
+        html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
+        .alias("page"),
+    )
+    b = paged.select(
+        "source",
+        F.explode(html_block_stats(F.col("page"))).alias("s"),
+    ).select(
+        "source",
+        F.md5(F.col("s.txt")).alias("h"),
+        _keep(F.col("s")).alias("kept"),
+    )
+    counts = b.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
+    occ = b.join(counts, ["source", "h"]).select(
+        "source",
+        (F.col("n") >= _FREQ_BP_MIN).alias("freq_bp"),
+        (~F.col("kept")).alias("rule_bp"),
+    )
+    return (
+        occ.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.when(F.col("freq_bp") & F.col("rule_bp"), 1).otherwise(0))
+            .cast("bigint").alias("n_both"),
+            F.sum(F.when(~F.col("freq_bp") & F.col("rule_bp"), 1).otherwise(0))
+            .cast("bigint").alias("n_rule_only"),
+            F.sum(F.when(F.col("freq_bp") & ~F.col("rule_bp"), 1).otherwise(0))
+            .cast("bigint").alias("n_freq_only"),
+            F.sum(F.when(~F.col("freq_bp") & ~F.col("rule_bp"), 1).otherwise(0))
+            .cast("bigint").alias("n_neither"),
+        )
+        .join(
+            counts.filter(F.col("n") >= _FREQ_BP_MIN)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bp_distinct")),
+            "source", "left",
+        )
+        .select(
+            "source", "n_blocks", "n_both", "n_rule_only", "n_freq_only",
+            "n_neither",
+            F.coalesce("n_bp_distinct", F.lit(0)).cast("bigint")
+            .alias("n_bp_distinct"),
+            F.expr(
+                "CAST(CASE WHEN n_both + n_rule_only > 0"
+                " THEN n_both * 1000 div (n_both + n_rule_only)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("freq_recall_pm"),
+        )
+        .orderBy("source")
+    )
+
+
+_BP_FREQ_SQL = f"""
+WITH paged AS (
+    SELECT doc_id, source, {_WRAP_SQL} AS page FROM documents
+),
+b AS (
+    SELECT source, md5(s.txt) AS h, {_KEEP_SQL} AS kept
+    FROM (
+        SELECT source, unnest({_BLOCKS_SQL}) AS s FROM paged
+    )
+),
+counts AS (
+    SELECT source, h, count(*) AS n FROM b GROUP BY source, h
+),
+occ AS (
+    SELECT b.source,
+           c.n >= {_FREQ_BP_MIN} AS freq_bp,
+           NOT b.kept AS rule_bp
+    FROM b JOIN counts c USING (source, h)
+),
+agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN freq_bp AND rule_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN NOT freq_bp AND rule_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rule_only,
+           CAST(sum(CASE WHEN freq_bp AND NOT rule_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_freq_only,
+           CAST(sum(CASE WHEN NOT freq_bp AND NOT rule_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neither
+    FROM occ GROUP BY source
+),
+bpd AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_bp_distinct
+    FROM counts WHERE n >= {_FREQ_BP_MIN} GROUP BY source
+)
+SELECT a.source, a.n_blocks, a.n_both, a.n_rule_only, a.n_freq_only,
+       a.n_neither,
+       CAST(coalesce(b.n_bp_distinct, 0) AS BIGINT) AS n_bp_distinct,
+       CAST(CASE WHEN a.n_both + a.n_rule_only > 0
+                 THEN a.n_both * 1000 // (a.n_both + a.n_rule_only)
+                 ELSE 0 END AS BIGINT) AS freq_recall_pm
+FROM agg a LEFT JOIN bpd b USING (source)
+ORDER BY a.source
+"""
+
+
 # --- URL canonicalization + URL-level dedup (r10 VERDICT "Next round" 3) -------
 #
 # The cheapest first pass every crawl pipeline runs BEFORE any content
@@ -2715,6 +2851,7 @@ QUERIES = {
     "text_html_extract_dirty": text_html_extract_dirty,
     "web_warc_extract": web_warc_extract,
     "web_wet_roundtrip": web_wet_roundtrip,
+    "web_boilerplate_freq": web_boilerplate_freq,
     "web_url_canonical": web_url_canonical,
     "web_url_dedup": web_url_dedup,
     "web_charset_audit": web_charset_audit,
@@ -2738,6 +2875,7 @@ ORACLES = {
     "text_html_extract_dirty": _HTML_DIRTY_SQL,
     "web_warc_extract": _WARC_EXTRACT_SQL,
     "web_wet_roundtrip": _WET_SQL,
+    "web_boilerplate_freq": _BP_FREQ_SQL,
     "web_url_canonical": _URL_CANON_SQL,
     "web_url_dedup": _URL_DEDUP_SQL,
     "web_charset_audit": _CHARSET_SQL,

@@ -50,6 +50,9 @@ SKEW_SET = [
     "text_html_extract",
     "text_html_extract_dirty",
     "web_warc_extract",
+    "web_wet_roundtrip",
+    "web_boilerplate_freq",
+    "dedup_incremental",
     "web_url_canonical",
     "web_url_dedup",
     "web_charset_audit",
