@@ -975,9 +975,202 @@ def stream_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-store dedup AT THE INGEST DOOR — the streaming twin of
+    :func:`codegraph_spark.queries.dedup.dedup_incremental`, sharing
+    its oracle byte-for-byte. The prior crawl's two persisted stores
+    (distinct content hashes; distinct LSH (band, key) pairs) are
+    static dimensions built batch-side once; each arriving fetch
+    decides its prior-dup status with two stream-static joins and NO
+    state store at all:
+
+    - the per-doc MinHash signature is a PURE ARRAY EXPRESSION
+      (array_min over the hashed shingle array, 16 components) — the
+      same 3-word shingle set and band-key md5 as the batch machinery,
+      so stream and batch signatures are bit-identical per text;
+    - docs with < 3 words get an EMPTY band array (the batch side has
+      no signature row for them), so a null-key can never
+      false-match another shingle-less doc;
+    - the crawl-overlap replay (%7 refetches, %11 in-batch mirrors)
+      happens in-stream via a per-row instance explode, so the door
+      sees exactly the batch's incoming multiset however the input
+      splits into micro-batches.
+
+    Only the within-batch first-seen (batch_dup vs new) finalizes in
+    the drain rollup — that decision needs the batch's full h-groups
+    (the stateful seen-set variant is stream_url_dedup's shape; here
+    the door's job is the snapshot check). At 100 TB the h-store join
+    is a per-micro-batch shuffle join against a parquet dimension (or
+    a Bloom pre-filter ahead of it); the band store joins the ≤4
+    exploded keys per doc."""
+    from codegraph_spark.streaming.incremental import read_documents_stream
+
+    return _incremental_door(
+        spark, sf_dir, read_documents_stream(spark, sf_dir)
+    )
+
+
+def _incremental_door(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Core of :func:`stream_dedup_incremental` over a caller-supplied
+    document stream (split out so the multi-batch shuffled-stream test
+    can inject read_documents_stream_shuffled)."""
+    from codegraph_spark.queries.dedup import (
+        _AB,
+        _BANDS,
+        _INC_MIRROR_OFF,
+        _INC_REFETCH_OFF,
+        _P,
+        _shingle_array,
+    )
+    from codegraph_spark.sources.tables import load_table
+
+    # --- static stores (the persisted snapshot dimensions) ---------------
+    base = load_table(spark, sf_dir, "documents")
+    prior_texts = (
+        base.filter(F.col("doc_id") % 3 != 0)
+        .select("text")
+        .distinct()
+    )
+
+    def _sig_cols() -> list:
+        hs = F.transform(
+            _shingle_array(),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("bigint") % _P,
+        )
+        return [
+            F.array_min(
+                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % _P)
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_AB)
+        ]
+
+    def _band_arr() -> F.Column:
+        rows_per_band = len(_AB) // _BANDS
+        cols = []
+        for bidx in range(_BANDS):
+            members = [
+                F.col(f"mh{i}").cast("string")
+                for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+            ]
+            cols.append(
+                F.struct(
+                    F.lit(bidx).alias("band"),
+                    F.md5(F.concat_ws(":", *members)).alias("key"),
+                )
+            )
+        # < 3 words -> no shingles -> no signature batch-side: emit an
+        # EMPTY band array, not md5-of-empty keys
+        return F.when(
+            F.col("mh0").isNotNull(), F.array(*cols)
+        ).otherwise(F.array().cast("array<struct<band:int,key:string>>"))
+
+    prior_bands = (
+        prior_texts.select(*_sig_cols())
+        .filter(F.col("mh0").isNotNull())
+        .select(F.explode(_band_arr()).alias("bk"))
+        .select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .distinct()
+    )
+    prior_h = (
+        base.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("exactf", F.lit(1))
+    )
+
+    # --- the door: arriving fetches ---------------------------------------
+    nat = (F.col("doc_id") % 3 == 0)
+    inst = F.filter(
+        F.array(
+            F.when(nat, F.col("doc_id")),
+            F.when(
+                ~nat & (F.col("doc_id") % 7 == 0),
+                F.col("doc_id") + _INC_REFETCH_OFF,
+            ),
+            F.when(
+                nat & (F.col("doc_id") % 11 == 0),
+                F.col("doc_id") + _INC_MIRROR_OFF,
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    arriving = docs.select(
+        "source", "text", F.explode(inst).alias("doc_id")
+    )
+    signed = arriving.select(
+        "source", "doc_id",
+        F.md5("text").alias("h"),
+        *_sig_cols(),
+    ).select(
+        "source", "doc_id", "h",
+        F.explode_outer(_band_arr()).alias("bk"),
+    )
+    dec = (
+        signed.join(F.broadcast(prior_h), "h", "left")
+        .join(
+            F.broadcast(prior_bands),
+            (F.col("bk.band") == F.col("band"))
+            & (F.col("bk.key") == F.col("key")),
+            "left",
+        )
+        .select(
+            "source", "doc_id", "h",
+            F.coalesce("exactf", F.lit(0)).alias("exactf"),
+            F.when(F.col("band").isNotNull(), 1).otherwise(0).alias("bhit"),
+        )
+    )
+    drained = run_available_now(dec, output_mode="append")
+
+    # --- batch-side finalize (shared-oracle rollup) -----------------------
+    per_doc = drained.groupBy("source", "doc_id", "h").agg(
+        F.max("exactf").alias("exactf"),
+        F.max("bhit").alias("nearf"),
+    )
+    # gh2 shares per_doc's lineage (the r10-verdict SemDeDup lesson):
+    # rename its key so the join condition references two UNIQUE
+    # column names and self-join resolution never has to guess
+    gh2 = (
+        per_doc.groupBy("h")
+        .agg(F.min("doc_id").alias("min_in"))
+        .withColumnRenamed("h", "h_g")
+    )
+    cls = per_doc.join(gh2, F.col("h") == F.col("h_g")).select(
+        "source",
+        F.when(F.col("exactf") == 1, "exact_prior")
+        .when(F.col("nearf") == 1, "near_prior")
+        .when(F.col("doc_id") > F.col("min_in"), "batch_dup")
+        .otherwise("new")
+        .alias("cls"),
+        (
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") % _P
+        ).alias("hnum"),
+    )
+    return (
+        cls.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+            F.sum(F.when(F.col("cls") == "exact_prior", 1).otherwise(0))
+            .cast("bigint").alias("n_exact_prior"),
+            F.sum(F.when(F.col("cls") == "near_prior", 1).otherwise(0))
+            .cast("bigint").alias("n_near_prior"),
+            F.sum(F.when(F.col("cls") == "batch_dup", 1).otherwise(0))
+            .cast("bigint").alias("n_batch_dup"),
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+            .cast("bigint").alias("n_new"),
+            F.sum(F.when(F.col("cls") == "new", F.col("hnum")).otherwise(0))
+            .cast("bigint").alias("admitted_hashsum"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "stream_url_dedup": stream_url_dedup,
     "stream_robots_gate": stream_robots_gate,
+    "stream_dedup_incremental": stream_dedup_incremental,
     "stream_image_meta": stream_image_meta,
     "stream_html_extract": stream_html_extract,
     "stream_html_extract_dirty": stream_html_extract_dirty,
@@ -1011,9 +1204,14 @@ from codegraph_spark.queries.web import (  # noqa: E402
     _ROBOTS_SQL as _STREAM_ROBOTS_SQL,
 )
 
+from codegraph_spark.queries.dedup import (  # noqa: E402
+    _incremental_sql as _stream_incremental_sql,
+)
+
 ORACLES = {
     "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
     "stream_robots_gate": _STREAM_ROBOTS_SQL,
+    "stream_dedup_incremental": _stream_incremental_sql(),
     "stream_image_meta": _STREAM_MM_META_SQL,
     "stream_html_extract": _STREAM_HTML_EXTRACT_SQL,
     "stream_html_extract_dirty": _STREAM_HTML_DIRTY_SQL,

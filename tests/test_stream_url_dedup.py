@@ -23,3 +23,23 @@ def test_shuffled_batches_match_batch_dedup(spark, sf_dir):
         map(tuple, batch), key=lambda t: t[0]
     )
     assert len(batch) > 0
+
+
+def test_shuffled_batches_match_batch_incremental_dedup(spark, sf_dir):
+    """stream_dedup_incremental over six interleaved micro-batches
+    equals the batch dedup_incremental rollup exactly — the door's
+    per-row signature + store joins are stateless, and the drain
+    finalize must recover the batch h-groups regardless of how the
+    incoming multiset splits across batches."""
+    from codegraph_spark.queries.dedup import dedup_incremental
+    from codegraph_spark.queries.streaming import _incremental_door
+    from codegraph_spark.streaming.incremental import (
+        read_documents_stream_shuffled,
+    )
+
+    streamed = _incremental_door(
+        spark, sf_dir, read_documents_stream_shuffled(spark, sf_dir)
+    ).collect()
+    batch = dedup_incremental(spark, sf_dir).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
