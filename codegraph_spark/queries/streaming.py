@@ -1034,25 +1034,44 @@ def _incremental_door(
         .distinct()
     )
 
-    def _sig_cols() -> list:
+    def _mins_col() -> F.Column:
+        """All 16 MinHash components in ONE traversal of the hashed
+        shingle array: F.aggregate folds a 16-element running-min
+        accumulator, zip_with'd against the constant (a, b) pairs. The
+        obvious 16 x array_min(transform(...)) formulation rebuilds
+        the shingle + md5 chain PER COMPONENT (measured ~5x the whole
+        drain); here the hash chain evaluates once per row. Values lie
+        in [0, P), so init = P is the identity. Empty shingle arrays
+        keep the init accumulator and are masked by the size guard in
+        _band_arr (batch side has no signature row for them)."""
         hs = F.transform(
             _shingle_array(),
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
             .cast("bigint") % _P,
         )
-        return [
-            F.array_min(
-                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % _P)
-            ).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_AB)
-        ]
+        ab = F.array(
+            *[
+                F.struct(
+                    F.lit(a).cast("bigint").alias("a"),
+                    F.lit(b).cast("bigint").alias("b"),
+                )
+                for a, b in _AB
+            ]
+        )
+        return F.aggregate(
+            hs,
+            F.array_repeat(F.lit(_P).cast("bigint"), len(_AB)),
+            lambda acc, h: F.zip_with(
+                acc, ab, lambda x, p: F.least(x, (p["a"] * h + p["b"]) % _P)
+            ),
+        )
 
     def _band_arr() -> F.Column:
         rows_per_band = len(_AB) // _BANDS
         cols = []
         for bidx in range(_BANDS):
             members = [
-                F.col(f"mh{i}").cast("string")
+                F.element_at("mins", i + 1).cast("string")
                 for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
             ]
             cols.append(
@@ -1062,23 +1081,33 @@ def _incremental_door(
                 )
             )
         # < 3 words -> no shingles -> no signature batch-side: emit an
-        # EMPTY band array, not md5-of-empty keys
+        # EMPTY band array, not keys folded from the init accumulator
         return F.when(
-            F.col("mh0").isNotNull(), F.array(*cols)
+            F.col("has_sig"), F.array(*cols)
         ).otherwise(F.array().cast("array<struct<band:int,key:string>>"))
 
-    prior_bands = (
-        prior_texts.select(*_sig_cols())
-        .filter(F.col("mh0").isNotNull())
+    # serving-cached like every store-shaped structure: in production
+    # these ARE persisted tables the prior crawl wrote — rebuilding
+    # them per drain would misprice the door's steady-state cost
+    from codegraph_spark.serving import shared_df
+
+    prior_bands = shared_df(
+        spark, (sf_dir, "inc_prior_bands"),
+        lambda: prior_texts.select(
+            _mins_col().alias("mins"),
+            (F.size(_shingle_array()) > 0).alias("has_sig"),
+        )
+        .filter("has_sig")
         .select(F.explode(_band_arr()).alias("bk"))
         .select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .distinct()
+        .distinct(),
     )
-    prior_h = (
-        base.filter(F.col("doc_id") % 3 != 0)
+    prior_h = shared_df(
+        spark, (sf_dir, "inc_prior_h"),
+        lambda: base.filter(F.col("doc_id") % 3 != 0)
         .select(F.md5("text").alias("h"))
         .distinct()
-        .withColumn("exactf", F.lit(1))
+        .withColumn("exactf", F.lit(1)),
     )
 
     # --- the door: arriving fetches ---------------------------------------
@@ -1103,7 +1132,8 @@ def _incremental_door(
     signed = arriving.select(
         "source", "doc_id",
         F.md5("text").alias("h"),
-        *_sig_cols(),
+        _mins_col().alias("mins"),
+        (F.size(_shingle_array()) > 0).alias("has_sig"),
     ).select(
         "source", "doc_id", "h",
         F.explode_outer(_band_arr()).alias("bk"),
