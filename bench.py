@@ -85,6 +85,16 @@ HEADLINE = [
     # with five-run solo evidence in BASELINE.md before first bench.
     "stream_url_dedup",
     "web_domain_curation",
+    # round-11 fourth wave: the crawl loop closed end-to-end — the WET
+    # sink round trip and frequency-boilerplate audit (scan-class
+    # ≤ 2 s), the snapshot-store dedup (iterative class ≤ 5 s) and its
+    # ingest-door streaming twin (streaming-drain class ≤ 5 s) —
+    # declared with five-run solo evidence in BASELINE.md before first
+    # bench.
+    "web_wet_roundtrip",
+    "web_boilerplate_freq",
+    "dedup_incremental",
+    "stream_dedup_incremental",
 ]
 
 
