@@ -60,6 +60,8 @@ PROBES = [
                                  # (NO pair join — must stay linear)
     "dedup_paragraph",           # r11: paragraph-hash first-seen
                                  # (combiner-folded min, linear)
+    "dedup_incremental",         # r11: snapshot-store joins (exact
+                                 # hash + LSH bands; no pairwise stage)
 ]
 
 FLAG_FACTOR = 2.5  # same accusation line as SCALE.md, at 100x

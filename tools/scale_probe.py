@@ -122,6 +122,10 @@ PROBES = [
     "text_classifier_calibration",
     "web_crawl_delta",
     "stream_robots_gate",
+    "web_wet_roundtrip",
+    "web_boilerplate_freq",
+    "dedup_incremental",
+    "stream_dedup_incremental",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
@@ -194,10 +198,34 @@ PROBE_NOTES = {
     ),
     "web_warc_extract": (
         "file-granular scan + per-file sequential member walk + the "
-        "shared extraction program; the 10x fixture holds 10x the "
-        "records across the same file count (bigger files, the "
+        "shared extraction program; the fixture's file count grows "
+        "with the corpus (max(8, n/2500) bounded-size files, the "
         "CommonCrawl shape) plus the 4/3 word growth of the replica "
         "documents"
+    ),
+    "web_wet_roundtrip": (
+        "the WET re-read is the same file-granular member walk as "
+        "web_warc_extract minus the extraction (conversion records "
+        "are the already-extracted text); the one-time sink write is "
+        "the prewarmed build-once fixture, outside the timer like "
+        "every stored-bytes gate"
+    ),
+    "web_boilerplate_freq": (
+        "one block explode + one map-side-combinable (source, hash) "
+        "count + a key join back — linear in blocks; the 4/3 word "
+        "growth of the replica documents adds blocks per page"
+    ),
+    "dedup_incremental": (
+        "one content-hash groupBy + one rep-level shingle/sign pass "
+        "+ (band,key) and h joins; replica perturbation grows the "
+        "rep set with the corpus so the sign pass is the same "
+        "per-distinct-text work as dedup_minhash_lsh"
+    ),
+    "stream_dedup_incremental": (
+        "stateless door: per-row single-traversal signature fold + "
+        "two stream-static store joins; the serving-cached prior "
+        "stores are built once per session (the persisted-table "
+        "production shape), drain finalize is one h-group rollup"
     ),
     "web_warc_point_lookup": (
         "index build is one member walk per file (10x records/file at "
