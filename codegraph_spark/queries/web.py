@@ -1039,6 +1039,256 @@ ORDER BY doc_id
 """
 
 
+# --- web_warc_media_door: mime-type routing at the crawl door ------------------
+#
+# A real crawl's WARC files do not hold only HTML: image, binary and
+# application payloads arrive through the same door, and a pipeline
+# that string-decodes everything corrupts them silently. This gate
+# stores a MIXED corpus (every subset doc contributes three response
+# records — its HTML page, an 8x8 grayscale PNG whose pixels are the
+# doc's first 64 text bytes, and an octet-stream blob of the raw text
+# bytes), then routes each record by Content-Type through the
+# byte-preserving reader (sources/warc.read_warc_http):
+#
+#   text/html                → page md5 (the extraction door's input pin)
+#   image/png                → REAL stdlib-codec decode
+#                              (operators/png_stdlib.decode_png_gray,
+#                              the same production dispatch the mm
+#                              gates ride) → pixel-value sum
+#   application/octet-stream → body md5
+#
+# The oracle never sees a codec: pixels are the text bytes by
+# construction, so it replays the pixel sum (and the md5s) DIRECTLY
+# from the text — the encode→store→scan→decode round trip cancels
+# out, and any codec, framing, envelope-split, or byte-corruption
+# drift hash-mismatches (the mm_stored_* trick, now at the crawl
+# door). ASCII is asserted at build (byte == codepoint is what makes
+# the SQL replay exact). Scale shape: file-granular scan, one kernel
+# pass per record, the PNG branch's decode kernel runs on the routed
+# subset only; one (source, mime) rollup.
+
+#: every Nth doc contributes media records (bounds the one-time
+#: build). 7, not 10: source ids cycle mod 20, so a mod sharing a
+#: factor with 20 would alias the subset onto 2 of the 20 sources —
+#: a coprime mod covers every source at every sf
+_MEDIA_SUBSET_MOD = 7
+#: grayscale thumbnail side — pixels are the first side^2 text bytes
+_MEDIA_PX_SIDE = 8
+#: pad byte for texts shorter than side^2 (ASCII space)
+_MEDIA_PAD = 32
+
+
+def _warc_mixed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once mixed-media WARC corpus (see the comment above):
+    real .warc.gz files whose response records carry text/html,
+    image/png (stdlib-encoded), and application/octet-stream payloads
+    with proper HTTP envelopes. ASCII-asserted; cached with a _DONE
+    sentinel keyed on the documents fingerprint."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from codegraph_spark.operators.multimodal import _ascii_nonempty
+    from codegraph_spark.sources.warc import warc_record_bytes, write_warc
+    from codegraph_spark.streaming.incremental import _table_fingerprint
+
+    fp = _table_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|warc-mixed-v1|"
+        f"{_MEDIA_SUBSET_MOD}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join("/tmp", "spark_graft_warc_mixed", tag)
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+
+    sub = _ascii_nonempty(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _MEDIA_SUBSET_MOD == 0
+        )
+    )
+    nfiles = _warc_nfiles(sub.count())
+    docs = (
+        sub.select(
+            "doc_id", "source",
+            html_wrap(
+                F.col("text"), F.col("doc_id"), F.col("source")
+            ).alias("page"),
+            "text",
+            (F.col("doc_id") % nfiles).alias("fidx"),
+        )
+        .repartition(nfiles, "fidx")
+    )
+
+    def _http(body: bytes, ctype: str) -> bytes:
+        return (
+            b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Type: {ctype}\r\n".encode("ascii")
+            + f"Content-Length: {len(body)}\r\n\r\n".encode("ascii")
+            + body
+        )
+
+    def write_files(batches):
+        from codegraph_spark.operators.png_stdlib import encode_png
+
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for doc_id, source, page, text, fidx in zip(
+                pdf["doc_id"], pdf["source"], pdf["page"], pdf["text"],
+                pdf["fidx"],
+            ):
+                acc.setdefault(int(fidx), []).append(
+                    (int(doc_id), str(source), str(page), str(text))
+                )
+        import os as _os
+
+        n_px = _MEDIA_PX_SIDE * _MEDIA_PX_SIDE
+        n = 0
+        for fidx, rows in acc.items():
+            rows.sort()
+            recs = []
+            for doc_id, source, page, text in rows:
+                host = f"https://{source}.example.org"
+                recs.append(
+                    warc_record_bytes(
+                        "response", f"{host}/doc/{doc_id}",
+                        _http(page.encode("utf-8"),
+                              "text/html; charset=utf-8"),
+                        f"mx-html-{doc_id}",
+                        content_type="application/http;msgtype=response",
+                    )
+                )
+                px = text.encode("ascii")[:n_px]
+                px = px + bytes([_MEDIA_PAD]) * (n_px - len(px))
+                recs.append(
+                    warc_record_bytes(
+                        "response", f"{host}/img/{doc_id}.png",
+                        _http(
+                            encode_png(px, _MEDIA_PX_SIDE, _MEDIA_PX_SIDE, 1),
+                            "image/png",
+                        ),
+                        f"mx-png-{doc_id}",
+                        content_type="application/http;msgtype=response",
+                    )
+                )
+                recs.append(
+                    warc_record_bytes(
+                        "response", f"{host}/blob/{doc_id}.bin",
+                        _http(text.encode("ascii"),
+                              "application/octet-stream"),
+                        f"mx-bin-{doc_id}",
+                        content_type="application/http;msgtype=response",
+                    )
+                )
+            write_warc(
+                _os.path.join(root, f"part-{fidx:05d}.warc.gz"), recs
+            )
+            n += len(rows)
+        yield pd.DataFrame({"n": [n]})
+
+    docs.mapInPandas(write_files, "n long").agg(F.sum("n")).collect()
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+def web_warc_media_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mime-routed intake over the mixed-media WARC corpus — see the
+    section comment. One row per (source, mime): record count and the
+    mime-specific content checksum (html/octet: md5-derived BIGINT
+    sum; png: decoded pixel-value sum — through the production stdlib
+    codec)."""
+    import pandas as pd
+
+    from codegraph_spark.sources.warc import read_warc_http
+
+    root = _warc_mixed_dir(spark, sf_dir)
+    recs = read_warc_http(spark, root).filter(F.col("http_status") == 200)
+    src = F.regexp_extract("url", r"^https://([^.]+)\.example\.org/", 1)
+    md5num = (
+        F.conv(F.substring(F.md5("body"), 1, 15), 16, 10).cast("bigint")
+        % F.lit(2147483647)
+    )
+
+    plain = recs.filter(F.col("content_type") != "image/png").select(
+        src.alias("source"),
+        F.col("content_type").alias("mime"),
+        md5num.alias("chk"),
+    )
+
+    def png_kernel(batches):
+        from codegraph_spark.operators.png_stdlib import decode_png_gray
+
+        for pdf in batches:
+            out = []
+            for url, body in zip(pdf["url"], pdf["body"]):
+                w, h, px = decode_png_gray(bytes(body))
+                assert (w, h) == (_MEDIA_PX_SIDE, _MEDIA_PX_SIDE), (
+                    "mixed-fixture thumbnails are 8x8"
+                )
+                out.append((str(url), int(sum(px))))
+            yield pd.DataFrame(out, columns=["url", "px_sum"])
+
+    png = (
+        recs.filter(F.col("content_type") == "image/png")
+        .select("url", "body")
+        .mapInPandas(png_kernel, "url string, px_sum long")
+        .select(
+            F.regexp_extract("url", r"^https://([^.]+)\.example\.org/", 1)
+            .alias("source"),
+            F.lit("image/png").alias("mime"),
+            F.col("px_sum").alias("chk"),
+        )
+    )
+    return (
+        plain.unionByName(png)
+        .groupBy("source", "mime")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("chk").cast("bigint").alias("chk_sum"),
+        )
+        .orderBy("source", "mime")
+    )
+
+
+_MEDIA_DOOR_SQL = f"""
+WITH sub AS (
+    SELECT doc_id, source, text FROM documents
+    WHERE doc_id % {_MEDIA_SUBSET_MOD} = 0 AND length(text) > 0
+),
+paged AS (
+    SELECT doc_id, source, text, {_WRAP_SQL} AS page FROM sub
+),
+rows_ AS (
+    SELECT source, 'text/html' AS mime,
+           CAST(('0x' || substr(md5(page), 1, 15)) AS BIGINT)
+               % 2147483647 AS chk
+    FROM paged
+    UNION ALL
+    SELECT source, 'image/png' AS mime,
+           CAST(list_sum(list_transform(
+               range(1, {_MEDIA_PX_SIDE * _MEDIA_PX_SIDE} + 1),
+               i -> CASE WHEN i <= length(text)
+                         THEN ord(substr(text, i, 1))
+                         ELSE {_MEDIA_PAD} END)) AS BIGINT) AS chk
+    FROM sub
+    UNION ALL
+    SELECT source, 'application/octet-stream' AS mime,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+               % 2147483647 AS chk
+    FROM sub
+)
+SELECT source, mime,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(chk) AS BIGINT) AS chk_sum
+FROM rows_
+GROUP BY source, mime
+ORDER BY source, mime
+"""
+
+
 # --- web_boilerplate_freq: frequency-based boilerplate vs the rule-based keep --
 #
 # The OTHER standard boilerplate killer: a block whose exact text
@@ -2852,6 +3102,7 @@ QUERIES = {
     "web_warc_extract": web_warc_extract,
     "web_wet_roundtrip": web_wet_roundtrip,
     "web_boilerplate_freq": web_boilerplate_freq,
+    "web_warc_media_door": web_warc_media_door,
     "web_url_canonical": web_url_canonical,
     "web_url_dedup": web_url_dedup,
     "web_charset_audit": web_charset_audit,
@@ -2876,6 +3127,7 @@ ORACLES = {
     "web_warc_extract": _WARC_EXTRACT_SQL,
     "web_wet_roundtrip": _WET_SQL,
     "web_boilerplate_freq": _BP_FREQ_SQL,
+    "web_warc_media_door": _MEDIA_DOOR_SQL,
     "web_url_canonical": _URL_CANON_SQL,
     "web_url_dedup": _URL_DEDUP_SQL,
     "web_charset_audit": _CHARSET_SQL,

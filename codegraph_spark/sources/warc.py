@@ -230,6 +230,69 @@ def read_warc_records(
     )
 
 
+def read_warc_http(spark: SparkSession, root: str) -> DataFrame:
+    """Binary-preserving crawl door: response records with the HTTP
+    envelope split AT THE BYTES level — (warc_file, url, http_status,
+    content_type, body binary). The UTF-8-decoding
+    :func:`read_warc_responses` is the right door for HTML; a real
+    crawl also fetches images/PDFs whose payloads a string decode
+    would corrupt, so the mime-routing gates use this reader and
+    decide per Content-Type what to do with the bytes. The split and
+    header parse run inside the same Arrow kernel as the record walk
+    (one pass per record, bytes never round-trip through a string)."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path", "content")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                stream = b"".join(
+                    plain for _, _, plain in iter_gzip_members(bytes(content))
+                )
+                for rec_type, url, payload in parse_warc_stream(stream):
+                    if rec_type != "response":
+                        continue
+                    head, sep, body = payload.partition(b"\r\n\r\n")
+                    if not sep:
+                        continue  # not an HTTP envelope
+                    lines = head.split(b"\r\n")
+                    status = 0
+                    parts = lines[0].split(b" ", 2)
+                    if len(parts) >= 2 and parts[1].isdigit():
+                        status = int(parts[1])
+                    ctype = ""
+                    for ln in lines[1:]:
+                        k, _, v = ln.partition(b":")
+                        if k.strip().lower() == b"content-type":
+                            ctype = (
+                                v.strip().split(b";", 1)[0]
+                                .decode("ascii", "replace").lower()
+                            )
+                            break
+                    rows.append((str(path), url, status, ctype, body))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "url", "http_status", "content_type", "body",
+                ],
+            )
+
+    return files.mapInPandas(
+        kernel,
+        "warc_file string, url string, http_status int,"
+        " content_type string, body binary",
+    )
+
+
 def read_warc_responses(spark: SparkSession, root: str) -> DataFrame:
     """Response records only, HTTP envelope split off:
     (warc_file, url, http_status, page). The page is the HTTP body

@@ -51,6 +51,7 @@ SKEW_SET = [
     "text_html_extract_dirty",
     "web_warc_extract",
     "web_wet_roundtrip",
+    "web_warc_media_door",
     "web_boilerplate_freq",
     "dedup_incremental",
     "web_url_canonical",

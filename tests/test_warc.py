@@ -239,3 +239,31 @@ def test_wet_sink_roundtrip(spark, sf_dir):
     assert set(got) == set(direct) and direct
     for url, x in direct.items():
         assert got[url] == x
+
+
+def test_read_warc_http_preserves_binary_bytes(spark, tmp_path):
+    """The binary door must hand back body bytes EXACTLY (a string
+    round trip would corrupt anything non-UTF-8) and parse the
+    Content-Type parameterless and lowercased."""
+    body = bytes(range(256)) * 2
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: Image/PNG; charset=binary\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+    )
+    rec = warc_record_bytes(
+        "response", "https://h/img", http, "rb",
+        content_type="application/http;msgtype=response",
+    )
+    d = tmp_path / "w"
+    d.mkdir()
+    write_warc(str(d / "a.warc.gz"), [rec])
+
+    from codegraph_spark.sources.warc import read_warc_http
+
+    rows = read_warc_http(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["http_status"] == 200
+    assert r["content_type"] == "image/png"
+    assert bytes(r["body"]) == body
