@@ -142,6 +142,11 @@ AUDIT = [
     "text_classifier_calibration",
     "web_crawl_delta",
     "stream_robots_gate",
+    "web_wet_roundtrip",
+    "web_boilerplate_freq",
+    "dedup_incremental",
+    "stream_dedup_incremental",
+    "web_warc_media_door",
 ]
 
 SUMMARY_MARKS = ("PushedFilters", "Exchange", "BroadcastExchange", "codegen id")

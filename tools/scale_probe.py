@@ -126,6 +126,7 @@ PROBES = [
     "web_boilerplate_freq",
     "dedup_incremental",
     "stream_dedup_incremental",
+    "web_warc_media_door",
 ]
 
 #: a probe is flagged when its time ratio exceeds this multiple of the
@@ -226,6 +227,11 @@ PROBE_NOTES = {
         "two stream-static store joins; the serving-cached prior "
         "stores are built once per session (the persisted-table "
         "production shape), drain finalize is one h-group rollup"
+    ),
+    "web_warc_media_door": (
+        "file-granular scan + one kernel pass per record; the PNG "
+        "decode kernel runs on the routed third of records only; "
+        "one (source, mime) rollup"
     ),
     "web_warc_point_lookup": (
         "index build is one member walk per file (10x records/file at "
