@@ -578,11 +578,22 @@ def _merge_subset(new_rows, subset) -> None:
                 f"- No probe exceeds the {REPLICAS * FLAG_FACTOR:.0f}x flag\n"
                 "  line — no hidden quadratic in the probed set this round.\n"
             )
+        # UNION with the names the previous note already credited to
+        # subset runs — overwriting would silently misattribute older
+        # merged rows to the full sweep (an honesty bug, round 11)
+        noted = set(subset)
+        m = re.search(
+            r"- Rows ((?:`[^`]+`[^`\n]*\n?)+?)\s*were measured", old
+        )
+        if m:
+            noted |= set(re.findall(r"`([^`]+)`", m.group(1)))
+        noted_in_order = [n for n in order if n in noted]
         f.write(
-            f"- Rows {', '.join('`%s`' % n for n in subset)} were measured\n"
-            "  in a follow-up subset run of the same harness (same cached\n"
-            "  x10 corpus, same forced-evaluation noop write) and merged;\n"
-            "  all other rows are from this round's full sweep.\n"
+            f"- Rows {', '.join('`%s`' % n for n in noted_in_order)}\n"
+            "  were measured in follow-up subset runs of the same harness\n"
+            "  (same cached x10 corpus, same forced-evaluation noop write,\n"
+            "  session-warmup + untimed pre-execution per probe) and\n"
+            "  merged; all other rows are from this round's full sweep.\n"
         )
         f.write(tail)
 
