@@ -155,9 +155,15 @@ def main() -> None:
             f.write("- Above the data ratio but under the 2.5x-of-data "
                     "flag line: "
                     + ", ".join(f"`{r[0]}` ({r[3]:.1f}x)" for r in mid) + ".\n")
+            for r in mid:
+                if r[0] in sp.PROBE_NOTES:
+                    f.write(f"  - `{r[0]}`: {sp.PROBE_NOTES[r[0]]}\n")
         if bad:
             f.write("- FLAGGED (possible hidden quadratic): "
                     + ", ".join(f"`{r[0]}` ({r[3]:.1f}x)" for r in bad) + ".\n")
+            for r in bad:
+                if r[0] in sp.PROBE_NOTES:
+                    f.write(f"  - `{r[0]}` (named remedy): {sp.PROBE_NOTES[r[0]]}\n")
         else:
             f.write("- No probe exceeds the 250x flag line — no hidden "
                     "quadratic in the probed set at two decades of "
