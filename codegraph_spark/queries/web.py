@@ -1206,44 +1206,45 @@ def web_warc_media_door(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _warc_mixed_dir(spark, sf_dir)
     recs = read_warc_http(spark, root).filter(F.col("http_status") == 200)
-    src = F.regexp_extract("url", r"^https://([^.]+)\.example\.org/", 1)
-    md5num = (
-        F.conv(F.substring(F.md5("body"), 1, 15), 16, 10).cast("bigint")
-        % F.lit(2147483647)
-    )
 
-    plain = recs.filter(F.col("content_type") != "image/png").select(
-        src.alias("source"),
-        F.col("content_type").alias("mime"),
-        md5num.alias("chk"),
-    )
+    # ONE kernel pass routes every record — a plain-branch/png-branch
+    # union would re-evaluate the whole scan+decompress+parse subtree
+    # per branch (measured ~2x the gate); here each record is touched
+    # once, and the decode only runs for the rows routed to it
+    def route_kernel(batches):
+        import hashlib
 
-    def png_kernel(batches):
         from codegraph_spark.operators.png_stdlib import decode_png_gray
 
+        P = 2147483647
         for pdf in batches:
             out = []
-            for url, body in zip(pdf["url"], pdf["body"]):
-                w, h, px = decode_png_gray(bytes(body))
-                assert (w, h) == (_MEDIA_PX_SIDE, _MEDIA_PX_SIDE), (
-                    "mixed-fixture thumbnails are 8x8"
-                )
-                out.append((str(url), int(sum(px))))
-            yield pd.DataFrame(out, columns=["url", "px_sum"])
+            for url, ctype, body in zip(
+                pdf["url"], pdf["content_type"], pdf["body"]
+            ):
+                body = bytes(body)
+                if ctype == "image/png":
+                    w, h, px = decode_png_gray(body)
+                    assert (w, h) == (_MEDIA_PX_SIDE, _MEDIA_PX_SIDE), (
+                        "mixed-fixture thumbnails are 8x8"
+                    )
+                    chk = int(sum(px))
+                else:
+                    # same md5->BIGINT rule as the JVM-side gates
+                    chk = int(hashlib.md5(body).hexdigest()[:15], 16) % P
+                out.append((str(url), str(ctype), chk))
+            yield pd.DataFrame(out, columns=["url", "mime", "chk"])
 
-    png = (
-        recs.filter(F.col("content_type") == "image/png")
-        .select("url", "body")
-        .mapInPandas(png_kernel, "url string, px_sum long")
-        .select(
-            F.regexp_extract("url", r"^https://([^.]+)\.example\.org/", 1)
-            .alias("source"),
-            F.lit("image/png").alias("mime"),
-            F.col("px_sum").alias("chk"),
-        )
+    routed = recs.select("url", "content_type", "body").mapInPandas(
+        route_kernel, "url string, mime string, chk long"
     )
     return (
-        plain.unionByName(png)
+        routed.select(
+            F.regexp_extract("url", r"^https://([^.]+)\.example\.org/", 1)
+            .alias("source"),
+            "mime",
+            "chk",
+        )
         .groupBy("source", "mime")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
