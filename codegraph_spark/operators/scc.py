@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _min_label_fixpoint(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -55,7 +56,118 @@ def _min_label_fixpoint(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             return labels
 
 
-def scc_assignments(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _scc_single_task(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """The bounded-graph fast path of :func:`scc_assignments`: ship the
+    whole (node, edge) set into ONE executor task and run trim + Tarjan
+    there. Semantically identical to the BSP peel (same trim fixpoint —
+    the greatest subgraph where every node keeps both edge directions —
+    and the same scc_id = min member id), but one Spark job instead of
+    O(diameter) rounds of join/aggregate/probe jobs, each of which costs
+    a scheduling round trip that dwarfs the compute on a dimension-sized
+    graph. The computation stays on executors (mapInPandas), never the
+    driver."""
+    id_t = nodes.schema["id"].dataType
+    u = nodes.select(
+        F.lit(0).alias("k"), F.col("id").alias("a"), F.col("id").alias("b")
+    ).unionByName(
+        edges.select(
+            F.lit(1).alias("k"), F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+    )
+    out_schema = T.StructType(
+        [T.StructField("id", id_t), T.StructField("scc_id", id_t)]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        node_set: set = set()
+        edge_set: set = set()
+        for pdf in batches:
+            for k, a, b in zip(pdf["k"], pdf["a"], pdf["b"]):
+                if k == 0:
+                    node_set.add(a)
+                else:
+                    edge_set.add((a, b))
+        # trim to the greatest subgraph where every node has both an
+        # in- and an out-edge (identical fixpoint to the BSP trim loop)
+        edge_set = {(s, d) for (s, d) in edge_set if s in node_set and d in node_set}
+        while True:
+            has_out = {s for s, _ in edge_set}
+            has_in = {d for _, d in edge_set}
+            kept = {v for v in node_set if v in has_out and v in has_in}
+            if len(kept) == len(node_set):
+                break
+            node_set = kept
+            edge_set = {
+                (s, d) for (s, d) in edge_set if s in node_set and d in node_set
+            }
+        adj: dict = {}
+        for s, d in edge_set:
+            adj.setdefault(s, []).append(d)
+        # iterative Tarjan over the trimmed remainder
+        index: dict = {}
+        low: dict = {}
+        on_stack: set = set()
+        stack: list = []
+        comps: list = []
+        counter = 0
+        for root in node_set:
+            if root in index:
+                continue
+            index[root] = low[root] = counter
+            counter += 1
+            stack.append(root)
+            on_stack.add(root)
+            work = [(root, iter(adj.get(root, ())))]
+            while work:
+                v, it = work[-1]
+                advanced = False
+                for w in it:
+                    if w not in index:
+                        index[w] = low[w] = counter
+                        counter += 1
+                        stack.append(w)
+                        on_stack.add(w)
+                        work.append((w, iter(adj.get(w, ()))))
+                        advanced = True
+                        break
+                    if w in on_stack and index[w] < low[v]:
+                        low[v] = index[w]
+                if advanced:
+                    continue
+                work.pop()
+                if work:
+                    p = work[-1][0]
+                    if low[v] < low[p]:
+                        low[p] = low[v]
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    comps.append(comp)
+        ids: list = []
+        sccs: list = []
+        for comp in comps:
+            m = min(comp)
+            for v in comp:
+                ids.append(v)
+                sccs.append(m)
+        yield pd.DataFrame({"id": ids, "scc_id": sccs})
+
+    return u.repartition(1).mapInPandas(kernel, out_schema)
+
+
+def scc_assignments(
+    nodes: DataFrame,
+    edges: DataFrame,
+    local_max_nodes: int = 8192,
+    local_max_edges: int = 1_000_000,
+) -> DataFrame:
     """``(id, scc_id)`` for every node that survives the trim —
     nodes with both in- and out-edges in the trimmed remainder. That
     superset INCLUDES possible singleton SCCs (a DAG bridge between
@@ -68,10 +180,19 @@ def scc_assignments(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
     :param nodes: DataFrame with ``id``.
     :param edges: DataFrame with ``src``/``dst`` (directed).
+    :param local_max_nodes: when the (distinct) node count is at or
+        below this AND the distinct edge count is at or below
+        ``local_max_edges``, the whole graph fits one task and the
+        single-task trim+Tarjan path replaces the BSP peel — a
+        dimension-sized graph (the coarse dependency graphs this
+        operator is fed) pays one job instead of O(diameter) scheduling
+        round trips. Pass 0 to force the BSP path.
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     n = nodes.select("id").distinct().localCheckpoint(eager=True)
     n_nodes = n.count()
+    if n_nodes <= local_max_nodes and e.count() <= local_max_edges:
+        return _scc_single_task(n, e)
     # (1) trim the acyclic fringe: every node of a nontrivial SCC (and
     # every self-loop) has both in- and out-edges in the remainder
     while n_nodes > 0:

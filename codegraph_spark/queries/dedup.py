@@ -1966,8 +1966,21 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartition(par, "doc_id")
         .select("doc_id", "source", F.posexplode(paras).alias("pidx", "para"))
         .withColumn("h", F.md5("para"))
+        # the assert_true folds into k via coalesce so projection
+        # collapse cannot prune it: a document with >= _PARA_STRIDE
+        # paragraphs would alias its occurrence keys into neighboring
+        # doc_ids and silently corrupt the first-seen keeper — fail
+        # loudly instead (r11 ADVICE).
         .withColumn(
-            "k", F.col("doc_id") * _PARA_STRIDE + F.col("pidx")
+            "k",
+            F.col("doc_id") * _PARA_STRIDE + F.col("pidx")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("pidx") < F.lit(_PARA_STRIDE),
+                    F.lit("dedup_paragraph: pidx >= _PARA_STRIDE aliases keys"),
+                ).cast("bigint"),
+                F.lit(0),
+            ),
         )
     )
     firsts = pp.groupBy("h").agg(F.min("k").alias("mk"))
@@ -2111,7 +2124,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     above): (source, n_incoming, n_exact_prior, n_near_prior,
     n_batch_dup, n_new, admitted_hashsum)."""
     docs = load_table(spark, sf_dir, "documents")
-    par = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.select("doc_id", "source", "text")
     refetch = base.filter(
         (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0)
@@ -2200,9 +2212,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") % _P
         ).alias("hnum"),
     )
+    # no repartition before the aggregate: source is a ~20-value key, so
+    # an explicit source-keyed exchange ships every classified row
+    # through a hot-key shuffle (3/4 of rows in one partition on the
+    # skew corpus); the plain groupBy partial-aggregates map-side to
+    # ~#sources rows per task before its own exchange (guide §2.3).
     return (
-        cls.repartition(par, "source")
-        .groupBy("source")
+        cls.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
             F.sum(F.when(F.col("cls") == "exact_prior", 1).otherwise(0))

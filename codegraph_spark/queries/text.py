@@ -1829,9 +1829,11 @@ ORDER BY source
 # held-out accuracy 0.57 vs 0.55 prior; the mantissa interpolation
 # term recovers it (see tests/test_quality_classifier.py's margin
 # pin). All arithmetic is BIGINT-exact on both engines with no float
-# log anywhere; the *256 headroom bounds the formulation to corpora
-# with tot_c + V <= 2^55 tokens (~50 PB of text — comfortably past
-# the 100 TB target; past that, drop the scale to *16). Unseen-at-
+# log anywhere; the *256 scale bounds the formulation to corpora
+# with tot_c + V <= 2^51 tokens (the interpolation term computes
+# rs*16, so rs=(tot_c+V)*256 must stay under 2^63/16 — ~4 PB of
+# text, comfortably past the 100 TB target; past that, drop the
+# scale to *16, which moves the bound to 2^55). Unseen-at-
 # train tokens are skipped (the standard multinomial NB inference
 # choice); the class prior rides as a sentinel pseudo-token so the
 # score is one inner join + one sum, no scalar plumbing. Ties break

@@ -1225,9 +1225,13 @@ def web_warc_media_door(spark: SparkSession, sf_dir: str) -> DataFrame:
                 body = bytes(body)
                 if ctype == "image/png":
                     w, h, px = decode_png_gray(body)
-                    assert (w, h) == (_MEDIA_PX_SIDE, _MEDIA_PX_SIDE), (
-                        "mixed-fixture thumbnails are 8x8"
-                    )
+                    # explicit raise, not assert: an assert is stripped
+                    # under python -O, which would let a mis-decoded
+                    # image flow into chk_sum as a silent wrong answer
+                    if (w, h) != (_MEDIA_PX_SIDE, _MEDIA_PX_SIDE):
+                        raise ValueError(
+                            f"mixed-fixture thumbnails are 8x8, got {w}x{h}"
+                        )
                     chk = int(sum(px))
                 else:
                     # same md5->BIGINT rule as the JVM-side gates

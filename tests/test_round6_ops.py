@@ -312,6 +312,34 @@ def test_scc_matches_kosaraju_on_seeded_random_graph(spark):
     assert _spark_scc(spark, edge_list) == kosaraju_scc(edge_list)
 
 
+def test_scc_single_task_path_equals_bsp_path(spark):
+    """r12 optimization pin: the bounded-graph single-task trim+Tarjan
+    path must return the exact row set (including trim-surviving
+    singletons and int ids) of the BSP peel, which local_max_nodes=0
+    forces."""
+    import random
+
+    from codegraph_spark.operators.scc import scc_assignments
+
+    rng = random.Random(20260817)
+    for n, m in [(12, 20), (30, 70), (25, 200)]:
+        edge_list = sorted(
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        )
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        fast = {tuple(r) for r in scc_assignments(nodes, edges).collect()}
+        bsp = {
+            tuple(r)
+            for r in scc_assignments(nodes, edges, local_max_nodes=0).collect()
+        }
+        assert fast == bsp, f"n={n} m={m}: {fast ^ bsp}"
+
+
 # --- bloom decontamination ---------------------------------------------------
 def test_bloom_contamination_no_false_negatives(spark):
     """Bloom filters overapproximate: every exact hit is a bloom hit
