@@ -191,7 +191,11 @@ def scc_assignments(
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     n = nodes.select("id").distinct().localCheckpoint(eager=True)
     n_nodes = n.count()
-    if n_nodes <= local_max_nodes and e.count() <= local_max_edges:
+    if n_nodes <= local_max_nodes and (
+        # n² already bounds the distinct edge count — skip the count job
+        n_nodes * n_nodes <= local_max_edges
+        or e.count() <= local_max_edges
+    ):
         return _scc_single_task(n, e)
     # (1) trim the acyclic fringe: every node of a nontrivial SCC (and
     # every self-loop) has both in- and out-edges in the remainder

@@ -1210,14 +1210,27 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, the same arithmetic family as the MinHash signatures).
 
     Output: one row per training document the filter flags."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    tagged = _shingles(spark, sf_dir).join(docs, "doc_id")
-    ev_sh = (
-        tagged.filter(F.col("source") == _EVAL_SOURCE)
+    from codegraph_spark import serving
+
+    docs = load_table(spark, sf_dir, "documents")
+    # shingle each side from a source-FILTERED documents scan instead of
+    # exploding the full corpus twice and joining the source tag back on
+    # (r12: the filter pushes to the parquet scan, the explode runs over
+    # exactly the rows each side needs, and the doc_id join disappears).
+    # The eval shingle dictionary is ingest-time state like the bitset
+    # below (bounded by the eval set, not the corpus) — serving-cached
+    # so repeated queries probe the warm dimension.
+    ev_sh = serving.shared_df(
+        spark,
+        (sf_dir, "contamination_eval_shingles"),
+        lambda: _shingles_of(
+            docs.filter(F.col("source") == _EVAL_SOURCE).select(
+                "doc_id", "text"
+            )
+        )
         .select("shingle")
-        .distinct()
-        .withColumn("h", _shingle_hash_spark())
-    )
+        .distinct(),
+    ).withColumn("h", _shingle_hash_spark())
     pos_cols = [
         (((F.lit(a) * F.col("h") + F.lit(b)) % _P) % _BLOOM_M).alias(f"p{j}")
         for j, (a, b) in enumerate(_AB[:_BLOOM_K])
@@ -1252,15 +1265,16 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layer — not a private module dict — so serving.invalidate(sf_dir)
     # drops it on an in-session dataset rewrite and the group-LRU
     # bounds long sessions cycling many dirs (r7 ADVICE)
-    from codegraph_spark import serving
-
     packed = serving.shared_obj(
         spark, (sf_dir, "contamination_bloom_bitset"), _build_bitset
     )
     bitset = F.lit(packed)
     tr = (
-        tagged.filter(F.col("source") != _EVAL_SOURCE)
-        .select("doc_id", "shingle")
+        _shingles_of(
+            docs.filter(F.col("source") != _EVAL_SOURCE).select(
+                "doc_id", "text"
+            )
+        )
         .withColumn("h", _shingle_hash_spark())
         .select("doc_id", "shingle", *pos_cols)
     )

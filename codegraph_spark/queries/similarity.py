@@ -289,6 +289,8 @@ def assign_ivf_auto(
     n_probe: int = _IVF_TWO_LEVEL_NPROBE,
     bnlj_max_k: int = _IVF_BNLJ_MAX_K,
     two_level_cells: int = _IVF_TWO_LEVEL_CELLS,
+    k_hint: int | None = None,
+    d_hint: int | None = None,
 ) -> DataFrame:
     """Policy dispatcher over the three assignment kernels (see
     :func:`_assignment_strategy`): callers — the trained inverted
@@ -299,11 +301,19 @@ def assign_ivf_auto(
     for 'bnlj'/'flat' and n_probe-approximate for 'two_level' (the
     documented recall/cost dial past the broadcast budget). The
     centroid count/dim probe costs two driver-local jobs on the
-    (driver-created, k-row) centroid frame."""
-    k = centroids.count()
+    (driver-created, k-row) centroid frame — callers that already know
+    the exact centroid count / dimension (e.g. k derived from the
+    corpus count that sized the bucketing) pass ``k_hint``/``d_hint``
+    to skip those probe jobs (r12: two fewer actions per call; the
+    dispatch decision is identical by construction)."""
+    k = centroids.count() if k_hint is None else k_hint
     if k == 0:
         return assign_ivf_trained(emb, centroids, vec_col=vec_col)
-    d = len(centroids.select("cv").first()["cv"])
+    d = (
+        len(centroids.select("cv").first()["cv"])
+        if d_hint is None
+        else d_hint
+    )
     strat = _assignment_strategy(k, d, bnlj_max_k, two_level_cells)
     if strat == "bnlj" and vec_col == "v":  # JVM kernel is fixed to column 'v'
         return assign_ivf(emb, centroids)
@@ -1660,7 +1670,13 @@ def dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vi"),
     )
     reps = base.groupBy("vi").agg(F.min("vec_id").alias("rep_id"))
-    n_reps = reps.count()  # one bounded scalar job (sizes k — the adaptive dial)
+    # one bounded scalar job sizes k (the adaptive dial) AND reads the
+    # vector dimension, so the assignment dispatch below needs no probe
+    # jobs of its own (r12: was reps.count() + cents.count() + a first())
+    n_reps, dim = reps.agg(
+        F.count(F.lit(1)), F.max(F.size("vi"))
+    ).first()
+    n_reps = int(n_reps)
     k = max(1, -(-n_reps // _SEM_ADAPT_OCC))
     bucketed = reps.withColumn(
         "bucket", (_hash_order(F.col("rep_id")) % k + 1).cast("int")
@@ -1688,8 +1704,20 @@ def dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("nsq"),
     )
-    assigned = assign_ivf_auto(repsd, cents).select(
-        F.col("vec_id").alias("rep_id"), "vi", "nsq", "cluster"
+    assigned = (
+        assign_ivf_auto(
+            repsd,
+            cents,
+            # an empty corpus yields an empty cents frame: k is 0 there,
+            # not the ceil-division floor of 1
+            k_hint=k if n_reps else 0,
+            d_hint=int(dim) if dim is not None else None,
+        )
+        .select(F.col("vec_id").alias("rep_id"), "vi", "nsq", "cluster")
+        # materialize once: three consumers (members, and both sides of
+        # the rep pair join) would otherwise re-execute the Arrow argmax
+        # kernel subtree per consumer (r12; rep-cardinality rows only)
+        .localCheckpoint(eager=False)
     )
     members = base.join(assigned, "vi").select(
         "cluster", "vec_id", "rep_id", "vi", "nsq"

@@ -227,9 +227,16 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash.
 
     Scale shape: one projection per document (regexp/array kernels,
-    whole-stage codegen), zero shuffles before the driver-side
-    ordering of the bounded output."""
-    docs = load_table(spark, sf_dir, "documents")
+    whole-stage codegen) ahead of the driver-side ordering of the
+    bounded output. The doc_id repartition before the projection costs
+    one tiny shuffle of the raw document rows and spreads the regex
+    pass across the cluster — the single-file local source otherwise
+    arrives as ONE partition and runs the whole pipeline on one core
+    (the _shingles_of rationale; a real multi-file 100 TB layout is
+    already partitioned and the hint is a cheap rebalance)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
     # materialize the block array ONCE per row before deriving stats —
     # referencing the raw expression from several output columns would
@@ -1588,8 +1595,12 @@ _CANON_SQL = f"""
 def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-URL canonicalization audit: raw URL → canonical URL +
     which rules fired (tracking params dropped, fragment stripped,
-    anything normalized at all). Row-level, one projection per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    anything normalized at all). Row-level, one projection per doc —
+    doc_id-repartitioned first (single-file local source = one
+    partition; the _shingles_of rationale)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     url = _raw_url(F.col("doc_id"), F.col("source"))
     base = docs.select("doc_id", url.alias("url_raw"))
     c = canonicalize_url(F.col("url_raw"))
@@ -1650,8 +1661,12 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first shuffle of a crawl pipeline, hash-partitioned on the
     canonical string, no skew beyond genuine hot URLs (which salting
     would shard; here dup groups are bounded by the path-mod rule) —
-    then a bounded per-domain aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+    then a bounded per-domain aggregate. The doc_id repartition ahead
+    of the projection spreads the canonicalization regexes (single-file
+    local source = one partition; the _shingles_of rationale)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     url = _raw_url(F.col("doc_id"), F.col("source"))
     base = docs.select("doc_id", url.alias("url_raw"))
     c = canonicalize_url(F.col("url_raw"))
@@ -1810,8 +1825,12 @@ def web_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-decoding upstream fetcher before its garbage hits the corpus.
 
     Scale shape: one projection per doc (sniff + split-count), one
-    bounded source-keyed aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
+    bounded source-keyed aggregation. doc_id-repartitioned first
+    (single-file local source = one partition; _shingles_of
+    rationale)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     page = _charset_page(F.col("text"), F.col("doc_id"))
     meta = F.lower(F.regexp_extract(F.col("page"), _CHARSET_RE, 1))
     enc = (
@@ -2176,11 +2195,15 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the robots side is one row per domain (a dimension
     ~1e-5 of the corpus at web scale) parsed with domain-partitioned
     windows; the evaluation is one domain-keyed join (AQE broadcasts
-    the rule dimension) and a per-URL window bounded by that domain's
-    matching rules. Linear in URLs, no corpus-sized window anywhere."""
-    from pyspark.sql.window import Window
-
-    docs = load_table(spark, sf_dir, "documents")
+    the rule dimension) and a per-URL max-struct aggregate that
+    partial-aggregates map-side (r12: was a row_number window, which
+    shuffled + sorted every matched row). Linear in URLs, no
+    corpus-sized window anywhere."""
+    # repartition before the canonicalization regexes: the single-file
+    # local source arrives as ONE partition (the _shingles_of rationale)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     base = docs.select(
         "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
     )
@@ -2193,25 +2216,41 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(
             "cu", r"^[a-z0-9+.\-]+://[^/]*(/.*)$", 1
         ).alias("path_query"),
-    )
+        # materialize once: three consumers (the match join, the
+        # domain-dimension distinct feeding the robots parse, and the
+        # decision left join) would otherwise re-run the documents scan
+        # + canonicalization regexes per consumer (r12: measured ~3x
+        # the scan cost in one query)
+    ).localCheckpoint(eager=False)
     robots = (
         urls.select("domain").distinct()
         .select("domain", _robots_txt(F.col("domain")).alias("txt"))
     )
     rules, delays = parse_robots(robots)
+    # literal-prefix fast path: a rule with no '*' and no trailing '$'
+    # matches iff the path starts with it (exactly what its compiled
+    # regex '^'+escape(pat) tests) — skip the per-row regex for those
+    plain = (~F.col("pat").contains("*")) & (~F.col("pat").endswith("$"))
     matched = urls.join(compile_rules(rules), "domain").filter(
-        F.expr("rlike(path_query, rx)")
+        F.when(plain, F.col("path_query").startswith(F.col("pat")))
+        .otherwise(F.expr("rlike(path_query, rx)"))
     )
-    wr = Window.partitionBy("doc_id").orderBy(
-        F.length("pat").desc(), F.col("allow").desc(), F.col("pat")
-    )
+    # longest match, Allow wins ties: max over (length, allow) — the
+    # window's pat tie-break cannot change (ba, bplen), so the
+    # aggregate output is identical to the row_number pick
     best = (
-        matched.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
+        matched.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("pat").alias("l"), F.col("allow").alias("a")
+                )
+            ).alias("b")
+        )
         .select(
             "doc_id",
-            F.col("allow").alias("ba"),
-            F.length("pat").alias("bplen"),
+            F.col("b.a").alias("ba"),
+            F.col("b.l").alias("bplen"),
         )
     )
     dec = urls.join(best, "doc_id", "left").select(
@@ -2410,7 +2449,11 @@ _CRAWL_RATE_FPS = 10
 
 def web_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-worker crawl plan rollup (see module comment)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the canonicalization regexes (single-file
+    # local source = one partition; the _shingles_of rationale)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     base = docs.select(
         "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
     )
@@ -2608,7 +2651,11 @@ def web_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical-key shuffle URL dedup already pays; the
     reconciliation is one full-outer hash join on (domain, path) and a
     bounded per-domain rollup."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the canonicalization regexes (single-file
+    # local source = one partition; the _shingles_of rationale)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     base = docs.select(
         "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
     )
@@ -2792,7 +2839,11 @@ def web_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain curation decision table (see module comment)."""
     from codegraph_spark.queries.text import _NBQ_PRIOR, nbq_model
 
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the tokenize/canonicalize passes (single-file
+    # local source = one partition; the _shingles_of rationale)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     labeled, wtab = nbq_model(docs)
     xt = labeled.select(
         "doc_id",
@@ -2970,7 +3021,11 @@ def _crawl_snapshot(docs: DataFrame, current: bool) -> DataFrame:
 
 def web_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain recrawl delta rollup (see module comment)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the two snapshot projections (single-file
+    # local source = one partition; the _shingles_of rationale)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     a = _crawl_snapshot(docs, current=False).select(
         "domain", "url_canon", F.col("h").alias("ha")
     )
