@@ -852,7 +852,12 @@ def _url_dedup_drain(docs: DataFrame) -> DataFrame:
     from codegraph_spark.queries.web import _raw_url, canonicalize_url
     from codegraph_spark.streaming.incremental import run_available_now
 
-    base = docs.select(
+    # repartition ahead of the canonicalization projection: a
+    # single-file local source arrives as ONE partition (the
+    # stream_dedup_minhash rationale; no-op on a partitioned source)
+    base = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
     )
     c = canonicalize_url(F.col("u"))
@@ -1126,7 +1131,13 @@ def _incremental_door(
         ),
         lambda x: x.isNotNull(),
     )
-    arriving = docs.select(
+    # repartition ahead of the signature fold: a single-file local
+    # source arrives as ONE partition and would run the per-doc
+    # shingle+MinHash chain on one core (the stream_dedup_minhash
+    # rationale; no-op on a partitioned source)
+    arriving = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "source", "text", F.explode(inst).alias("doc_id")
     )
     signed = arriving.select(

@@ -459,8 +459,29 @@ BUCKET_PRIOR_STATE_SCHEMA = "ks array<string>, mn array<long>, mx array<long>"
 #: layout — so each update call handles ~buckets/shards entries with
 #: vectorized pandas ops while per-bucket state and semantics stay
 #: EXACTLY as before (two int64s per bucket, carried as arrays inside
-#: the shard's state row).
-_BUCKET_SHARDS = 1024
+#: the shard's state row). The shard → output mapping is
+#: value-invariant: every shard count yields the identical drained
+#: rows, so the count is purely a parallelism/state-layout dial.
+_BUCKET_SHARDS_CONF = "spark.codegraph.stream.bucketShards"
+#: local default multiplier: 4 update-calls per core balances per-call
+#: Python round-trip overhead against shard granularity
+_BUCKET_SHARDS_PER_CORE = 4
+
+
+def _bucket_shards(df: DataFrame) -> int:
+    """Scale-adaptive shard count (r12, guide §2: derive partitioning
+    from the deployment, not a constant tuned for one mode). The r11
+    constant 1024 paid ~1 ms of Python round trip per POPULATED shard
+    per batch — ~1 s of pure overhead per sf0.1 drain on 32 cores —
+    while a real cluster wants MORE shards, not 1024. Default: 4 update
+    calls per executor core (shards track the cluster); production
+    deployments with bigger per-shard state budgets override via
+    ``spark.codegraph.stream.bucketShards``."""
+    spark = df.sparkSession
+    v = spark.conf.get(_BUCKET_SHARDS_CONF, "")
+    if v:
+        return int(v)
+    return max(32, _BUCKET_SHARDS_PER_CORE * spark.sparkContext.defaultParallelism)
 
 
 def streaming_bucket_prior(banded: DataFrame) -> DataFrame:
@@ -468,7 +489,7 @@ def streaming_bucket_prior(banded: DataFrame) -> DataFrame:
     (custom stateful operator #6, the intake half of streaming MinHash
     dedup): state = the (min, max) doc_id ever seen in each (band, key)
     bucket — two int64 per bucket at any corpus size, sharded
-    :data:`_BUCKET_SHARDS` ways (see above). Each arriving
+    :func:`_bucket_shards` ways (see above). Each arriving
     (doc_id, band, key) row emits the bucket's prior minimum at its
     arrival (-1 when it opens the bucket), so a document is an intake
     duplicate exactly when any of its bands emits prior ≥ 0. Rows
@@ -540,7 +561,7 @@ def streaming_bucket_prior(banded: DataFrame) -> DataFrame:
 
     return (
         banded.withColumn(
-            "_shard", F.pmod(F.xxhash64("band", "key"), F.lit(_BUCKET_SHARDS))
+            "_shard", F.pmod(F.xxhash64("band", "key"), F.lit(_bucket_shards(banded)))
         )
         .groupBy("_shard")
         .applyInPandasWithState(
@@ -563,7 +584,7 @@ def streaming_bucket_prior_unordered(banded: DataFrame) -> DataFrame:
     the running MIN doc_id — min is commutative and idempotent (a
     CRDT), so the final state is identical under ANY arrival
     interleaving, with one int64 per bucket (sharded
-    :data:`_BUCKET_SHARDS` ways like the strict operator — state keyed
+    :func:`_bucket_shards` ways like the strict operator — state keyed
     by bucket hash, entries carried as arrays in the shard row). Each
     invocation emits one row PER TOUCHED BUCKET: its current min, the
     shard's invocation seq, and the batch's arriving doc_ids. The
@@ -614,7 +635,7 @@ def streaming_bucket_prior_unordered(banded: DataFrame) -> DataFrame:
 
     return (
         banded.withColumn(
-            "_shard", F.pmod(F.xxhash64("band", "key"), F.lit(_BUCKET_SHARDS))
+            "_shard", F.pmod(F.xxhash64("band", "key"), F.lit(_bucket_shards(banded)))
         )
         .groupBy("_shard")
         .applyInPandasWithState(
