@@ -188,15 +188,22 @@ def scc_assignments(
         operator is fed) pays one job instead of O(diameter) scheduling
         round trips. Pass 0 to force the BSP path.
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     n = nodes.select("id").distinct().localCheckpoint(eager=True)
     n_nodes = n.count()
     if n_nodes <= local_max_nodes and (
         # n² already bounds the distinct edge count — skip the count job
         n_nodes * n_nodes <= local_max_edges
-        or e.count() <= local_max_edges
+        # raw count bounds the distinct count (conservative: a graph
+        # whose raw edge list exceeds the cap but dedups under it takes
+        # the BSP path — correct either way)
+        or edges.count() <= local_max_edges
     ):
-        return _scc_single_task(n, e)
+        # no distinct / checkpoint on the edge side: the kernel dedups
+        # into a set anyway, and the checkpoint's construction-time
+        # physical planning (Dataset.checkpoint runs toRdd even lazily)
+        # costs more than the one pass it would save (r12)
+        return _scc_single_task(n, edges.select("src", "dst"))
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     # (1) trim the acyclic fringe: every node of a nontrivial SCC (and
     # every self-loop) has both in- and out-edges in the remainder
     while n_nodes > 0:

@@ -508,9 +508,11 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         sh = _rep_shingles(spark, sf_dir).withColumn("h", _shingle_hash_spark())
+        # jvm-parsed agg exprs (r12): the column-DSL formulation costs
+        # ~8 py4j round trips per component per call
         return sh.groupBy("doc_id").agg(
             *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{i}")
+                F.expr(f"min(({a} * h + {b}) % {_P}) AS mh{i}")
                 for i, (a, b) in enumerate(_AB)
             ]
         )
@@ -524,21 +526,22 @@ def _bands_of_sig(sig: DataFrame) -> DataFrame:
     shared by the corpus-wide LSH index and the incremental-snapshot
     store so the two can never drift."""
     rows_per_band = len(_AB) // _BANDS
-    band_cols = []
+    # ONE jvm-parsed expression (r12): building the 4 band structs via
+    # the column DSL costs ~10 py4j round trips per struct member per
+    # call; the equivalent SQL string parses in a single call
+    band_exprs = []
     for bidx in range(_BANDS):
-        members = [
-            F.col(f"mh{i}").cast("string")
+        members = ", ".join(
+            f"CAST(mh{i} AS STRING)"
             for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.md5(F.concat_ws(":", *members)).alias("key"),
-            )
         )
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        band_exprs.append(
+            f"struct({bidx} AS band, md5(concat_ws(':', {members})) AS key)"
+        )
+    bk = F.expr("explode(array(" + ", ".join(band_exprs) + "))")
+    return sig.select("doc_id", bk.alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1268,7 +1271,13 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = serving.shared_obj(
         spark, (sf_dir, "contamination_bloom_bitset"), _build_bitset
     )
-    bitset = F.lit(packed)
+    # ONE jvm-parsed array literal: F.lit(list) builds the 1024-word
+    # array via one py4j round trip PER ELEMENT (~0.5 s of pure driver
+    # chatter per query call, measured r12); the SQL string parses in
+    # a single call and yields the identical array<bigint> literal
+    bitset = F.expr(
+        "array(" + ",".join(f"{w}L" for w in packed) + ")"
+    )
     tr = (
         _shingles_of(
             docs.filter(F.col("source") != _EVAL_SOURCE).select(
@@ -2174,9 +2183,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles_of(reps)
         .withColumn("hs", _shingle_hash_spark())
         .groupBy("doc_id")
+        # jvm-parsed agg exprs (r12): one py4j call per component
         .agg(
             *[
-                F.min((F.lit(a) * F.col("hs") + F.lit(b)) % _P).alias(f"mh{i}")
+                F.expr(f"min(({a} * hs + {b}) % {_P}) AS mh{i}")
                 for i, (a, b) in enumerate(_AB)
             ]
         )

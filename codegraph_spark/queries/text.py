@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from codegraph_spark.sources.tables import load_table
+from codegraph_spark.sources.tables import load_table, spread
 
 # Tiny per-language marker sets (an n-gram/stopword-vote heuristic; on
 # the synthetic same-vocabulary corpus this is deterministic rather than
@@ -1932,7 +1932,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out confusion matrix (actual × predicted, with idsum
     pinning every individual decision) of the trained NB quality
     model. See the module comment above for the design."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the tokenize/label projections (single-file
+    # local source = one partition; the _shingles_of rationale)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     labeled, wtab = nbq_model(docs)
     test = labeled.filter(F.col("doc_id") % 5 == 4)
     xt = test.select(
@@ -2066,7 +2068,9 @@ _CALIB_BUCKET_W = 32
 
 def text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out reliability table of the NB quality model."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the tokenize/label projections (single-file
+    # local source = one partition; the _shingles_of rationale)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     labeled, wtab = nbq_model(docs)
     test = labeled.filter(F.col("doc_id") % 5 == 4)
     xt = test.select(

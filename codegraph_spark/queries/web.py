@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from codegraph_spark.sources.tables import load_table
+from codegraph_spark.sources.tables import load_table, spread
 
 #: words per synthetic paragraph (the wrap rule, not an extract knob)
 _WRAP_WORDS = 12
@@ -234,9 +234,7 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives as ONE partition and runs the whole pipeline on one core
     (the _shingles_of rationale; a real multi-file 100 TB layout is
     already partitioned and the hint is a cheap rebalance)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
     # materialize the block array ONCE per row before deriving stats —
     # referencing the raw expression from several output columns would
@@ -1598,9 +1596,7 @@ def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything normalized at all). Row-level, one projection per doc —
     doc_id-repartitioned first (single-file local source = one
     partition; the _shingles_of rationale)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     url = _raw_url(F.col("doc_id"), F.col("source"))
     base = docs.select("doc_id", url.alias("url_raw"))
     c = canonicalize_url(F.col("url_raw"))
@@ -1664,9 +1660,7 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a bounded per-domain aggregate. The doc_id repartition ahead
     of the projection spreads the canonicalization regexes (single-file
     local source = one partition; the _shingles_of rationale)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     url = _raw_url(F.col("doc_id"), F.col("source"))
     base = docs.select("doc_id", url.alias("url_raw"))
     c = canonicalize_url(F.col("url_raw"))
@@ -1828,9 +1822,7 @@ def web_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded source-keyed aggregation. doc_id-repartitioned first
     (single-file local source = one partition; _shingles_of
     rationale)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     page = _charset_page(F.col("text"), F.col("doc_id"))
     meta = F.lower(F.regexp_extract(F.col("page"), _CHARSET_RE, 1))
     enc = (
@@ -2201,9 +2193,7 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized window anywhere."""
     # repartition before the canonicalization regexes: the single-file
     # local source arrives as ONE partition (the _shingles_of rationale)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
         "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
     )
@@ -2451,9 +2441,7 @@ def web_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-worker crawl plan rollup (see module comment)."""
     # repartition before the canonicalization regexes (single-file
     # local source = one partition; the _shingles_of rationale)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
         "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
     )
@@ -2653,9 +2641,7 @@ def web_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-domain rollup."""
     # repartition before the canonicalization regexes (single-file
     # local source = one partition; the _shingles_of rationale)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
         "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
     )
@@ -2841,9 +2827,7 @@ def web_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repartition before the tokenize/canonicalize passes (single-file
     # local source = one partition; the _shingles_of rationale)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     labeled, wtab = nbq_model(docs)
     xt = labeled.select(
         "doc_id",
@@ -3023,9 +3007,7 @@ def web_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain recrawl delta rollup (see module comment)."""
     # repartition before the two snapshot projections (single-file
     # local source = one partition; the _shingles_of rationale)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     a = _crawl_snapshot(docs, current=False).select(
         "domain", "url_canon", F.col("h").alias("ha")
     )
