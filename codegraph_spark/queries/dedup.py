@@ -20,6 +20,7 @@ from codegraph_spark.queries.similarity import (
     CLONE_OFFSET,
     plant_clones,
 )
+from codegraph_spark.colmemo import memo_cols
 from codegraph_spark.sources.tables import load_table
 
 # MinHash parameters: k=16 hash functions h_i(x) = (a_i*x + b_i) mod P,
@@ -29,6 +30,7 @@ _AB = [(1000003 + 7919 * i, 666013 + 104729 * i) for i in range(16)]
 _BANDS = 4  # 4 rows per band
 
 
+@memo_cols
 def _shingle_array() -> F.Column:
     """Per-doc array of distinct 3-word shingles, computed entirely with
     array expressions — no shuffle (the posexplode + lead-window
@@ -386,6 +388,7 @@ WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
 
 
 # --- dedup_minhash_lsh: MinHash signatures + banded LSH candidates ------------
+@memo_cols
 def minhash_mins_column() -> Column:
     """``array<bigint>`` of all 16 signature minima in ONE pass over
     the shingle hashes: ``aggregate`` folds each shingle's md5-derived
@@ -423,6 +426,7 @@ def minhash_mins_column() -> Column:
     )
 
 
+@memo_cols
 def band_structs_from_mins(mins: Column) -> Column:
     """The 4 LSH band structs from a MATERIALIZED 16-min signature
     array (pair with :func:`minhash_mins_column` behind a Generate
@@ -450,6 +454,7 @@ def band_structs_from_mins(mins: Column) -> Column:
     return F.array(*bands)
 
 
+@memo_cols
 def minhash_band_structs() -> F.Column:
     """``array<struct<band:int, key:string>>`` — the full MinHash→LSH
     banding computed ROW-LOCALLY over ``text`` (shingle array → per-

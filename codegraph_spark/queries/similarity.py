@@ -1691,7 +1691,9 @@ def dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias("cluster"),
             F.transform(F.col("p"), lambda e: e.s.cast("double")).alias("cv"),
         )
-        .localCheckpoint(eager=False)
+        # no checkpoint: with k_hint/d_hint below, the assignment kernel
+        # is cents' ONLY consumer (one collect / one broadcast join), so
+        # the checkpoint would just add construction-time planning (r12)
     )
     # the BNLJ kernel keys its argmax window on `vec_id`, so the reps
     # frame wears that name through the dispatch

@@ -468,7 +468,7 @@ def _banded_docs(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.array(minhash_mins_column())).alias("mins")
     )
     return (
-        m.select("doc_id", F.explode(band_structs_from_mins(F.col("mins"))).alias("bk"))
+        m.select("doc_id", F.explode(band_structs_from_mins("mins")).alias("bk"))
         .filter(F.col("bk.key").isNotNull())
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
@@ -765,7 +765,7 @@ def stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.streaming.incremental import read_documents_stream
 
     docs = read_documents_stream(spark, sf_dir)
-    page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
+    page = html_wrap("text", "doc_id", "source")
     blocked = docs.select(
         "doc_id", html_block_stats(page).alias("b")
     ).select(
@@ -805,9 +805,7 @@ def stream_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_documents_stream(spark, sf_dir).select(
         "doc_id",
-        dirty_html_wrap(
-            F.col("text"), F.col("doc_id"), F.col("source")
-        ).alias("page"),
+        dirty_html_wrap("text", "doc_id", "source").alias("page"),
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return run_available_now(
         tokenize_extract(docs), output_mode="append"
@@ -858,7 +856,7 @@ def _url_dedup_drain(docs: DataFrame) -> DataFrame:
     base = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     ).select(
-        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+        "doc_id", _raw_url("doc_id", "source").alias("u")
     )
     c = canonicalize_url(F.col("u"))
     canon = base.select(
@@ -921,17 +919,17 @@ def stream_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bdocs = load_table(spark, sf_dir, "documents")
-    bc = canonicalize_url(_raw_url(F.col("doc_id"), F.col("source")))
+    bc = canonicalize_url(_raw_url("doc_id", "source"))
     domains = bdocs.select(bc["host"].alias("domain")).distinct()
     rules, delays = parse_robots(
-        domains.select("domain", _robots_txt(F.col("domain")).alias("txt"))
+        domains.select("domain", _robots_txt("domain").alias("txt"))
     )
     rules_arr = compile_rules(rules).groupBy("domain").agg(
         F.collect_list(F.struct("pat", "allow", "rx")).alias("rules")
     )
 
     docs = read_documents_stream(spark, sf_dir)
-    c = canonicalize_url(_raw_url(F.col("doc_id"), F.col("source")))
+    c = canonicalize_url(_raw_url("doc_id", "source"))
     urls = docs.select(
         "doc_id",
         c["host"].alias("domain"),

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from codegraph_spark.colmemo import memo_cols
 from codegraph_spark.sources.tables import load_table, spread
 
 #: words per synthetic paragraph (the wrap rule, not an extract knob)
@@ -60,6 +61,7 @@ _LINK_DENS_NUM, _LINK_DENS_DEN = 4, 10
 
 
 # --- the deterministic HTML wrap (shared by both queries + oracles) -----------
+@memo_cols
 def html_wrap(text: Column, doc_id: Column, source: Column) -> Column:
     """documents.text → a single-line synthetic HTML page. Pure string
     algebra over (text, doc_id, source), replayed verbatim by the SQL
@@ -235,7 +237,7 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the _shingles_of rationale; a real multi-file 100 TB layout is
     already partitioned and the hint is a cheap rebalance)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
+    page = html_wrap("text", "doc_id", "source")
     # materialize the block array ONCE per row before deriving stats —
     # referencing the raw expression from several output columns would
     # inline (and re-evaluate) the whole page-build + regex tree per
@@ -304,7 +306,7 @@ def text_html_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-document projection above + ONE source-keyed
     aggregation (bounded distinct sources)."""
     docs = load_table(spark, sf_dir, "documents")
-    page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
+    page = html_wrap("text", "doc_id", "source")
     # materialize the block array once per row (see text_html_extract)
     blocked = docs.select(
         "source", html_block_stats(page).alias("b")
@@ -399,7 +401,7 @@ def web_extract_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the shared per-doc block pass + ONE global aggregate
     (map-side combining; a single 6-column row out)."""
     docs = load_table(spark, sf_dir, "documents")
-    page = html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
+    page = html_wrap("text", "doc_id", "source")
     blocked = docs.select(
         F.length(page).cast("bigint").alias("page_len"),
         html_block_stats(page).alias("b"),
@@ -494,6 +496,7 @@ _DIRTY_TAIL = (
 )
 
 
+@memo_cols
 def dirty_html_wrap(text: Column, doc_id: Column, source: Column) -> Column:
     """documents.text → a single-line ADVERSARIAL HTML page (the dirty
     twin of :func:`html_wrap`): same title/nav/footer skeleton and the
@@ -552,9 +555,7 @@ def text_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     output ordering."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        dirty_html_wrap(
-            F.col("text"), F.col("doc_id"), F.col("source")
-        ).alias("page"),
+        dirty_html_wrap("text", "doc_id", "source").alias("page"),
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return tokenize_extract(docs).orderBy("doc_id")
 
@@ -727,9 +728,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                 F.lit("https://"), F.col("source"),
                 F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
             ).alias("url"),
-            html_wrap(
-                F.col("text"), F.col("doc_id"), F.col("source")
-            ).alias("page"),
+            html_wrap("text", "doc_id", "source").alias("page"),
             (F.col("doc_id") % nfiles).alias("fidx"),
         )
         .repartition(nfiles, "fidx")
@@ -1118,9 +1117,7 @@ def _warc_mixed_dir(spark: SparkSession, sf_dir: str) -> str:
     docs = (
         sub.select(
             "doc_id", "source",
-            html_wrap(
-                F.col("text"), F.col("doc_id"), F.col("source")
-            ).alias("page"),
+            html_wrap("text", "doc_id", "source").alias("page"),
             "text",
             (F.col("doc_id") % nfiles).alias("fidx"),
         )
@@ -1337,7 +1334,7 @@ def web_boilerplate_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = docs.sparkSession.sparkContext.defaultParallelism
     paged = docs.repartition(par, "doc_id").select(
         "doc_id", "source",
-        html_wrap(F.col("text"), F.col("doc_id"), F.col("source"))
+        html_wrap("text", "doc_id", "source")
         .alias("page"),
     )
     b = paged.select(
@@ -1461,6 +1458,7 @@ _TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)="
 _URL_PATH_MOD = 37
 
 
+@memo_cols
 def _raw_url(doc_id: Column, source: Column) -> Column:
     """The deterministic raw-URL rule (see module comment)."""
     host = F.concat(source, F.lit(".example.org"))
@@ -1517,6 +1515,7 @@ _RAW_URL_SQL = f"""
 """
 
 
+@memo_cols
 def canonicalize_url(url: Column) -> dict[str, Column]:
     """The normalization rules as a pure column program. Returns the
     canonical URL plus audit columns (host, params dropped, fragment
@@ -1597,9 +1596,9 @@ def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-repartitioned first (single-file local source = one
     partition; the _shingles_of rationale)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    url = _raw_url(F.col("doc_id"), F.col("source"))
+    url = _raw_url("doc_id", "source")
     base = docs.select("doc_id", url.alias("url_raw"))
-    c = canonicalize_url(F.col("url_raw"))
+    c = canonicalize_url("url_raw")
     return base.select(
         "doc_id",
         "url_raw",
@@ -1661,9 +1660,9 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the projection spreads the canonicalization regexes (single-file
     local source = one partition; the _shingles_of rationale)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    url = _raw_url(F.col("doc_id"), F.col("source"))
+    url = _raw_url("doc_id", "source")
     base = docs.select("doc_id", url.alias("url_raw"))
-    c = canonicalize_url(F.col("url_raw"))
+    c = canonicalize_url("url_raw")
     canon = base.select(
         "doc_id", c["canon"].alias("url_canon"), c["host"].alias("domain")
     )
@@ -1754,6 +1753,7 @@ _MOJI_MARKS = ["Ã©", "Ã¶"]
 _CHARSET_RE = r'(?i)charset=["\']?([A-Za-z0-9_\-]+)'
 
 
+@memo_cols
 def _charset_page(text: Column, doc_id: Column) -> Column:
     moji = F.replace(
         F.replace(text, F.lit("e"), F.lit("Ã©")),
@@ -1823,7 +1823,7 @@ def web_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single-file local source = one partition; _shingles_of
     rationale)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    page = _charset_page(F.col("text"), F.col("doc_id"))
+    page = _charset_page("text", "doc_id")
     meta = F.lower(F.regexp_extract(F.col("page"), _CHARSET_RE, 1))
     enc = (
         F.when(F.col("page").startswith(_BOM), F.lit("utf-8-bom"))
@@ -2062,6 +2062,7 @@ ORDER BY fidx
 _ROBOTS_UA = "*"
 
 
+@memo_cols
 def _robots_txt(domain: Column) -> Column:
     """Deterministic per-domain robots.txt text (see module comment)."""
     dig = F.regexp_extract(domain, "([0-9]+)", 1)
@@ -2195,9 +2196,9 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local source arrives as ONE partition (the _shingles_of rationale)
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
-        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+        "doc_id", _raw_url("doc_id", "source").alias("u")
     )
-    c = canonicalize_url(F.col("u"))
+    c = canonicalize_url("u")
     urls = base.select(
         "doc_id", c["host"].alias("domain"), c["canon"].alias("cu")
     ).select(
@@ -2214,7 +2215,7 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     robots = (
         urls.select("domain").distinct()
-        .select("domain", _robots_txt(F.col("domain")).alias("txt"))
+        .select("domain", _robots_txt("domain").alias("txt"))
     )
     rules, delays = parse_robots(robots)
     # literal-prefix fast path: a rule with no '*' and no trailing '$'
@@ -2443,9 +2444,9 @@ def web_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local source = one partition; the _shingles_of rationale)
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
-        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+        "doc_id", _raw_url("doc_id", "source").alias("u")
     )
-    c = canonicalize_url(F.col("u"))
+    c = canonicalize_url("u")
     canon = base.select(
         "doc_id", c["canon"].alias("url_canon"), c["host"].alias("domain")
     )
@@ -2458,7 +2459,7 @@ def web_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = (
         dom.select("domain")
-        .select("domain", _robots_txt(F.col("domain")).alias("txt"))
+        .select("domain", _robots_txt("domain").alias("txt"))
     )
     _rules, delays = parse_robots(robots)
     sized = (
@@ -2643,9 +2644,9 @@ def web_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local source = one partition; the _shingles_of rationale)
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
-        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+        "doc_id", _raw_url("doc_id", "source").alias("u")
     )
-    c = canonicalize_url(F.col("u"))
+    c = canonicalize_url("u")
     crawled = (
         base.select(
             c["host"].alias("domain"),
@@ -2845,9 +2846,9 @@ def web_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("margin") < 0, 1).otherwise(0)).alias("n_lo"),
     )
     base = docs.select(
-        "doc_id", _raw_url(F.col("doc_id"), F.col("source")).alias("u")
+        "doc_id", _raw_url("doc_id", "source").alias("u")
     )
-    c = canonicalize_url(F.col("u"))
+    c = canonicalize_url("u")
     canon = base.select(
         c["canon"].alias("url_canon"), c["host"].alias("domain")
     )
@@ -2990,7 +2991,7 @@ def _crawl_snapshot(docs: DataFrame, current: bool) -> DataFrame:
             "doc_id", "source", "text"
         )
     c = canonicalize_url(
-        _raw_url(F.col("doc_id"), F.col("source"))
+        _raw_url("doc_id", "source")
     )
     rows = snap.select(
         "doc_id",

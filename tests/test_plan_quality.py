@@ -66,6 +66,11 @@ _UNKEYED_JOIN_OK = {
     "j8_mentions_topk",         # substring θ-join — non-equi BY SEMANTICS,
                                 # small name-dim side broadcast (docs scan in place)
     "join_bloom_semi",          # crossJoin(1-row bloom bitmap)
+    "graph_scc",                # crossJoin(broadcast 1-row flow-total
+                                # aggregate) for the above-mean edge
+                                # filter — previously hidden behind the
+                                # BSP peel's eager checkpoints, visible
+                                # in the r12 single-task path's plan
     "text_bm25_search",         # crossJoin(1-row corpus stats)
     "ev_range_join_tiers",      # band join against broadcast 3-row tier dim
     "stream_funnel",            # memory-sink table; tiny final stack/agg
