@@ -335,16 +335,33 @@ def test_semantic_dedup_pair_volume_stays_linear_with_adaptive_k(spark):
 def test_dedup_semantic_adaptive_gate_shape_and_output(spark, sf_dir):
     """The r10 production-plan gate: adaptive k (ceil(n/4) = 125 at the
     500-vector fixture) must resolve the assign_ivf_auto dispatch to
-    the Arrow flat-argmax kernel (MapInPandas in the plan — the same
-    kernel a 100 TB run uses below the two-level threshold), and the
-    pruned set must be exactly the planted clones, each kept by its
-    source at cosine 1.0."""
-    from codegraph_spark import doctor
-    from codegraph_spark.queries.similarity import dedup_semantic_adaptive
+    the Arrow flat-argmax kernel (the same kernel a 100 TB run uses
+    below the two-level threshold), and the pruned set must be exactly
+    the planted clones, each kept by its source at cosine 1.0.
 
+    r12: the assignment output is localCheckpointed (one kernel
+    execution serves its three consumers), which truncates the final
+    plan at the checkpoint barrier — so the kernel dispatch is pinned
+    on the POLICY (the same pure function assign_ivf_auto branches on,
+    over the fixture's exact k and d) plus the checkpoint scan in the
+    plan, and the planted-clone output pins the kernel's execution."""
+    from codegraph_spark import doctor
+    from codegraph_spark.queries.similarity import (
+        _IVF_BNLJ_MAX_K,
+        _assignment_strategy,
+        _emb,
+        dedup_semantic_adaptive,
+    )
+
+    n = _emb(spark, sf_dir).count()
+    k = max(1, -(-n // 4))
+    assert k > _IVF_BNLJ_MAX_K  # past the JVM BNLJ regime...
+    d = len(_emb(spark, sf_dir).first()["v"])
+    assert _assignment_strategy(k, d) == "flat"  # ...the Arrow kernel
     df = dedup_semantic_adaptive(spark, sf_dir)
     plan = doctor.plan_text(df)
-    assert "MapInPandas" in plan
+    # the checkpointed assignment appears as an RDD scan barrier
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
     assert "CartesianProduct" not in plan
     rows = {r["pruned_id"]: r for r in df.collect()}
     clone_ids = {v + 1_000_000 for v in range(0, 500, 40)}
