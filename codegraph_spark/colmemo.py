@@ -34,7 +34,10 @@ def memo_cols(build: Callable) -> Callable:
     @functools.wraps(build)
     def cached(*args):
         if args and not all(isinstance(a, str) for a in args):
-            return build(*args)
+            # mixed str/Column calls still see Columns only (r12
+            # ADVICE): a builder must never receive a raw str where a
+            # pyspark function would interpret it as a literal
+            return build(*(F.col(a) if isinstance(a, str) else a for a in args))
         hit = cache.get(args)
         if hit is None:
             hit = build(*(F.col(a) for a in args))

@@ -243,6 +243,156 @@ def _encode_block(w: _BitWriter, row, pred: int, dc_codes, ac_codes) -> int:
     return dc
 
 
+_CODE_ARR_CACHE: dict[tuple, tuple] = {}
+
+
+def _codes_arrays(bits: list[int], vals: list[int]):
+    """Canonical codes as 256-entry (code, length) int64 arrays for the
+    vectorized entropy encoder (cached per table content)."""
+    import numpy as np
+
+    ck = (tuple(bits), tuple(vals))
+    hit = _CODE_ARR_CACHE.get(ck)
+    if hit is None:
+        codes = _canonical_codes(bits, vals)
+        code_arr = np.zeros(256, dtype=np.int64)
+        len_arr = np.zeros(256, dtype=np.int64)
+        for sym, (code, ln) in codes.items():
+            code_arr[sym] = code
+            len_arr[sym] = ln
+        hit = (code_arr, len_arr)
+        _CODE_ARR_CACHE[ck] = hit
+    return hit
+
+
+def _encode_entropy_gray(zz, restart_interval: int) -> bytes:
+    """Vectorized Huffman entropy coding of a single-component block
+    sequence (r13, guide §4.2): the per-symbol ``_BitWriter`` loop cost
+    ~2 µs/symbol in Python — half of every encode_jpeg_gray call. This
+    builds the identical bitstream with whole-image numpy passes:
+    symbol stream (DC diffs with per-restart-segment pred reset,
+    AC run/size with ZRL expansion, EOB), per-segment 1-bit padding to
+    byte alignment, one bit-scatter + ``packbits``, byte stuffing via
+    ``bytes.replace``, RST markers between segments. Byte-identical to
+    the loop form (pinned by tests against the reference encoder)."""
+    import numpy as np
+
+    dc_code, dc_len = _codes_arrays(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_code, ac_len = _codes_arrays(_AC_LUM_BITS, _AC_LUM_VALS)
+    nb = len(zz)
+    ri = int(restart_interval)
+    seg_of_block = (np.arange(nb) // ri) if ri else np.zeros(nb, dtype=np.int64)
+    n_seg = int(seg_of_block[-1]) + 1 if nb else 1
+
+    # DC: diff vs previous block in the same restart segment
+    dc = zz[:, 0]
+    diff = dc.copy()
+    diff[1:] -= dc[:-1]
+    if ri:
+        diff[np.arange(0, nb, ri)] = dc[np.arange(0, nb, ri)]
+    elif nb:
+        diff[0] = dc[0]
+    s_dc = np.frexp(np.abs(diff).astype(np.float64))[1].astype(np.int64)
+    extra_dc = np.where(diff >= 0, diff, diff + (1 << s_dc) - 1)
+
+    # AC: nonzero walk (np.nonzero is row-major: block asc, pos asc)
+    bi, kk = np.nonzero(zz[:, 1:])
+    kk = kk + 1
+    vals = zz[bi, kk]
+    prev = np.empty_like(kk)
+    if len(kk):
+        prev[0] = 0
+        prev[1:] = kk[:-1]
+        first = np.empty(len(bi), dtype=bool)
+        first[0] = True
+        first[1:] = bi[1:] != bi[:-1]
+        prev[first] = 0
+    run = kk - prev - 1
+    nzrl = run >> 4           # ZRLs emitted while run > 15
+    resid = run & 15
+    s_ac = np.frexp(np.abs(vals).astype(np.float64))[1].astype(np.int64)
+    extra_ac = np.where(vals > 0, vals, vals + (1 << s_ac) - 1)
+    ac_sym = (resid << 4) | s_ac
+
+    # EOB for every block whose last scanned coeff is not position 63
+    has_eob = np.ones(nb, dtype=bool)
+    has_eob[bi[kk == 63]] = False
+    eob_blocks = np.nonzero(has_eob)[0]
+
+    # emission ordering key: (block, pos, sub) flattened; pos 0 = DC,
+    # 1..63 = AC (ZRLs at sub 1..3 before the symbol at sub 5), 65 = EOB
+    KB = 66 * 8
+    n_zrl_total = int(nzrl.sum())
+    zrl_owner = np.repeat(np.arange(len(kk)), nzrl)
+    zrl_j = np.arange(n_zrl_total) - np.repeat(
+        np.concatenate([[0], np.cumsum(nzrl)[:-1]]) if len(kk) else [], nzrl
+    )
+    keys = np.concatenate([
+        np.arange(nb) * KB,                                   # DC
+        (bi[zrl_owner] * 66 + kk[zrl_owner]) * 8 + 1 + zrl_j,  # ZRLs
+        (bi * 66 + kk) * 8 + 5,                               # AC symbols
+        (eob_blocks * 66 + 65) * 8,                           # EOB
+    ])
+    hcode = np.concatenate([
+        dc_code[s_dc], np.full(n_zrl_total, ac_code[0xF0]),
+        ac_code[ac_sym], np.full(len(eob_blocks), ac_code[0x00]),
+    ])
+    hlen = np.concatenate([
+        dc_len[s_dc], np.full(n_zrl_total, ac_len[0xF0]),
+        ac_len[ac_sym], np.full(len(eob_blocks), ac_len[0x00]),
+    ])
+    extra = np.concatenate([
+        extra_dc, np.zeros(n_zrl_total, dtype=np.int64),
+        extra_ac, np.zeros(len(eob_blocks), dtype=np.int64),
+    ])
+    extlen = np.concatenate([
+        s_dc, np.zeros(n_zrl_total, dtype=np.int64),
+        s_ac, np.zeros(len(eob_blocks), dtype=np.int64),
+    ])
+    order = np.argsort(keys)
+    hcode, hlen = hcode[order], hlen[order]
+    extra, extlen = extra[order], extlen[order]
+    blk = keys[order] // KB
+    em_seg = (blk // ri) if ri else np.zeros(len(blk), dtype=np.int64)
+
+    # interleave (huffman code, extra bits) per emission
+    n_em = len(hcode)
+    v = np.empty(2 * n_em, dtype=np.int64)
+    n = np.empty(2 * n_em, dtype=np.int64)
+    v[0::2], n[0::2] = hcode, hlen
+    v[1::2], n[1::2] = extra, extlen
+    vseg = np.repeat(em_seg, 2)
+
+    # per-segment 1-bit padding to byte alignment (spec padding)
+    seg_bits = np.bincount(vseg, weights=n, minlength=n_seg).astype(np.int64)
+    pad = (-seg_bits) % 8
+    # insert the pad emission after each segment's last entry
+    counts = np.bincount(vseg, minlength=n_seg)
+    ins_at = np.cumsum(counts)
+    v = np.insert(v, ins_at, (1 << pad) - 1)
+    n = np.insert(n, ins_at, pad)
+
+    # bit scatter + pack
+    total = int(n.sum())
+    owner = np.repeat(np.arange(len(v)), n)
+    off = np.concatenate([[0], np.cumsum(n)[:-1]])
+    shift = (n[owner] - 1 - (np.arange(total) - off[owner])).astype(np.int64)
+    bits = ((v[owner] >> shift) & 1).astype(np.uint8)
+    packed = np.packbits(bits).tobytes()
+
+    # split at (byte-aligned) segment boundaries, stuff, join with RSTs
+    seg_bytes = ((seg_bits + pad) // 8).astype(np.int64)
+    bounds = np.concatenate([[0], np.cumsum(seg_bytes)])
+    parts = []
+    for i in range(n_seg):
+        if i:
+            parts.append(bytes((0xFF, 0xD0 + (i - 1) % 8)))
+        parts.append(
+            packed[int(bounds[i]):int(bounds[i + 1])].replace(b"\xff", b"\xff\x00")
+        )
+    return b"".join(parts)
+
+
 def encode_jpeg_gray(
     pixels, width: int, height: int, quality: int = 90, restart_interval: int = 0
 ) -> bytes:
@@ -256,20 +406,8 @@ def encode_jpeg_gray(
     px = np.asarray(pixels, dtype=np.uint8).reshape(height, width)
     _bh, _bw, zz = _plane_zigzag_blocks(px, quality)
 
-    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    w = _BitWriter()
-    pred = 0
+    entropy = _encode_entropy_gray(zz, restart_interval)
     ri = int(restart_interval)
-    rst = 0
-    for i in range(len(zz)):
-        if ri and i and i % ri == 0:
-            w.align()
-            w.out.extend((0xFF, 0xD0 + rst % 8))
-            rst += 1
-            pred = 0
-        pred = _encode_block(w, zz[i], pred, dc_codes, ac_codes)
-    w.align()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -288,7 +426,7 @@ def encode_jpeg_gray(
     if ri:
         out += seg(0xFFDD, struct.pack(">H", ri))
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    out += w.out
+    out += entropy
     out += struct.pack(">H", 0xFFD9)  # EOI
     return bytes(out)
 
@@ -442,97 +580,59 @@ def _split_scan_segments(data: bytes, pos: int) -> list[bytes]:
     return [s.replace(b"\xff\x00", b"\xff") for s in segments]
 
 
-#: 16-bit-prefix Huffman LUTs, cached per canonical table content —
-#: identical DHT segments across a corpus build each LUT exactly once
-#: per process.
-_HUFF_LUT_CACHE: dict[tuple, "object"] = {}
+#: 16-bit-prefix Huffman LUTs, cached per RAW DHT spec bytes (r13 — the
+#: previous cache rebuilt the (length, code)→symbol dict and sorted
+#: ~176 items per FRAME to form its key; identical DHT segments across
+#: a corpus now hash ~180 bytes instead). Values are plain Python
+#: lists: the decode loop indexes them with Python ints, and list
+#: indexing avoids the per-lookup numpy-scalar boxing.
+_HUFF_LUT_CACHE: dict[bytes, list] = {}
 
 
-def _huff_lut(table: dict[tuple[int, int], int]):
-    """(length, code) -> symbol table compiled to a 65536-entry array:
-    lut[16-bit peek] = (symbol << 5) | code_length, 0 = invalid."""
+def _huff_lut_raw(raw: bytes) -> list:
+    """Raw DHT table spec (class/id byte + 16 BITS counts + HUFFVAL)
+    -> 65536-entry list: lut[16-bit peek] = (symbol << 5) | code_length,
+    0 = invalid (T.81 Annex C canonical assignment)."""
     import numpy as np
 
-    key = tuple(sorted(table.items()))
-    lut = _HUFF_LUT_CACHE.get(key)
+    lut = _HUFF_LUT_CACHE.get(raw)
     if lut is None:
-        lut = np.zeros(1 << 16, dtype=np.int32)
-        for (length, code), sym in table.items():
-            lo = code << (16 - length)
-            hi = (code + 1) << (16 - length)
-            lut[lo:hi] = (sym << 5) | length
-        _HUFF_LUT_CACHE[key] = lut
+        bits = raw[1:17]
+        vals = raw[17:]
+        arr = np.zeros(1 << 16, dtype=np.int32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                arr[lo:hi] = (vals[k] << 5) | length
+                code += 1
+                k += 1
+            code <<= 1
+        lut = arr.tolist()
+        _HUFF_LUT_CACHE[raw] = lut
     return lut
 
 
-class _BitReader:
-    """Bit reader over one un-stuffed restart segment (plain bytes:
-    every marker concern was handled by :func:`_split_scan_segments`).
-    Reads past the end yield 0 bits — the spec's padding region; a
-    well-formed scan never decodes a VALUE from them, so a symbol read
-    attempted after every real bit is consumed raises (a truncated /
-    corrupt scan must fail loudly, not decode the missing tail to
-    silently-zero coefficients)."""
+def _segment_windows(segment: bytes) -> tuple[list, int]:
+    """Per-segment bit-reader state (r13 — replaces the `_BitReader`
+    accumulator object, whose per-symbol method calls cost ~2 µs each):
+    ``tri[j]`` holds bytes j..j+2 of the segment as one int (zero-padded
+    past the end — the spec's padding region), so the 16-bit peek at
+    any bit offset ``bp`` is ``(tri[bp >> 3] >> (8 - (bp & 7))) &
+    0xFFFF`` — three int ops inline in the decode loop. Returns
+    (tri list, total real bits). A symbol read STARTING at or past the
+    real-bit count decodes entirely from padding and must raise (a
+    truncated scan fails loudly, not silently-zero tail coefficients);
+    reads that merely PEEK past the end are the normal final-symbol
+    case."""
+    import numpy as np
 
-    __slots__ = ("d", "L", "i", "acc", "n", "synth")
-
-    def __init__(self, segment: bytes) -> None:
-        self.d = segment
-        self.L = len(segment)
-        self.i = 0
-        self.acc = 0
-        self.n = 0
-        self.synth = 0  # synthetic (past-end) bits currently in acc
-
-    def _peek16(self) -> int:
-        d, i, acc, n = self.d, self.i, self.acc, self.n
-        L = self.L
-        while n < 16:
-            if i < L:
-                acc = (acc << 8) | d[i]
-            else:
-                acc <<= 8
-                self.synth += 8
-            i += 1
-            n += 8
-        self.i, self.acc, self.n = i, acc, n
-        return (acc >> (n - 16)) & 0xFFFF
-
-    def _exhausted(self) -> bool:
-        # no real bits left: nothing unread in the segment and every
-        # bit still in acc is synthetic padding (kept as a method for
-        # tests/external callers; the hot paths inline the comparison)
-        return self.i >= self.L and self.n <= self.synth
-
-    def read_huff(self, lut) -> int:
-        if self.i >= self.L and self.n <= self.synth:
-            raise ValueError("bad JPEG: scan segment truncated (symbol "
-                             "would decode entirely from padding)")
-        packed = int(lut[self._peek16()])
-        if packed == 0:
-            raise ValueError("bad JPEG: invalid Huffman code in scan data")
-        length = packed & 31
-        n = self.n - length
-        self.n = n
-        self.acc &= (1 << n) - 1
-        if self.synth > n:
-            self.synth = n
-        return packed >> 5
-
-    def receive_extend(self, s: int) -> int:
-        """Read s magnitude bits and sign-extend (T.81 EXTEND)."""
-        if s == 0:
-            return 0
-        if self.i >= self.L and self.n <= self.synth:
-            raise ValueError("bad JPEG: scan segment truncated (value "
-                             "would decode entirely from padding)")
-        v = self._peek16() >> (16 - s)
-        n = self.n - s
-        self.n = n
-        self.acc &= (1 << n) - 1
-        if self.synth > n:
-            self.synth = n
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    b = np.frombuffer(segment, dtype=np.uint8).astype(np.int64)
+    b = np.concatenate([b, np.zeros(2, dtype=np.int64)])
+    tri = ((b[:-2] << 16) | (b[1:-1] << 8) | b[2:]).tolist()
+    return tri, len(segment) * 8
 
 
 def decode_jpeg_gray(data: bytes):
@@ -547,7 +647,7 @@ def decode_jpeg_gray(data: bytes):
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], bytes] = {}  # raw DHT spec slices
     restart_interval = 0
     frame = None  # (width, height, components)
     while pos + 4 <= len(data):
@@ -578,24 +678,15 @@ def decode_jpeg_gray(data: bytes):
                 for k in range(64):
                     table[ZIGZAG[k]] = vals[k]
                 qtables[tq] = table
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — keep the RAW spec bytes; the
+            # canonical-code LUT is compiled (and cached) from them in
+            # _huff_lut_raw, so identical tables across a corpus parse once
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17 : i + 17 + n])
+                n = sum(body[i + 1 : i + 17])
+                htables[(tc, th)] = bytes(body[i : i + 17 + n])
                 i += 17 + n
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for ln in range(1, 17):
-                    for _ in range(bits[ln - 1]):
-                        table[(ln, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                htables[(tc, th)] = table
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -655,26 +746,29 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     mcuy = -(-height // (8 * vmax))
     segments = _split_scan_segments(data, pos)
     seg_idx = 0
-    br = _BitReader(segments[0])
+    tri, nbits = _segment_windows(segments[0])
+    bp = 0  # bit position within the current segment
     # per-scan-component compiled Huffman LUTs
     luts = []
     for comp, td, ta in scan:
-        dc_tab = htables.get((0, td))
-        ac_tab = htables.get((1, ta))
-        if dc_tab is None or ac_tab is None:
+        dc_raw = htables.get((0, td))
+        ac_raw = htables.get((1, ta))
+        if dc_raw is None or ac_raw is None:
             raise ValueError("bad JPEG: scan references missing Huffman table")
-        luts.append((_huff_lut(dc_tab), _huff_lut(ac_tab)))
+        luts.append((_huff_lut_raw(dc_raw), _huff_lut_raw(ac_raw)))
     # luma plane block grid
     y_bw, y_bh = mcux * comps[0]["h"], mcuy * comps[0]["v"]
     y_blocks = np.zeros((y_bh * y_bw, 64), dtype=np.int64)
     preds = [0] * len(scan)
     n_mcu = mcux * mcuy
+    trunc = "bad JPEG: scan segment truncated (symbol would decode entirely from padding)"
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("bad JPEG: expected restart marker")
-            br = _BitReader(segments[seg_idx])
+            tri, nbits = _segment_windows(segments[seg_idx])
+            bp = 0
             preds = [0] * len(scan)
         my, mx = divmod(m, mcux)
         for si, (comp, _td, _ta) in enumerate(scan):
@@ -682,25 +776,47 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
             for by in range(comp["v"]):
                 for bx in range(comp["h"]):
                     coeffs = [0] * 64 if si == 0 else None
-                    s = br.read_huff(dc_lut)
-                    preds[si] += br.receive_extend(s)
+                    # DC symbol + EXTEND (inlined bit reads: 16-bit peek
+                    # from the tri-byte window list, see _segment_windows)
+                    if bp >= nbits:
+                        raise ValueError(trunc)
+                    p = dc_lut[(tri[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF]
+                    if p == 0:
+                        raise ValueError("bad JPEG: invalid Huffman code in scan data")
+                    bp += p & 31
+                    s = p >> 5
+                    if s:
+                        if bp >= nbits:
+                            raise ValueError(trunc)
+                        v = ((tri[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF) >> (16 - s)
+                        bp += s
+                        preds[si] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                     if coeffs is not None:
                         coeffs[0] = preds[si]
                     k = 1
                     while k < 64:
-                        rs = br.read_huff(ac_lut)
-                        r, s = rs >> 4, rs & 15
+                        if bp >= nbits:
+                            raise ValueError(trunc)
+                        p = ac_lut[(tri[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF]
+                        if p == 0:
+                            raise ValueError("bad JPEG: invalid Huffman code in scan data")
+                        bp += p & 31
+                        rs = p >> 5
+                        s = rs & 15
                         if s == 0:
-                            if r == 15:
+                            if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
                             break  # EOB
-                        k += r
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("bad JPEG: AC run past block end")
-                        v = br.receive_extend(s)
+                        if bp >= nbits:
+                            raise ValueError(trunc)
+                        v = ((tri[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF) >> (16 - s)
+                        bp += s
                         if coeffs is not None:
-                            coeffs[k] = v
+                            coeffs[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                         k += 1
                     if si == 0:
                         row = my * comp["v"] + by

@@ -203,7 +203,18 @@ def scc_assignments(
         # physical planning (Dataset.checkpoint runs toRdd even lazily)
         # costs more than the one pass it would save (r12)
         return _scc_single_task(n, edges.select("src", "dst"))
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    # node-filter the edge set BEFORE the first trim round so both
+    # paths share one precondition (r12 ADVICE: the fast path drops
+    # edges to non-member ids up front; without this, a node kept
+    # alive solely by such an edge would survive the BSP trim only) —
+    # the trim's documented fixpoint is over the node-induced subgraph
+    e = (
+        edges.select("src", "dst")
+        .join(n.select(F.col("id").alias("src")), "src", "semi")
+        .join(n.select(F.col("id").alias("dst")), "dst", "semi")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # (1) trim the acyclic fringe: every node of a nontrivial SCC (and
     # every self-loop) has both in- and out-edges in the remainder
     while n_nodes > 0:

@@ -90,31 +90,53 @@ def salted_self_pairs(
     stragglers. At 100 TB pair stopword shingles with a doc-frequency
     cutoff upstream (drop grams with df > corpus_fraction from
     candidate generation and re-verify survivors exactly).
+
+    Fused single-join form (r13, guide §3): instead of splitting the
+    input into hot/cold frames and unioning two self-joins (four scans
+    of ``df``, two joins), a broadcast left join tags each row hot or
+    cold and ONE self-join handles both: cold rows carry salt 0 on both
+    sides (plain pairing), hot rows salt the left side by id and
+    replicate the right side ``n_salt`` ways. A hot pair (a, b) matches
+    exactly at salt xxhash64(a)%n_salt; a cold pair at salt 0; a key is
+    globally hot or cold so no cross terms exist — the output multiset
+    is identical to the split form (pinned by test_skew.py's
+    plain-join equality and fuzz tests).
     """
     from functools import reduce
 
     freq = df.groupBy(*keys).agg(F.count("*").alias("_n"))
-    hot_keys = F.broadcast(freq.filter(F.col("_n") > hot_threshold).select(*keys))
-    cold = df.join(hot_keys, list(keys), "left_anti")
-    hot = df.join(hot_keys, list(keys), "left_semi")
-
-    def pairs(left: DataFrame, right: DataFrame, salted: bool) -> DataFrame:
-        a, b = left.alias("a"), right.alias("b")
-        cond = reduce(
+    hot_keys = F.broadcast(
+        freq.filter(F.col("_n") > hot_threshold)
+        .select(*keys)
+        .withColumn("_hot", F.lit(True))
+    )
+    marked = df.join(hot_keys, list(keys), "left")
+    left = marked.withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+    right = marked.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salt - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).drop("_hot")
+    a, b = left.alias("a"), right.alias("b")
+    cond = (
+        reduce(
             lambda x, y: x & y,
             [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys],
-        ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        if salted:
-            cond = cond & (F.col("a._salt") == F.col("b._salt"))
-        return a.join(b, cond).select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
         )
-
-    hot_l = hot.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)))
-    hot_r = hot.withColumn(
-        "_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a._salt") == F.col("b._salt"))
     )
-    return pairs(cold, cold, salted=False).unionByName(
-        pairs(hot_l, hot_r, salted=True)
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
     )

@@ -1711,7 +1711,15 @@ def dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             repsd,
             cents,
             # an empty corpus yields an empty cents frame: k is 0 there,
-            # not the ceil-division floor of 1
+            # not the ceil-division floor of 1. NOTE (r12 ADVICE): k is
+            # the bucket-LABEL count; hash bucketing can leave some of
+            # the k buckets empty, so k_hint may EXCEED the realized
+            # centroid count the old cents.count() probe returned. The
+            # only dispatch consequence is near the flat/two_level
+            # k*d boundary (an over-count can pick the coarser path one
+            # step early); bnlj/flat flips are both exact. Deriving the
+            # realized count would re-add the probe job this hint exists
+            # to remove.
             k_hint=k if n_reps else 0,
             d_hint=int(dim) if dim is not None else None,
         )

@@ -43,6 +43,24 @@ MEDIA_TYPES = {
 }
 
 
+def _modality_glob(modality: str) -> str:
+    """Case-insensitive pathGlobFilter matching exactly the extensions
+    of one modality (r13, guide §6): ``binaryFile`` otherwise lists AND
+    reads every file under the root, and the modality filter — a
+    regexp over the path — runs only after the payload bytes are
+    already loaded. Pushing the extension set into the listing skips
+    the open+read of every other-modality file. Case classes (``[jJ]``)
+    keep the glob equivalent to the ``lower(ext)`` lookup the modality
+    column uses, so the row set is unchanged for ANY directory content
+    (pinned by test: mixed-case and unknown extensions)."""
+    pats = [
+        "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in ext)
+        for ext, (m, _c) in MEDIA_TYPES.items()
+        if m == modality
+    ]
+    return "*.{" + ",".join(pats) + "}"
+
+
 def read_media_dir(
     spark: SparkSession, root: str, glob: str = "*", modality: str | None = None
 ) -> DataFrame:
@@ -58,6 +76,12 @@ def read_media_dir(
     unfiltered scan) rather than guessed at."""
     import os
 
+    # narrow the listing to the requested modality's extensions when
+    # the caller did not constrain the glob themselves — the modality
+    # filter below still applies (belt and braces); the glob only
+    # controls which files are opened at all
+    if modality is not None and glob == "*":
+        glob = _modality_glob(modality)
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

@@ -10,6 +10,7 @@ are single parquet files.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,18 +28,22 @@ TABLE_NAMES = [
 ]
 
 
-#: (applicationId, abspath(sf_dir), name, mtime_ns, size) → lazy plan.
-#: A catalog stand-in (r12): `spark.read.parquet` re-reads the file
-#: footer and re-infers the schema on EVERY call — ~90 ms per call on
-#: this box, paid once per table per query invocation, which dominated
-#: sub-second queries' bench time. A registered external table (the
-#: cluster deployment) resolves schema from the metastore instead;
-#: this memo is that behavior. Only the UNRESOLVED LAZY PLAN is
-#: cached — no rows, no persist: every action still scans parquet.
-#: Keying on (mtime, size) self-revalidates when a test rewrites the
-#: file in-session (stricter than serving.py's explicit-invalidate
-#: contract).
-_PLAN_CACHE: dict[tuple, DataFrame] = {}
+#: (applicationId, abspath(sf_dir), name) → (stamp, lazy plan), where
+#: stamp = (mtime_ns, size). A catalog stand-in (r12):
+#: `spark.read.parquet` re-reads the file footer and re-infers the
+#: schema on EVERY call — ~90 ms per call on this box, paid once per
+#: table per query invocation, which dominated sub-second queries'
+#: bench time. A registered external table (the cluster deployment)
+#: resolves schema from the metastore instead; this memo is that
+#: behavior. Only the UNRESOLVED LAZY PLAN is cached — no rows, no
+#: persist: every action still scans parquet. The stamp in the VALUE
+#: (r13, was part of the key) self-revalidates when a test rewrites
+#: the file in-session AND evicts the prior entry on replacement, so
+#: an in-session rewrite no longer accumulates stale plans (r12
+#: ADVICE). The whole dict is additionally LRU-capped — a long serving
+#: session cycling many dataset dirs stays bounded.
+_PLAN_CACHE: OrderedDict[tuple, tuple[tuple, DataFrame]] = OrderedDict()
+_PLAN_CACHE_MAX = 256  # 10 tables/dir → ~25 dataset dirs retained
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,12 +59,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
         name,
-        stamp,
     )
     if stamp is not None:
         hit = _PLAN_CACHE.get(key)
-        if hit is not None:
-            return hit
+        if hit is not None and hit[0] == stamp:
+            _PLAN_CACHE.move_to_end(key)
+            return hit[1]
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
         # timestamp type, so read the raw int64 and truncate to micros
@@ -73,7 +78,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if stamp is not None:
-        _PLAN_CACHE[key] = df
+        _PLAN_CACHE[key] = (stamp, df)  # replaces any stale-stamp entry
+        _PLAN_CACHE.move_to_end(key)
+        while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            _PLAN_CACHE.popitem(last=False)
     return df
 
 
@@ -85,8 +93,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 #: The partition probe (`df.rdd.getNumPartitions()`) costs a physical
 #: planning pass (~40 ms); since inputs are the _PLAN_CACHE's stable
 #: objects, one probe per (table, keys) per session suffices. The
-#: input ref in the value pins the object so id() cannot be recycled.
-_SPREAD_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+#: input ref in the value pins the object so id() cannot be recycled;
+#: the LRU cap (r13, r12 ADVICE) bounds how many DataFrames stay
+#: pinned when callers pass non-cached inputs (e.g. a non-stat-able
+#: path makes load_table return a fresh frame per call).
+_SPREAD_CACHE: OrderedDict[tuple, tuple[DataFrame, DataFrame]] = OrderedDict()
+_SPREAD_CACHE_MAX = 128
 
 
 def spread(df: DataFrame, *keys: str) -> DataFrame:
@@ -103,7 +115,11 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     key = (id(df), keys, par)
     hit = _SPREAD_CACHE.get(key)
     if hit is not None and hit[0] is df:
+        _SPREAD_CACHE.move_to_end(key)
         return hit[1]
     out = df if df.rdd.getNumPartitions() >= par else df.repartition(par, *keys)
     _SPREAD_CACHE[key] = (df, out)
+    _SPREAD_CACHE.move_to_end(key)
+    while len(_SPREAD_CACHE) > _SPREAD_CACHE_MAX:
+        _SPREAD_CACHE.popitem(last=False)
     return out

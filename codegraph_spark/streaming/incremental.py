@@ -136,13 +136,15 @@ def run_available_now(
     drains like this one.
 
     Checkpoint placement (r12): an availableNow drain into a memory
-    sink is EPHEMERAL by construction (fresh checkpoint per
-    invocation, discarded at the end), so its offset/commit/state
-    files go to ram-backed storage when available (/dev/shm — ~0.12 s
-    per drain of fsync latency saved) and are removed afterwards.
-    Production deployments, whose checkpoints ARE the durability
-    contract, point ``spark.codegraph.stream.drainCheckpointDir`` at a
-    durable store (or use their own writeStream with a real sink)."""
+    sink is EPHEMERAL by construction (fresh uuid checkpoint per
+    invocation, removed in the ``finally`` below — it could never be
+    resumed), so its offset/commit/state files go to ram-backed
+    storage when available (/dev/shm — ~0.12 s per drain of fsync
+    latency saved). ``spark.codegraph.stream.drainCheckpointDir`` only
+    relocates these ephemeral files (e.g. off a RAM-pressured host);
+    it does NOT make a drain durable — a deployment that needs
+    recoverable checkpoints must own its writeStream (real sink, fixed
+    checkpointLocation) instead of this drain helper (r12 ADVICE)."""
     import shutil
 
     spark = result.sparkSession
