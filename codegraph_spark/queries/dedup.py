@@ -2180,7 +2180,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("rep_id"),
         F.sum(F.when(~F.col("incoming"), 1).otherwise(0)).alias("n_prior"),
         F.min(F.when(F.col("incoming"), F.col("doc_id"))).alias("min_in"),
-    )
+        # materialize ONCE (r13): gh has four consumers below (reps
+        # semi-join, prior filter, non-prior filter, the inc join) and
+        # per-consumer column pruning makes each copy's exchange
+        # non-identical, so nothing was reused — the executed plan
+        # re-ran the scan+union+md5+groupBy FOUR times (72 parquet
+        # scans total, 16 jobs). This is the snapshot hash store the
+        # operator models, materialized once per refresh (guide §2.4).
+    ).localCheckpoint(eager=False)
     reps = d.select("doc_id", "text").join(
         gh.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     )
@@ -2196,7 +2203,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    banded = _bands_of_sig(sig)
+    # materialize the banded store once (r13): two consumers
+    # (prior_bands, near_reps) otherwise each re-run the shingle
+    # explode + 16-component MinHash aggregation (guide §2.4)
+    banded = _bands_of_sig(sig).localCheckpoint(eager=False)
     prior_reps = gh.filter(F.col("n_prior") > 0).select(
         F.col("rep_id").alias("doc_id")
     )

@@ -988,6 +988,25 @@ def _stored_media_dir(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _stored_media_scan(spark: SparkSession, root: str, modality: str):
+    """Session-memoized LAZY ``read_media_dir`` frame over the stored
+    fixture (r13): the binaryFile load re-lists the directory per call
+    (~0.15 s at sf0.1's ~3.6k files). The fixture root is
+    content-addressed (md5 of the documents fingerprint in the PATH),
+    so the cached plan can never go stale — changed source data yields
+    a different root/key. Plan only, no rows cached (the
+    sources/tables.py ``_PLAN_CACHE`` class of memo, on serving.py's
+    invalidation/eviction contract)."""
+    from codegraph_spark.serving import shared_obj
+    from codegraph_spark.sources.media import read_media_dir
+
+    return shared_obj(
+        spark,
+        (root, "media_scan", modality),
+        lambda: read_media_dir(spark, root, modality=modality),
+    )
+
+
 def mm_stored_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STORED-payload media gate (r8 VERDICT "Next round" 5): unlike
     the other codec gates, which synthesize bytes inside the kernel,
@@ -1009,7 +1028,7 @@ def mm_stored_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.sources.media import read_media_dir
 
     root = _stored_media_dir(spark, sf_dir)
-    media = read_media_dir(spark, root, modality="image")
+    media = _stored_media_scan(spark, root, "image")
     parsed = media.select(
         F.regexp_extract("path", r"(\d+)\.(png|jpg)$", 1)
         .cast("long").alias("doc_id"),
@@ -1067,7 +1086,7 @@ def mm_stored_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.sources.media import read_media_dir
 
     root = _stored_media_dir(spark, sf_dir)
-    media = read_media_dir(spark, root, modality="audio")
+    media = _stored_media_scan(spark, root, "audio")
     parsed = media.select(
         F.regexp_extract("path", r"(\d+)\.wav$", 1)
         .cast("long").alias("doc_id"),
@@ -1108,7 +1127,7 @@ def mm_stored_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.sources.media import read_media_dir
 
     root = _stored_media_dir(spark, sf_dir)
-    media = read_media_dir(spark, root, modality="video")
+    media = _stored_media_scan(spark, root, "video")
     # binaryFile packs these ~KB files into very few partitions; spread
     # the per-file Python decode across cores (the heavy-kernel hint
     # every codec gate applies)
@@ -1152,9 +1171,12 @@ def mm_stored_mjpeg_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "n_frames", "n_cuts", "first_cut"]
             )
 
+    # no final orderBy (r13, the mm_png precedent): subset-sized rows,
+    # order-insensitive driver compare; the range sort's sampling pass
+    # re-ran the binaryFile scan + per-frame decode a second time
     return parsed.mapInPandas(
         kernel, "doc_id long, n_frames int, n_cuts int, first_cut int"
-    ).orderBy("doc_id")
+    )
 
 
 def _stored_mjpeg_sql() -> str:

@@ -803,10 +803,16 @@ def stream_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.queries.web import dirty_html_wrap, tokenize_extract
     from codegraph_spark.streaming.incremental import read_documents_stream
 
-    docs = read_documents_stream(spark, sf_dir).select(
+    # repartition BEFORE the wrap (r13, as in the batch twin): the
+    # arriving micro-batch is a single file-source partition, and the
+    # adversarial wrap is the heavy per-row string program — it must
+    # run downstream of the exchange, not on one core ahead of it
+    docs = read_documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id",
         dirty_html_wrap("text", "doc_id", "source").alias("page"),
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     return run_available_now(
         tokenize_extract(docs), output_mode="append"
     ).orderBy("doc_id")

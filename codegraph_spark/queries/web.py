@@ -125,6 +125,7 @@ _WRAP_SQL = f"""
 
 
 # --- the extraction column program ---------------------------------------------
+@memo_cols
 def html_block_stats(page: Column) -> Column:
     """page → array<struct(txt, wc, link_len)> of NON-EMPTY text
     blocks, the shared per-line scoring pass. ``txt`` is the
@@ -184,6 +185,56 @@ def _keep(s: Column) -> Column:
     )
 
 
+# memoized composites over the shared block pass (r13): each
+# higher-order F.transform/F.filter lambda costs tens of py4j round
+# trips to build, and these exact trees recur on every extract-family
+# invocation (construct was ~0.1-0.2 s/call — the r12 construction
+# finding, applied to the extraction layer)
+@memo_cols
+def _wrapped_blocks(text: Column, doc_id: Column, source: Column) -> Column:
+    return html_block_stats(html_wrap(text, doc_id, source))
+
+
+@memo_cols
+def _kept_txt_join(b: Column) -> Column:
+    return F.array_join(
+        F.transform(F.filter(b, _keep), lambda s: s["txt"]), "\n"
+    )
+
+
+@memo_cols
+def _kept_size(b: Column) -> Column:
+    return F.size(F.filter(b, _keep))
+
+
+@memo_cols
+def _kept_chars(b: Column) -> Column:
+    return F.aggregate(
+        F.filter(b, _keep),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc + F.length(s["txt"]),
+    )
+
+
+@memo_cols
+def _short_size(b: Column) -> Column:
+    return F.size(F.filter(b, lambda s: s["wc"] < _MIN_WORDS))
+
+
+@memo_cols
+def _linky_size(b: Column) -> Column:
+    return F.size(
+        F.filter(
+            b,
+            lambda s: (s["wc"] >= _MIN_WORDS)
+            & (
+                s["link_len"] * _LINK_DENS_DEN
+                > F.length(s["txt"]) * _LINK_DENS_NUM
+            ),
+        )
+    )
+
+
 #: the same block-stats pass as a DuckDB SQL fragment over column
 #: ``page`` (list of structs, empties dropped)
 _BLOCKS_SQL = """
@@ -237,24 +288,21 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the _shingles_of rationale; a real multi-file 100 TB layout is
     already partitioned and the hint is a cheap rebalance)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    page = html_wrap("text", "doc_id", "source")
     # materialize the block array ONCE per row before deriving stats —
     # referencing the raw expression from several output columns would
     # inline (and re-evaluate) the whole page-build + regex tree per
     # reference (no CSE across projection items; measured ~2x)
     blocked = docs.select(
-        "doc_id", html_block_stats(page).alias("b")
+        "doc_id", _wrapped_blocks("text", "doc_id", "source").alias("b")
     ).select(
         "doc_id", "b",
-        F.array_join(
-            F.transform(F.filter("b", _keep), lambda s: s["txt"]), "\n"
-        ).alias("x"),
+        _kept_txt_join("b").alias("x"),
     )
     return (
         blocked.select(
             "doc_id",
             F.size("b").alias("n_blocks"),
-            F.size(F.filter("b", _keep)).alias("n_kept"),
+            _kept_size("b").alias("n_kept"),
             F.length("x").cast("bigint").alias("extracted_len"),
             F.md5(F.col("x").cast("binary")).alias("extract_md5"),
         )
@@ -264,7 +312,12 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_pm"),
             "extracted_len", "extract_md5",
         )
-        .orderBy("doc_id")
+        # no final orderBy (r13, the mm_png_roundtrip precedent): the
+        # result is corpus-sized (one row per doc) and the driver/
+        # oracle compare sorts rows itself; a global range sort here
+        # re-executes the whole wrap+extract subtree for its sampling
+        # pass (measured: sort ≈ doubles the query) and is exactly the
+        # corpus-wide shuffle you would not run at 100 TB
     )
 
 
@@ -306,33 +359,17 @@ def text_html_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-document projection above + ONE source-keyed
     aggregation (bounded distinct sources)."""
     docs = load_table(spark, sf_dir, "documents")
-    page = html_wrap("text", "doc_id", "source")
     # materialize the block array once per row (see text_html_extract)
     blocked = docs.select(
-        "source", html_block_stats(page).alias("b")
+        "source", _wrapped_blocks("text", "doc_id", "source").alias("b")
     )
     per_doc = blocked.select(
         "source",
         F.size("b").alias("nb"),
-        F.size(F.filter("b", _keep)).alias("nk"),
-        F.size(
-            F.filter("b", lambda s: s["wc"] < _MIN_WORDS)
-        ).alias("nshort"),
-        F.size(
-            F.filter(
-                "b",
-                lambda s: (s["wc"] >= _MIN_WORDS)
-                & (
-                    s["link_len"] * _LINK_DENS_DEN
-                    > F.length(s["txt"]) * _LINK_DENS_NUM
-                ),
-            )
-        ).alias("nlink"),
-        F.aggregate(
-            F.filter("b", _keep),
-            F.lit(0).cast("bigint"),
-            lambda acc, s: acc + F.length(s["txt"]),
-        ).alias("kept_chars"),
+        _kept_size("b").alias("nk"),
+        _short_size("b").alias("nshort"),
+        _linky_size("b").alias("nlink"),
+        _kept_chars("b").alias("kept_chars"),
     )
     agg = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -404,16 +441,12 @@ def web_extract_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     page = html_wrap("text", "doc_id", "source")
     blocked = docs.select(
         F.length(page).cast("bigint").alias("page_len"),
-        html_block_stats(page).alias("b"),
+        _wrapped_blocks("text", "doc_id", "source").alias("b"),
     ).select(
         "page_len",
         F.size("b").alias("nb"),
-        F.size(F.filter("b", _keep)).alias("nk"),
-        F.aggregate(
-            F.filter("b", _keep),
-            F.lit(0).cast("bigint"),
-            lambda acc, s: acc + F.length(s["txt"]),
-        ).alias("chars_out"),
+        _kept_size("b").alias("nk"),
+        _kept_chars("b").alias("chars_out"),
     )
     # coalesce: the global agg emits one row even on an empty corpus,
     # with NULL sums — pin them to 0 identically in both engines
@@ -553,11 +586,22 @@ def text_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one Arrow-batched map pass per document (the codec
     precedent), narrow stats out, zero shuffles before the bounded
     output ordering."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread BEFORE building the page (r13): the adversarial wrap is a
+    # heavy per-row string program, and a projection ahead of the
+    # repartition runs on the scan's single local partition (1 core of
+    # N) — the exact mistake the clean twin avoids (web.py:239). The
+    # exchange only needs doc_id; the wrap now computes downstream of
+    # it, on every core.
+    docs = spread(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select(
         "doc_id",
         dirty_html_wrap("text", "doc_id", "source").alias("page"),
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return tokenize_extract(docs).orderBy("doc_id")
+    )
+    # no final orderBy (r13): corpus-sized result, driver compare sorts
+    # rows; the range sort's sampling pass re-ran the wrap + tokenizer
+    # kernel a second time (measured 0.90 → 0.40 s noop)
+    return tokenize_extract(docs)
 
 
 def tokenize_extract(docs: DataFrame) -> DataFrame:
@@ -687,6 +731,21 @@ def _warc_nfiles(n_sub: int) -> int:
     return max(_WARC_FILES, -(-n_sub // _WARC_DOCS_PER_FILE))
 
 
+def _fixture_scan(spark: SparkSession, root: str, name: str, build):
+    """Session-memoized LAZY reader frame over a content-addressed
+    fixture dir (r13): each ``binaryFile`` load re-lists the directory
+    and rebuilds the scan plan per call (~0.1-0.2 s, paid per bench
+    pass). The fixture root embeds its source-content fingerprint in
+    the PATH (md5 tag — see :func:`_warc_fixture_dir`), so the cached
+    plan can never go stale: changed source data yields a different
+    root and therefore a different key. Plan only, no rows cached —
+    the sources/tables.py ``_PLAN_CACHE`` class of memo, with
+    serving.py's invalidation/eviction contract."""
+    from codegraph_spark.serving import shared_obj
+
+    return shared_obj(spark, (root, "fixture_scan", name), build)
+
+
 def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once on-disk WARC corpus for :func:`web_warc_extract`:
     real ``.warc.gz`` files (member-gzip, warcinfo + request + response
@@ -814,31 +873,30 @@ def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.sources.warc import read_warc_responses
 
     root = _warc_fixture_dir(spark, sf_dir)
-    pages = read_warc_responses(spark, root).filter(
-        F.col("http_status") == 200
-    )
-    page = F.col("page")
+    pages = _fixture_scan(
+        spark, root, "responses", lambda: read_warc_responses(spark, root)
+    ).filter(F.col("http_status") == 200)
     blocked = pages.select(
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
         .alias("doc_id"),
         "url",
-        html_block_stats(page).alias("b"),
+        html_block_stats("page").alias("b"),
     ).select(
         "doc_id", "url", "b",
-        F.array_join(
-            F.transform(F.filter("b", _keep), lambda s: s["txt"]), "\n"
-        ).alias("x"),
+        _kept_txt_join("b").alias("x"),
     )
     return (
         blocked.select(
             "doc_id",
             "url",
             F.size("b").alias("n_blocks"),
-            F.size(F.filter("b", _keep)).alias("n_kept"),
+            _kept_size("b").alias("n_kept"),
             F.length("x").cast("bigint").alias("extracted_len"),
             F.md5(F.col("x").cast("binary")).alias("extract_md5"),
         )
-        .orderBy("doc_id")
+        # no final orderBy (r13, mm_png precedent): subset-sized rows,
+        # order-insensitive compare; the sort's sampling pass re-ran
+        # the WARC parse + extraction subtree
     )
 
 
@@ -998,9 +1056,10 @@ def web_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.sources.warc import read_warc_records
 
     root = _wet_fixture_dir(spark, sf_dir)
-    recs = read_warc_records(spark, root, glob="*.warc.wet.gz").filter(
-        F.col("rec_type") == "conversion"
-    )
+    recs = _fixture_scan(
+        spark, root, "wet_records",
+        lambda: read_warc_records(spark, root, glob="*.warc.wet.gz"),
+    ).filter(F.col("rec_type") == "conversion")
     return (
         recs.select(
             F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
@@ -1011,7 +1070,9 @@ def web_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wet_len"),
             F.md5("payload").alias("wet_md5"),
         )
-        .orderBy("doc_id")
+        # no final orderBy (r13, mm_png precedent): subset-sized rows,
+        # order-insensitive compare; the sort's sampling pass re-read
+        # and re-parsed every WET member
     )
 
 
@@ -1207,7 +1268,9 @@ def web_warc_media_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codegraph_spark.sources.warc import read_warc_http
 
     root = _warc_mixed_dir(spark, sf_dir)
-    recs = read_warc_http(spark, root).filter(F.col("http_status") == 200)
+    recs = _fixture_scan(
+        spark, root, "http", lambda: read_warc_http(spark, root)
+    ).filter(F.col("http_status") == 200)
 
     # ONE kernel pass routes every record — a plain-branch/png-branch
     # union would re-evaluate the whole scan+decompress+parse subtree
