@@ -1833,6 +1833,10 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT checkpointed (r13 A/B): posts has two consumers (dup-hash
+    # census + marks semi-join), but the explode re-run is cheaper
+    # than the checkpoint's construction-time planning — the doc_id
+    # windows below dominate this query, not the posting build
     posts = _substr_windows(docs)
     dup_h = (
         posts.groupBy("h")

@@ -1402,12 +1402,17 @@ def web_boilerplate_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = paged.select(
         "source",
-        F.explode(html_block_stats(F.col("page"))).alias("s"),
+        F.explode(html_block_stats("page")).alias("s"),
     ).select(
         "source",
         F.md5(F.col("s.txt")).alias("h"),
         _keep(F.col("s")).alias("kept"),
-    )
+        # materialize once (r13): b feeds BOTH the frequency table and
+        # the occurrence join below — without this the page wrap +
+        # block-stats explode re-ran per consumer (guide §2.4); the
+        # materialized rows are the narrow (source, h, kept) census,
+        # the operator's real working set
+    ).localCheckpoint(eager=False)
     counts = b.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
     occ = b.join(counts, ["source", "h"]).select(
         "source",
