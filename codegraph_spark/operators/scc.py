@@ -188,6 +188,10 @@ def scc_assignments(
         operator is fed) pays one job instead of O(diameter) scheduling
         round trips. Pass 0 to force the BSP path.
     """
+    # eager checkpoint kept (r13 A/B): deferring it to the BSP path
+    # made the fast path's kernel union re-derive the distinct and
+    # won nothing — the dispatch count and the kernel both read this
+    # one materialization
     n = nodes.select("id").distinct().localCheckpoint(eager=True)
     n_nodes = n.count()
     if n_nodes <= local_max_nodes and (

@@ -1669,7 +1669,12 @@ def dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x: F.round(x * _SEM_ADAPT_FIX).cast("bigint")
         ).alias("vi"),
     )
-    reps = base.groupBy("vi").agg(F.min("vec_id").alias("rep_id"))
+    # materialize reps once (r13): three consumers (the sizing agg,
+    # the centroid build, repsd) each re-ran the corpus groupBy —
+    # measured 3 × 0.16 s vs 0.13 s materialize + 3 × 0.07 s reads
+    reps = base.groupBy("vi").agg(
+        F.min("vec_id").alias("rep_id")
+    ).localCheckpoint(eager=False)
     # one bounded scalar job sizes k (the adaptive dial) AND reads the
     # vector dimension, so the assignment dispatch below needs no probe
     # jobs of its own (r12: was reps.count() + cents.count() + a first())
